@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, n-gram-heuristic language ID and document
+ * fingerprinting. All are pure `Column` expressions — codegen'd, no UDFs,
+ * no shuffle; they pipeline with the scan exactly like the validation pass.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word characters split into runs of letters,
+   * digits, or single punctuation marks — a cheap deterministic proxy for a
+   * byte-pair tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(
+      size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+        t => t =!= "" && t =!= " ")))
+
+  /** Distinct whitespace tokens. */
+  def distinctTokenCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", lit(0))
+      .otherwise(size(array_distinct(split(trim(text), "\\s+"))))
+
+  /** Punctuation-character ratio over total length (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    val punct = len - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(text.isNull || len === 0, lit(0.0)).otherwise(punct.cast("double") / len)
+  }
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Fraction of whitespace tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    when(text.isNull || trim(text) === "", lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 when empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(text.isNull || trim(text) === "", lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: length in a sane band, some lexical
+   * diversity, not punctuation-soup. Deterministic and cheap — the shape a
+   * pretraining-corpus filter takes, not a learned model.
+   */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenOk = when(n.between(10, 10000), lit(1.0))
+      .otherwise(when(n > 0, lit(0.5)).otherwise(lit(0.0)))
+    val diversity = when(n === 0, lit(0.0))
+      .otherwise(distinctTokenCount(text).cast("double") / n)
+    val punctOk = lit(1.0) - least(lit(1.0), punctRatio(text) * 5)
+    round((lenOk * 0.4 + diversity * 0.4 + punctOk * 0.2), 6)
+  }
+
+  /** Per-language stopword marker sets for the n-gram/stopword language-ID
+   * heuristic. Tiny, deterministic, broadcast-as-literal. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "con", "para"))
+
+  /**
+   * Heuristic language ID: count marker-token hits per language, pick the
+   * argmax (ties and zero hits -> "und" for undetermined). One pass over
+   * the token array per language — still a single projection.
+   */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means earlier languages win ties (deterministic order)
+    when(text.isNull || trim(text) === "", lit("und")).otherwise(pick)
+  }
+
+  /** Normalized-content fingerprint: sha256 over lowercased,
+   * whitespace-collapsed text — the exact-dup key for [[Dedup.exact]]. */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /**
+   * 64-bit polynomial rolling hash over the normalized text (base-31 mod
+   * 2^64, Java-string-hash style but 64-bit) — an order-sensitive
+   * complement to the order-insensitive sha fingerprint. Implemented with
+   * `aggregate` over the character array: codegen'd, no UDF.
+   */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val chars = split(norm, "")
+    when(text.isNull, lit(null).cast("long")).otherwise(
+      aggregate(filter(chars, c => c =!= ""), lit(0L),
+        (acc, ch) => acc * 31L + ascii(ch).cast("long")))
+  }
+
+  /** All text features in one projection over (idCol, textCol). */
+  def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      distinctTokenCount(t).as("n_distinct_tokens"),
+      subwordCount(t).as("n_subwords"),
+      length(t).as("n_chars_actual"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(meanTokenLen(t), 6).as("mean_token_len"),
+      qualityScore(t).as("quality_score"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-column statistics for the north_rule's dataset-quality checks: null
+ * ratio, distinct count (exact or HyperLogLog), min/max, and fixed-bucket
+ * histograms for distribution-drift tests.
+ *
+ * Everything is computed in ONE aggregation pass over the table (a single
+ * partial+final HashAggregate — one shuffle of a few hundred bytes per
+ * partition, regardless of input size). Histograms use a static
+ * equi-width bucket spec so two datasets/partitions can be compared
+ * bucket-by-bucket (see [[Drift]]); bucket counts are conditional sums in
+ * the same pass, not a per-column groupBy, so adding histogram columns adds
+ * NO extra shuffle or scan.
+ *
+ * The reference has no stats operators (SURVEY.md §2.6); this module is the
+ * engine extension mandated by BASELINE.json north_rule.
+ */
+object ColumnStats {
+
+  /** Equi-width histogram spec over [lo, hi) with n buckets; values outside
+   * the range clamp into the first/last bucket so counts always sum to the
+   * non-null row count. */
+  final case class HistogramSpec(lo: Double, hi: Double, buckets: Int) {
+    require(buckets > 0 && hi > lo)
+    def width: Double = (hi - lo) / buckets
+    /** 0-based bucket index expression for a numeric column. */
+    def bucketOf(c: Column): Column =
+      least(lit(buckets - 1),
+        greatest(lit(0), floor((c.cast("double") - lo) / width).cast("int")))
+  }
+
+  /** One stats row per requested column (long/double metrics normalized so
+   * heterogeneous column types can share one output schema). */
+  final case class Request(
+      column: String,
+      histogram: Option[HistogramSpec] = None,
+      exactDistinct: Boolean = false,
+      /** relative standard deviation for approx_count_distinct (HLL). */
+      hllRsd: Double = 0.05
+  )
+
+  /**
+   * Compute all requested stats in one aggregation. Output: one row per
+   * column with (column, n_rows, n_null, null_ratio, distinct_count,
+   * min_str, max_str, histogram: array<long>).
+   */
+  def compute(df: DataFrame, requests: Seq[Request]): DataFrame = {
+    val aggs: Seq[Column] = requests.flatMap { r =>
+      val c = col(r.column)
+      val base = Seq(
+        count(lit(1)).as(s"${r.column}__n"),
+        count(when(c.isNull, 1)).as(s"${r.column}__nulls"),
+        (if (r.exactDistinct) count_distinct(c)
+         else approx_count_distinct(c, r.hllRsd)).as(s"${r.column}__distinct"),
+        min(c).cast("string").as(s"${r.column}__min"),
+        max(c).cast("string").as(s"${r.column}__max"))
+      val hist = r.histogram.toSeq.map { spec =>
+        val b = spec.bucketOf(c)
+        array((0 until spec.buckets).map(i =>
+          count(when(c.isNotNull && b === i, 1))): _*)
+          .as(s"${r.column}__hist")
+      }
+      base ++ hist
+    }
+
+    val row = df.agg(aggs.head, aggs.tail: _*)
+
+    // pivot the single wide row into one row per column, driver-side (it is
+    // a handful of scalars — no data-size dependence)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wide = row.collect().head
+    val out = requests.map { r =>
+      val n = wide.getAs[Long](s"${r.column}__n")
+      val nulls = wide.getAs[Long](s"${r.column}__nulls")
+      val dist = wide.getAs[Long](s"${r.column}__distinct")
+      val mn = Option(wide.getAs[String](s"${r.column}__min"))
+      val mx = Option(wide.getAs[String](s"${r.column}__max"))
+      val hist: Seq[Long] = r.histogram match {
+        case Some(_) => wide.getAs[Seq[Long]](s"${r.column}__hist")
+        case None    => Seq.empty[Long]
+      }
+      (r.column, n, nulls,
+        if (n == 0) 0.0 else nulls.toDouble / n,
+        dist, mn, mx, hist)
+    }
+    out.toDF("column", "n_rows", "n_null", "null_ratio", "distinct_count",
+      "min_str", "max_str", "histogram")
+  }
+
+  /** Histogram-only helper returning the bucket counts as a Scala array —
+   * the input to [[Drift]] tests. One aggregation, no groupBy shuffle. */
+  def histogram(df: DataFrame, column: String, spec: HistogramSpec): Array[Long] = {
+    val c = col(column)
+    val b = spec.bucketOf(c)
+    val aggs = (0 until spec.buckets).map(i =>
+      count(when(c.isNotNull && b === i, 1)).as(s"b$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    (0 until spec.buckets).map(i => row.getAs[Long](s"b$i")).toArray
+  }
+}

@@ -59,4 +59,88 @@ object Catalog {
     Validator.violationRows(validated)
       .orderBy("row_id", "field", "rule_id")
   }
+
+  // --- quality extensions (north_rule) -------------------------------------
+
+  import graft.quality.{ColumnStats, Drift, Uniqueness, Referential}
+
+  /** Per-column stats over documents in one aggregation pass
+   * (exact distinct here so the DuckDB oracle can reproduce it; the HLL
+   * variant is exercised in qColstatsHll / tests). */
+  def qColstats(spark: SparkSession, dir: String): DataFrame = {
+    import ColumnStats._
+    compute(docs(spark, dir), Seq(
+      Request("doc_id", exactDistinct = true),
+      Request("text", exactDistinct = true),
+      Request("lang", exactDistinct = true),
+      Request("source", exactDistinct = true),
+      Request("n_chars", exactDistinct = true)))
+      .select("column", "n_rows", "n_null", "null_ratio", "distinct_count",
+        "min_str", "max_str")
+      .orderBy("column")
+  }
+
+  val nCharsHist: ColumnStats.HistogramSpec = ColumnStats.HistogramSpec(0, 600, 12)
+
+  /** Fixed-bucket histogram of n_chars — computed in ONE conditional-count
+   * aggregation (no groupBy shuffle), emitted as (bucket, n) rows. */
+  def qHist(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ColumnStats.histogram(docs(spark, dir), "n_chars", nCharsHist)
+    import spark.implicits._
+    counts.toSeq.zipWithIndex.map { case (n, b) => (b, n) }
+      .toDF("bucket", "n").orderBy("bucket")
+  }
+
+  /** Distribution drift between the src0-9 and src10-19 halves of documents:
+   * both histograms in one conditional-count pass, then chi-square + KS
+   * driver-side (O(buckets) math). */
+  def qDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val grpB = col("source").rlike("^src1[0-9]$")
+    val c = col("n_chars")
+    val b = nCharsHist.bucketOf(c)
+    val aggs = (0 until nCharsHist.buckets).flatMap { i =>
+      Seq(count(when(!grpB && c.isNotNull && b === i, 1)).as(s"a$i"),
+        count(when(grpB && c.isNotNull && b === i, 1)).as(s"b$i"))
+    }
+    val row = d.agg(aggs.head, aggs.tail: _*).collect().head
+    val ha = (0 until nCharsHist.buckets).map(i => row.getAs[Long](s"a$i")).toArray
+    val hb = (0 until nCharsHist.buckets).map(i => row.getAs[Long](s"b$i")).toArray
+    val chi = Drift.chiSquare(ha, hb, threshold = 21.03) // chi2(11 df, p=0.05)
+    val ks = Drift.ks(ha, hb, threshold = 0.1)
+    import spark.implicits._
+    Seq((ha.sum, hb.sum,
+      math.rint(chi.statistic * 1e6) / 1e6, chi.drifted,
+      math.rint(ks.statistic * 1e6) / 1e6, ks.drifted))
+      .toDF("n_a", "n_b", "chi2", "chi2_drifted", "ks", "ks_drifted")
+  }
+
+  /** Salted-two-phase duplicate detection on a composite key. */
+  def qUnique(spark: SparkSession, dir: String): DataFrame =
+    Uniqueness.duplicates(docs(spark, dir), Seq("lang", "n_chars"))
+      .orderBy("lang", "n_chars")
+
+  /** First-wins dedup (min doc_id per key) via salted min-reduction. */
+  def qDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    Uniqueness.dedupFirstWins(docs(spark, dir), Seq("lang", "n_chars"), "doc_id")
+      .select("lang", "n_chars", "doc_id")
+      .orderBy("lang", "n_chars")
+
+  /** Referential integrity via broadcast anti-join: events.user_id against a
+   * customer dimension restricted to c_custkey < 100 (so violations exist
+   * deterministically in the synthetic data). */
+  def qRiUser(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 100)
+    Referential.violationSummary(events, "user_id", dim, "c_custkey")
+      .orderBy("user_id")
+  }
+
+  /** Referential integrity against an in-config literal set (Enum-style):
+   * stays a pure filter, no join. */
+  def qRiLang(spark: SparkSession, dir: String): DataFrame =
+    Referential.setViolations(docs(spark, dir), "lang", Set("en", "fr", "es", "de"))
+      .groupBy("lang").agg(count(lit(1)).as("n_rows"))
+      .orderBy("lang")
 }
