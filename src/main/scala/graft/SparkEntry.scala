@@ -19,7 +19,18 @@ object SparkEntry {
     "q_unique" -> (Catalog.qUnique _),
     "q_dedup_keys" -> (Catalog.qDedupKeys _),
     "q_ri_user" -> (Catalog.qRiUser _),
-    "q_ri_lang" -> (Catalog.qRiLang _)
+    "q_ri_lang" -> (Catalog.qRiLang _),
+    "ta_features" -> (Catalog.taFeatures _),
+    "ta_extras" -> (Catalog.taExtras _),
+    "dd_exact" -> (Catalog.ddExact _),
+    "dd_minhash" -> (Catalog.ddMinhash _),
+    "dd_ngram" -> (Catalog.ddNgram _),
+    "dd_simhash" -> (Catalog.ddSimhash _),
+    "dd_cos_pairs" -> (Catalog.ddCosPairs _),
+    "ann_topk" -> (Catalog.annTopK _),
+    "ann_lsh" -> (Catalog.annLsh _),
+    "mm_meta" -> (Catalog.mmMeta _),
+    "mm_features" -> (Catalog.mmFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +44,16 @@ object SparkEntry {
     "q_unique" -> Oracles.qUnique,
     "q_dedup_keys" -> Oracles.qDedupKeys,
     "q_ri_user" -> Oracles.qRiUser,
-    "q_ri_lang" -> Oracles.qRiLang
+    "q_ri_lang" -> Oracles.qRiLang,
+    "ta_features" -> Oracles.taFeatures,
+    "dd_exact" -> Oracles.ddExact,
+    "dd_ngram" -> Oracles.ddNgram,
+    "dd_cos_pairs" -> Oracles.ddCosPairs,
+    "ann_topk" -> Oracles.annTopK,
+    "mm_meta" -> Oracles.mmMeta
+    // ta_extras / dd_minhash / dd_simhash / ann_lsh / mm_features:
+    // intentionally no oracle (xxhash64 signatures, wrapping 64-bit
+    // arithmetic, seeded hyperplanes and the stub codec are not
+    // DuckDB-expressible) -> driver records rows-only checks.
   )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Baseline: brute-force cosine top-k — one narrow pass over the vectors
+ * with the query broadcast as a literal, then a top-k reduction
+ * (`orderBy.limit` compiles to TakeOrderedAndProject: per-partition heaps +
+ * a driver merge, NOT a global sort shuffle).
+ *
+ * Scale path: random-hyperplane LSH bucketing — probe only the query's
+ * bucket (and optionally neighboring buckets), turning a full scan into a
+ * fraction-of-the-table scan. Recall is tunable via bits/tables.
+ */
+object Similarity {
+
+  /** Brute-force cosine top-k against a literal query vector (double math). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query.toSeq)
+    df.select(col(idCol),
+      round(Dedup.cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH bucket id (int64) for each vector: bit b set iff
+   * dot(vec, plane_b) > 0. Pure expression over the array column. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, b) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Assign every vector its LSH bucket — the index-build pass. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("bucket"))
+
+  /** ANN top-k: score only vectors in the query's bucket. Exactness is
+   * traded for scanning ~1/2^bits of the data; rerank is exact cosine. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, planes: Array[Array[Double]]): DataFrame = {
+    val qvec = query.map(_.toDouble)
+    val qBucket = planes.zipWithIndex.map { case (p, b) =>
+      val dot = p.zip(qvec).map { case (w, x) => w * x }.sum
+      if (dot > 0) 1L << b else 0L
+    }.reduce(_ | _)
+    val q = typedLit(query.toSeq)
+    df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol), round(Dedup.cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * All-pairs brute-force top-k per probe row (small probe set x large
+   * corpus): broadcast the probe side, stream the corpus, per-probe top-k
+   * via window rank bounded by a pre-filter. Used for batch kNN joins.
+   */
+  def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")))
+    val scored = c.join(p, col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        round(Dedup.cosine(col("cvec"), col("pvec")), 6).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -103,17 +103,20 @@ object TextAnalysis {
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
   /**
-   * 64-bit polynomial rolling hash over the normalized text (base-31 mod
-   * 2^64, Java-string-hash style but 64-bit) — an order-sensitive
-   * complement to the order-insensitive sha fingerprint. Implemented with
-   * `aggregate` over the character array: codegen'd, no UDF.
+   * Polynomial rolling hash over the normalized text: base 31 modulo the
+   * Mersenne prime 2^31-1 (every intermediate stays < 2^36, so the
+   * expression is ANSI-safe — no wrapping arithmetic, which Spark 4's
+   * default ANSI mode rejects). An order-sensitive complement to the
+   * order-insensitive sha fingerprint; `aggregate` over the character
+   * array: codegen'd, no UDF.
    */
   def rollingHash(text: Column): Column = {
+    val P = 2147483647L
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     val chars = split(norm, "")
     when(text.isNull, lit(null).cast("long")).otherwise(
       aggregate(filter(chars, c => c =!= ""), lit(0L),
-        (acc, ch) => acc * 31L + ascii(ch).cast("long")))
+        (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P))))
   }
 
   /** All text features in one projection over (idCol, textCol). */

@@ -80,9 +80,10 @@ object ColumnStats {
       val dist = wide.getAs[Long](s"${r.column}__distinct")
       val mn = Option(wide.getAs[String](s"${r.column}__min"))
       val mx = Option(wide.getAs[String](s"${r.column}__max"))
-      val hist: Seq[Long] = r.histogram match {
-        case Some(_) => wide.getAs[Seq[Long]](s"${r.column}__hist")
-        case None    => Seq.empty[Long]
+      val hist: List[Long] = r.histogram match {
+        case Some(_) =>
+          wide.getAs[scala.collection.Seq[Long]](s"${r.column}__hist").toList
+        case None => Nil
       }
       (r.column, n, nulls,
         if (n == 0) 0.0 else nulls.toDouble / n,

@@ -143,4 +143,99 @@ object Catalog {
     Referential.setViolations(docs(spark, dir), "lang", Set("en", "fr", "es", "de"))
       .groupBy("lang").agg(count(lit(1)).as("n_rows"))
       .orderBy("lang")
+
+  // --- training-data pipeline ops ------------------------------------------
+
+  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal}
+
+  /** Text-analysis feature extraction: one codegen'd projection per doc. */
+  def taFeatures(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.features(docs(spark, dir), "doc_id", "text")
+      .drop("n_subwords") // lookaround split is not RE2-expressible for the oracle
+      .orderBy("doc_id")
+
+  /** Subword counts + rolling hash (no SQL oracle: lookaround regex and
+   * wrapping 64-bit arithmetic are outside DuckDB's dialect). */
+  def taExtras(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+      TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  /** Exact-duplicate groups by normalized sha256 fingerprint. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, dir), "doc_id", "text")
+      .select("fingerprint", "keep_id", "group_size")
+      .orderBy("fingerprint")
+
+  /** MinHash+LSH near-dup candidate pairs (banding over 32 hashes). The
+   * est_jaccard is the signature-agreement estimate; no SQL oracle
+   * (xxhash64-based signatures), rows-only check. */
+  def ddMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(spark, dir), "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8)
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Exact 3-gram Jaccard for all pairs inside (lang, n_chars) blocks —
+   * the oracle-checkable blocked near-dup form. */
+  def ddNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "n_chars"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs within Hamming distance 3 (pigeonhole-blocked
+   * on 16-bit quarters; no SQL oracle, rows-only check). */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding near-dup pairs (cosine >= 0.9) blocked by label. */
+  def ddCosPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Dedup.cosineNearDups(e, "vec_id", "embedding", "label", threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-10 for the vec_id=0 query vector. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+  }
+
+  /** LSH-bucketed ANN top-10 for the same query (scale path; rows-only —
+   * the bucketing is seed-dependent and not SQL-expressible). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val planes = Similarity.hyperplanes(dim = q.length, bits = 4)
+    Similarity.annTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      q, 10, planes)
+  }
+
+  /** Multimodal metadata pass: payload stays unread (column pruning). */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metadata(
+      Multimodal.toAssets(docs(spark, dir), "doc_id", "text", "text", "text/plain"))
+      .orderBy("asset_id")
+
+  /** Multimodal feature extraction through the stubbed per-partition codec
+   * (rows-only check: the stub features are not SQL-expressible). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.toAssets(docs(spark, dir), "doc_id", "text", "image", "image/x-stub"))
+      .toDF()
+      .select("asset_id", "modality", "n_bytes", "width", "height", "duration_ms")
+      .orderBy("asset_id")
 }

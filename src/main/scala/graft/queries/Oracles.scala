@@ -130,4 +130,108 @@ object Oracles {
     """SELECT lang, count(*) AS n_rows FROM documents
       |WHERE lang IS NOT NULL AND lang NOT IN ('en','fr','es','de')
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val taFeatures: String = {
+    val stop = inList(graft.ops.TextAnalysis.Stopwords)
+    val markers = graft.ops.TextAnalysis.LangMarkers.map { case (l, ms) => l -> inList(ms) }.toMap
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks_l
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct_tokens,
+       |    length(text) AS n_chars_actual,
+       |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+       |      / length(text) AS punct_raw,
+       |    len(list_filter(toks_l, x -> x IN $stop)) * 1.0 / len(toks_l) AS stop_raw,
+       |    list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mtl_raw,
+       |    len(list_filter(toks_l, x -> x IN ${markers("en")})) AS s_en,
+       |    len(list_filter(toks_l, x -> x IN ${markers("de")})) AS s_de,
+       |    len(list_filter(toks_l, x -> x IN ${markers("fr")})) AS s_fr,
+       |    len(list_filter(toks_l, x -> x IN ${markers("es")})) AS s_es,
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(n_distinct_tokens AS INT) AS n_distinct_tokens,
+       |  CAST(n_chars_actual AS INT) AS n_chars_actual,
+       |  round(punct_raw, 6) AS punct_ratio,
+       |  round(stop_raw, 6) AS stopword_ratio,
+       |  round(mtl_raw, 6) AS mean_token_len,
+       |  round(
+       |    (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0
+       |          WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+       |    + (n_distinct_tokens * 1.0 / n_tokens) * 0.4
+       |    + (1.0 - LEAST(1.0, punct_raw * 5)) * 0.2, 6) AS quality_score,
+       |  CASE WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+       |       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+       |       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+       |       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+       |       ELSE 'und' END AS lang_pred,
+       |  fingerprint
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  val ddExact: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents)
+      |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
+      |FROM f GROUP BY fingerprint HAVING count(*) > 1
+      |ORDER BY fingerprint""".stripMargin
+
+  val ddNgram: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+      |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+      |  FROM tok)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b
+      |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val ddCosPairs: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val annTopK: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(list_dot_product(e.v, q.qv)
+      |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      |FROM e, q WHERE e.vec_id <> 0
+      |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  val mmMeta: String =
+    """SELECT doc_id AS asset_id, 'text' AS modality, 'text/plain' AS mime,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS "sha256"
+      |FROM documents ORDER BY asset_id""".stripMargin
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // --- TextAnalysis --------------------------------------------------------
+
+  test("tokenCount / distinct / fingerprint basics") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  the   quick  "),
+      (3L, ""),
+      (4L, "a a a")).toDF("id", "text")
+    val got = df.select($"id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.distinctTokenCount($"text").as("d"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 4, 4), (2L, 2, 2), (3L, 0, 0), (4L, 3, 1)))
+    // fingerprint is whitespace/case-normalized
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    val fp2 = Seq("THE QUICK").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).collect().head.getString(0)
+    assert(fps(1) === fp2)
+  }
+
+  test("langId picks marker-dominant language, und for no hits") {
+    val df = Seq("the cat and the dog is here", "der hund und die katze ist",
+      "le chat et la maison est", "el perro y la casa es", "xyzzy plugh").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(got === Array("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore in [0,1] and favors diverse mid-length text") {
+    val good = Seq(("w1 " * 50).trim).toDF("text")
+      .select(TextAnalysis.qualityScore($"text")).head.getDouble(0)
+    val diverse = Seq((1 to 50).map(i => s"w$i").mkString(" ")).toDF("text")
+      .select(TextAnalysis.qualityScore($"text")).head.getDouble(0)
+    assert(good >= 0 && good <= 1 && diverse > good)
+  }
+
+  // --- Dedup ---------------------------------------------------------------
+
+  val dupDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon eta"), // near dup of 1
+    (4L, "one two three four five six seven"),
+    (5L, "completely different words entirely here now")).toDF("doc_id", "text")
+
+  test("exactGroups finds exact duplicates only") {
+    val g = Dedup.exactGroups(dupDocs, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keep_id") === 1L)
+    assert(g.head.getAs[Long]("group_size") === 2L)
+  }
+
+  test("minhash: identical texts get est_jaccard 1.0; near-dups caught") {
+    val pairs = Dedup.minhashCandidates(dupDocs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
+  }
+
+  test("ngramJaccard exact similarity on candidates") {
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(cands, dupDocs, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0) // 4 of 6 bigrams shared
+  }
+
+  test("simhash: identical -> distance 0; near-dups closer than unrelated") {
+    // blocked pair search is lossless only for maxDist <= 3 (pigeonhole on
+    // 4 quarters); identical texts are always found at distance 0
+    val pairs = Dedup.simhashPairs(dupDocs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    // distance ordering property, measured directly on the hashes
+    val h = dupDocs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(dist(1L, 2L) === 0)
+    assert(dist(1L, 3L) < dist(1L, 5L)) // near-dup closer than unrelated
+  }
+
+  test("cosine similarity: parallel=1, orthogonal=0") {
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(2f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.cosineNearDups(df, "vec_id", "embedding", "label", -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) === 0.0)
+  }
+
+  // --- Similarity ----------------------------------------------------------
+
+  def randVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  test("bruteForceTopK matches naive driver-side computation") {
+    val vecs = randVecs(200, 16, 7L)
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toArray
+    val got = Similarity.bruteForceTopK(df.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expect = vecs.tail
+      .map { case (id, v) => (id, math.rint(cos(v, q.toSeq) * 1e6) / 1e6) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.toSeq === expect)
+  }
+
+  test("ANN LSH: query bucket contains the query's near-identical vector") {
+    val vecs = randVecs(200, 16, 11L)
+    // plant a near-identical copy of vector 0 as id 999
+    val planted = vecs :+ (999L, vecs.head._2.map(x => x * 1.0001f))
+    val df = planted.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toArray
+    val planes = Similarity.hyperplanes(16, 4, seed = 5L)
+    val got = Similarity.annTopK(df.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      q, 5, planes).collect().map(_.getLong(0))
+    assert(got.contains(999L)) // same bucket by construction (tiny perturbation)
+  }
+
+  // --- Multimodal ----------------------------------------------------------
+
+  test("multimodal plumbing: metadata without payload, deterministic stub features") {
+    val df = Seq((1L, "hello world"), (2L, "payload two")).toDF("doc_id", "text")
+    val assets = Multimodal.toAssets(df, "doc_id", "text", "image", "image/x-test")
+    val meta = Multimodal.metadata(assets).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(meta === Set((1L, "image", 11L), (2L, "image", 11L)))
+    val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq) // deterministic
+    assert(f1.forall(_.feature.length === Multimodal.FeatureDim))
+    assert(f1.forall(f => f.width >= 16 && f.height >= 16))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.quality._
+
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ColumnStats: one-pass stats with exact distinct") {
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None, 30),
+      (4L, Some("a"), 40)).toDF("id", "s", "n")
+    val stats = ColumnStats.compute(df, Seq(
+      ColumnStats.Request("s", exactDistinct = true),
+      ColumnStats.Request("n", exactDistinct = true,
+        histogram = Some(ColumnStats.HistogramSpec(0, 40, 4)))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = stats("s")
+    assert(s.getLong(1) === 4L && s.getLong(2) === 1L) // n, nulls
+    assert(s.getDouble(3) === 0.25)
+    assert(s.getLong(4) === 2L) // distinct
+    val n = stats("n")
+    assert(n.getString(5) === "10" && n.getString(6) === "40")
+    // clamping: 40 lands in last bucket
+    assert(n.getSeq[Long](7) === Seq(0L, 1L, 1L, 2L))
+  }
+
+  test("ColumnStats: HLL distinct within rsd of exact") {
+    val df = (1 to 10000).toDF("x")
+    val hll = ColumnStats.compute(df, Seq(ColumnStats.Request("x", hllRsd = 0.02)))
+      .collect().head.getLong(4)
+    assert(math.abs(hll - 10000) < 10000 * 0.06)
+  }
+
+  test("Drift: identical histograms -> statistic 0, no drift") {
+    val h = Array(10L, 20L, 30L, 5L)
+    assert(Drift.chiSquare(h, h, 1.0).statistic === 0.0)
+    assert(Drift.ks(h, h, 0.01).statistic === 0.0)
+  }
+
+  test("Drift: shifted histograms flagged") {
+    val a = Array(100L, 100L, 0L, 0L)
+    val b = Array(0L, 0L, 100L, 100L)
+    val chi = Drift.chiSquare(a, b, 21.0)
+    val ks = Drift.ks(a, b, 0.1)
+    assert(chi.drifted && chi.statistic > 100)
+    assert(ks.drifted && ks.statistic === 1.0)
+    // scale-invariance of KS under sample-size imbalance
+    val b10 = b.map(_ * 10)
+    assert(Drift.ks(a, b10, 0.1).statistic === 1.0)
+  }
+
+  test("Uniqueness: salted duplicates == naive groupBy, any salt width") {
+    val df = Seq(("r1", "a"), ("r1", "a"), ("r1", "a"), ("r2", "b"), ("r3", "c"),
+      ("r3", "c")).toDF("repo", "path")
+    for (buckets <- Seq(1, 2, 64)) {
+      val got = Uniqueness.duplicates(df, Seq("repo", "path"), buckets)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(("r1", "a", 3L), ("r3", "c", 2L)), s"buckets=$buckets")
+    }
+  }
+
+  test("Uniqueness: first-wins dedup keeps min tiebreak, idempotent") {
+    val df = Seq((3L, "k1", "v3"), (1L, "k1", "v1"), (2L, "k1", "v2"),
+      (5L, "k2", "v5")).toDF("id", "k", "v")
+    val out = Uniqueness.dedupFirstWins(df, Seq("k"), "id")
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "k1", "v1"), (5L, "k2", "v5")))
+    val again = Uniqueness.dedupFirstWins(out, Seq("k"), "id")
+    assert(again.collect().length === 2)
+  }
+
+  test("Referential: broadcast anti-join finds missing keys; NULL not a violation") {
+    val fact = Seq(Some("en"), Some("zz"), None, Some("fr"), Some("zz"))
+      .toDF("lang")
+    val dim = Seq("en", "fr", "de").toDF("code")
+    val v = Referential.violationSummary(fact, "lang", dim, "code").collect()
+    assert(v.length === 1)
+    assert(v.head.getString(0) === "zz" && v.head.getLong(1) === 2L)
+    // plan check: must be a broadcast join, not a shuffle join
+    val plan = Referential.violations(fact, "lang", dim, "code")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
