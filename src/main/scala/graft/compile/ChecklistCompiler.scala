@@ -136,8 +136,9 @@ object ChecklistCompiler {
     case FieldType.OntologyT(terms, _) =>
       // reference: Plugin/Ontology.pm:19-34 — in-memory set membership
       // (its documented 4.5x win over per-value scans). Catalyst rewrites
-      // isin above the InSet threshold into an O(1) hash-set probe; for
-      // dimension-scale sets use ReferentialCheck's broadcast join instead.
+      // isin above the InSet threshold into an O(1) hash-set probe; sets
+      // beyond LargeSetThreshold switch to the broadcast-set expression so
+      // the plan doesn't embed (and re-ship) a huge literal list.
       membership(v, terms)
     case FieldType.TaxonomyT(ids, names) =>
       // reference: Plugin/Taxonomy.pm:22-38 — ID or scientific name, either
@@ -145,8 +146,18 @@ object ChecklistCompiler {
       membership(v, ids) || membership(v, names)
   }
 
+  /** Above this size, lookup sets ship as a Spark broadcast probed by the
+   * codegen'd [[graft.functions.InBroadcastSet]] expression instead of an
+   * in-plan literal list. */
+  val LargeSetThreshold = 10000
+
   private def membership(v: Column, terms: Set[String]): Column =
-    if (terms.isEmpty) lit(false) else v.isin(terms.toSeq: _*)
+    if (terms.isEmpty) lit(false)
+    else if (terms.size > LargeSetThreshold)
+      org.apache.spark.sql.SparkSession.active match {
+        case spark => graft.functions.InBroadcastSet(spark, v, terms)
+      }
+    else v.isin(terms.toSeq: _*)
 
   /**
    * Tri-state state expression for one field (FieldState byte):

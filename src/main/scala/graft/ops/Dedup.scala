@@ -99,15 +99,23 @@ object Dedup {
    * signature-agreement estimate.
    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(shingleHashes(col(textCol), k), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
+    // Drop oversized buckets: a bucket shared by >maxBucketSize docs is
+    // non-discriminative (degenerate band) and would go quadratic in the
+    // self-join. The oversized-bucket list is tiny by construction, so it
+    // broadcasts into an anti-join — the standard LSH-at-scale guard.
+    val oversized = banded0.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize).select("bucket")
+    val banded = banded0.join(broadcast(oversized), Seq("bucket"), "left_anti")
     val a = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))

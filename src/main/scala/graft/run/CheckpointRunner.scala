@@ -1,0 +1,110 @@
+package graft.run
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Validator
+import graft.model.Checklist
+
+/**
+ * Partition-granular checkpointed validation runs (north_rule: "resumable
+ * from checkpoint with per-partition lineage + metrics").
+ *
+ * The input table is processed one partition at a time (hive-style
+ * partition column, e.g. `source` or a date). After a partition's outputs
+ * commit, one manifest row is appended to the manifest table:
+ *
+ *   (run_id, partition, checklist_md5, n_rows, n_invalid, n_violations,
+ *    started_at, finished_at, status)
+ *
+ * On restart, partitions that already have an 'ok' manifest row FOR THE
+ * SAME checklist_md5 are skipped — so a killed job resumes where it
+ * stopped, and a *changed checklist* invalidates prior work automatically.
+ * Outputs are written with partition-directory overwrite, making re-runs
+ * idempotent (no duplicated violation rows — risk register SURVEY.md §7.4).
+ *
+ * This generalizes the reference's manifest identity (file MD5 + UUID,
+ * Reader.pm:86-88 / Manifest.pm:219-224) into run-level lineage.
+ */
+object CheckpointRunner {
+
+  final case class PartitionResult(
+      partition: String, nRows: Long, nInvalid: Long, nViolations: Long,
+      skipped: Boolean)
+
+  final case class Config(
+      inputPath: String,
+      partitionCol: String,
+      outputPath: String, // validated rows (partitioned)
+      violationsPath: String, // exploded violation rows (partitioned)
+      manifestPath: String, // lineage + metrics table
+      rowIdCol: Option[String] = None,
+      contentCol: Option[String] = None)
+
+  /** Stable fingerprint of the checklist definition — the lineage key that
+   * ties completed work to the exact constraint set that produced it. */
+  def checklistMd5(checklist: Checklist): String =
+    MessageDigest.getInstance("MD5")
+      .digest(checklist.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def completedPartitions(spark: SparkSession, manifestPath: String,
+      md5: String): Set[String] =
+    try {
+      spark.read.parquet(manifestPath)
+        .filter(col("status") === "ok" && col("checklist_md5") === md5)
+        .select("partition").distinct()
+        .collect().map(_.getString(0)).toSet
+    } catch { case _: Exception => Set.empty } // first run: no manifest yet
+
+  def run(spark: SparkSession, checklist: Checklist, cfg: Config,
+      runId: String = java.util.UUID.randomUUID().toString): Seq[PartitionResult] = {
+    val md5 = checklistMd5(checklist)
+    val input = spark.read.parquet(cfg.inputPath)
+    val partitions = input.select(cfg.partitionCol).distinct()
+      .collect().map(_.get(0).toString).sorted
+    val done = completedPartitions(spark, cfg.manifestPath, md5)
+
+    partitions.map { p =>
+      if (done.contains(p)) PartitionResult(p, 0, 0, 0, skipped = true)
+      else {
+        val startedAt = java.time.Instant.now().toString
+        // partition filter pushes down to the parquet scan
+        val slice = input.filter(col(cfg.partitionCol) === p)
+        val validated = Validator.validate(slice, checklist,
+          Validator.Options(cfg.rowIdCol, cfg.contentCol)).cache()
+        try {
+          validated.write.mode(SaveMode.Overwrite)
+            .parquet(s"${cfg.outputPath}/${cfg.partitionCol}=$p")
+          val viols = Validator.violationRows(validated)
+          viols.write.mode(SaveMode.Overwrite)
+            .parquet(s"${cfg.violationsPath}/${cfg.partitionCol}=$p")
+          val counts = validated.agg(
+            count(lit(1)), count(when(!col(Validator.PassedCol), 1)),
+            sum(size(col(Validator.ViolationsCol)))).collect().head
+          val (nRows, nInvalid, nViol) =
+            (counts.getLong(0), counts.getLong(1),
+              if (counts.isNullAt(2)) 0L else counts.getLong(2))
+          appendManifestRow(spark, cfg.manifestPath, runId, p, md5,
+            nRows, nInvalid, nViol, startedAt, "ok")
+          PartitionResult(p, nRows, nInvalid, nViol, skipped = false)
+        } finally validated.unpersist()
+      }
+    }.toSeq
+  }
+
+  private def appendManifestRow(spark: SparkSession, path: String,
+      runId: String, partition: String, md5: String, nRows: Long,
+      nInvalid: Long, nViolations: Long, startedAt: String,
+      status: String): Unit = {
+    import spark.implicits._
+    Seq((runId, partition, md5, nRows, nInvalid, nViolations,
+      startedAt, java.time.Instant.now().toString, status))
+      .toDF("run_id", "partition", "checklist_md5", "n_rows", "n_invalid",
+        "n_violations", "started_at", "finished_at", "status")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}

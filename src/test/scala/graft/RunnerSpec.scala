@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.model.FieldType._
+import graft.run.CheckpointRunner
+import graft.sources.CodeFiles
+import graft.streaming.StreamingValidator
+
+class RunnerSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("code_files generator is deterministic and partitioning-invariant") {
+    val a = CodeFiles.generate(spark, 1000).orderBy("id").collect()
+    val b = CodeFiles.generate(spark, 1000).repartition(7).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+    // planted defects exist
+    val df = CodeFiles.generate(spark, 2000)
+    assert(df.filter(length(col("commit")) =!= 40).count() > 0)
+    assert(df.filter(col("lang") === "klingon").count() > 0)
+    assert(df.filter(col("content").isNull).count() > 0)
+    assert(df.filter(col("repo") === CodeFiles.HotRepo).count() > 2000 / 10)
+    // duplicates on the composite key
+    val dups = graft.quality.Uniqueness.duplicates(df, Seq("repo", "path", "commit"))
+    assert(dups.count() > 0)
+  }
+
+  test("code_files checklist flags exactly the planted defect classes") {
+    val df = CodeFiles.generate(spark, 2000)
+    val v = graft.engine.Validator.validate(df, CodeFiles.checklist,
+      graft.engine.Validator.Options(rowIdCol = Some("id")))
+    val byRule = graft.engine.Validator.violationRows(v)
+      .groupBy("rule_id", "field").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byRule.contains(("field_invalid", "commit")))
+    assert(byRule.contains(("field_invalid", "lang"))) // klingon
+    assert(byRule.contains(("required", "content")))
+    // unknown lang rows are NOT violations (tri-state)
+    val unknownLang = df.filter(col("lang") === "not available").count()
+    assert(unknownLang > 0)
+    val langViol = byRule(("field_invalid", "lang"))
+    assert(langViol === df.filter(col("lang") === "klingon").count())
+  }
+
+  test("checkpoint runner: resume skips completed partitions; checklist change invalidates") {
+    val base = Files.createTempDirectory("graft_ckpt").toString
+    val input = s"$base/input"
+    CodeFiles.generate(spark, 500)
+      .withColumn("part", (col("id") % 3).cast("string"))
+      .write.partitionBy("part").parquet(input)
+    val cfg = CheckpointRunner.Config(
+      inputPath = input, partitionCol = "part",
+      outputPath = s"$base/out", violationsPath = s"$base/viol",
+      manifestPath = s"$base/manifest", rowIdCol = Some("id"))
+
+    val r1 = CheckpointRunner.run(spark, CodeFiles.checklist, cfg)
+    assert(r1.size === 3 && r1.forall(!_.skipped))
+    assert(r1.map(_.nRows).sum === 500)
+
+    // second run: everything skipped
+    val r2 = CheckpointRunner.run(spark, CodeFiles.checklist, cfg)
+    assert(r2.forall(_.skipped))
+
+    // simulate a mid-run kill: remove one partition's manifest rows
+    val manifest = spark.read.parquet(cfg.manifestPath)
+    val pruned = manifest.filter(col("partition") =!= "1")
+    val tmp = s"$base/manifest2"
+    pruned.write.parquet(tmp)
+    val cfg2 = cfg.copy(manifestPath = tmp)
+    val r3 = CheckpointRunner.run(spark, CodeFiles.checklist, cfg2)
+    assert(r3.count(_.skipped) === 2 && r3.count(!_.skipped) === 1)
+
+    // idempotence: no duplicated violation rows after the re-run
+    val viol = spark.read.parquet(cfg.violationsPath)
+    assert(viol.count() === viol.distinct().count())
+
+    // changed checklist -> all partitions re-run
+    val changed = CodeFiles.checklist.copy(fields =
+      CodeFiles.checklist.fields.map(f =>
+        if (f.name == "lang") f.copy(required = true) else f))
+    val r4 = CheckpointRunner.run(spark, changed, cfg)
+    assert(r4.forall(!_.skipped))
+  }
+
+  test("streaming validation matches batch verdicts (memory sink)") {
+    val cl = Checklist("s", Seq(
+      FieldDef("k", IntT(min = Some(0)), required = true),
+      FieldDef("v", StrT(Some("^ok")), required = true)))
+    val batch = Seq((1L, "ok yes"), (2L, "bad"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val dir = Files.createTempDirectory("graft_stream").toString + "/data"
+    batch.write.parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val validated = StreamingValidator.validateStream(stream, cl, "k")
+    val q = validated.writeStream.format("memory").queryName("sv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select k, passed from sv").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
+  test("CLI arg parsing mirrors validate_manifest flags") {
+    val a = graft.run.Main.parseArgs(
+      List("-c", "x.conf", "-o", "out.csv", "-i", "-v", "in.csv"),
+      graft.run.Main.Args())
+    assert(a === graft.run.Main.Args(Some("x.conf"), Some("out.csv"),
+      invalidOnly = true, verbose = true, input = Some("in.csv")))
+  }
+
+  test("report wording + exit codes match the reference CLI") {
+    assert(graft.engine.Validator.report("f.csv", 0) === ("'f.csv' is valid", 0))
+    assert(graft.engine.Validator.report("f.csv", 3) ===
+      ("'f.csv' is invalid. Found 3 invalid rows", 1))
+  }
+}
