@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Scaling-bench fidelity: pin the JVM's visible processor count so a
+  // local[N] run behaves like an N-core cluster node (GC / codegen / netty
+  // pools otherwise use every host core and flatter the small-N baseline).
+  sys.env.get("SPARK_GRAFT_JVMPROCS").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

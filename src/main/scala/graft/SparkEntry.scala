@@ -30,7 +30,14 @@ object SparkEntry {
     "ann_topk" -> (Catalog.annTopK _),
     "ann_lsh" -> (Catalog.annLsh _),
     "mm_meta" -> (Catalog.mmMeta _),
-    "mm_features" -> (Catalog.mmFeatures _)
+    "mm_features" -> (Catalog.mmFeatures _),
+    "dep_verdict" -> (Catalog.depVerdict _),
+    "dep_rule_counts" -> (Catalog.depRuleCounts _),
+    "v_datetime" -> (Catalog.vDatetime _),
+    "v_bool" -> (Catalog.vBool _),
+    "v_taxonomy" -> (Catalog.vTaxonomy _),
+    "q_taxtree" -> (Catalog.qTaxtree _),
+    "ev_window" -> (Catalog.evWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,7 +57,14 @@ object SparkEntry {
     "dd_ngram" -> Oracles.ddNgram,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,
-    "mm_meta" -> Oracles.mmMeta
+    "mm_meta" -> Oracles.mmMeta,
+    "dep_verdict" -> Oracles.depVerdict,
+    "dep_rule_counts" -> Oracles.depRuleCounts,
+    "v_datetime" -> Oracles.vDatetime,
+    "v_bool" -> Oracles.vBool,
+    "v_taxonomy" -> Oracles.vTaxonomy,
+    "q_taxtree" -> Oracles.qTaxtree,
+    "ev_window" -> Oracles.evWindow
     // ta_extras / dd_minhash / dd_simhash / ann_lsh / mm_features:
     // intentionally no oracle (xxhash64 signatures, wrapping 64-bit
     // arithmetic, seeded hyperplanes and the stub codec are not

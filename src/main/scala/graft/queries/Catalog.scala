@@ -238,4 +238,124 @@ object Catalog {
       .toDF()
       .select("asset_id", "modality", "n_bytes", "width", "height", "duration_ms")
       .orderBy("asset_id")
+
+  // --- dependency rules + remaining plugin families on real tables ---------
+
+  /** Cross-field dependency checklist over derived document columns:
+   * if(b){then t; else e}, one_of(a,c), some_of(a,c), tri-state unknown in
+   * a, required c — the reference's signature rule families end-to-end. */
+  val depChecklist: Checklist = Checklist(
+    name = "deps",
+    fields = Seq(
+      FieldDef("b", BoolT),
+      FieldDef("t", StrT()),
+      FieldDef("e", StrT()),
+      FieldDef("a", IntT(), acceptsUnknown = true),
+      FieldDef("c", IntT(), required = true)),
+    dependencies = Dependencies(
+      ifs = Seq(IfDep("b", thens = Seq("t"), elses = Seq("e"))),
+      oneOf = Seq(GroupDep("g1", Seq("a", "c"))),
+      someOf = Seq(GroupDep("g2", Seq("a", "c")))),
+    unknownTerms = Seq("not available"))
+
+  def depFrame(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("1")).otherwise(lit("0")).as("b"),
+      when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("source")).as("t"),
+      when(col("doc_id") % 3 === 0, col("lang")).otherwise(lit(null)).as("e"),
+      when(col("doc_id") % 7 === 0, lit("not available"))
+        .when(col("doc_id") % 4 === 0, lit(null)).otherwise(lit("1")).as("a"),
+      when(col("doc_id") % 6 === 0, lit("2")).otherwise(lit(null)).as("c"))
+
+  def depVerdict(spark: SparkSession, dir: String): DataFrame =
+    Validator.validate(depFrame(spark, dir), depChecklist,
+      Validator.Options(rowIdCol = Some("doc_id")))
+      .select(col("doc_id"), col(Validator.PassedCol).as("passed"),
+        size(col(Validator.ViolationsCol)).as("n_violations"),
+        col(Validator.ErrorCol).as("error"))
+      .orderBy("doc_id")
+
+  def depRuleCounts(spark: SparkSession, dir: String): DataFrame =
+    Validator.violationRows(
+      Validator.validate(depFrame(spark, dir), depChecklist,
+        Validator.Options(rowIdCol = Some("doc_id"))))
+      .groupBy("rule_id", "field").agg(count(lit(1)).as("n"))
+      .orderBy("rule_id", "field")
+
+  /** DateTime plugin over derived date strings in the reference's accepted
+   * and rejected formats (incl. the two-digit-year rejection). */
+  def vDatetime(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val ds = when(col("o_orderkey") % 5 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(col("o_orderkey") % 5 === 1, date_format(col("o_orderdate"), "yy-MM-dd"))
+      .when(col("o_orderkey") % 5 === 2, date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .when(col("o_orderkey") % 5 === 3, lit("not-a-date"))
+      .otherwise(date_format(col("o_orderdate"), "yyyyMMdd'T'HHmmss"))
+    val cl = Checklist("dt", Seq(FieldDef("ds", FieldType.DateTimeT)))
+    Validator.validate(orders.select(col("o_orderkey"), ds.as("ds")), cl,
+      Validator.Options(rowIdCol = Some("o_orderkey")))
+      .select(col("o_orderkey"), col("ds"), col(Validator.PassedCol).as("passed"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Bool plugin over derived strings from events. */
+  def vBool(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val bs = when(col("event_type") === "click", lit("yes"))
+      .when(col("event_type") === "view", lit("TRUE"))
+      .when(col("event_type") === "purchase", lit("1"))
+      .when(col("event_type") === "signup", lit("nope"))
+      .otherwise(lit("false"))
+    val cl = Checklist("bool", Seq(FieldDef("bs", BoolT)))
+    Validator.validate(events.select(col("event_id"), bs.as("bs")), cl,
+      Validator.Options(rowIdCol = Some("event_id")))
+      .select(col("event_id"), col("bs"), col(Validator.PassedCol).as("passed"))
+      .orderBy("event_id")
+  }
+
+  /** Taxonomy plugin (id-or-name membership) against sets built from the
+   * nation dimension: ids from regions 0-2, names from regions 0-1. */
+  def vTaxonomy(spark: SparkSession, dir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+    val ids = rows.filter(_.getInt(2) <= 2).map(_.getInt(0).toString).toSet
+    val names = rows.filter(_.getInt(2) <= 1).map(_.getString(1)).toSet
+    val v = when(col("n_nationkey") % 2 === 0, col("n_nationkey").cast("string"))
+      .otherwise(col("n_name"))
+    val cl = Checklist("tax", Seq(FieldDef("v", FieldType.TaxonomyT(ids, names))))
+    Validator.validate(nation.select(col("n_nationkey"), v.as("v")), cl,
+      Validator.Options(rowIdCol = Some("n_nationkey")))
+      .select(col("n_nationkey"), col("v"), col(Validator.PassedCol).as("passed"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Nested-set numbering of the region->nation hierarchy (TaxTree dim
+   * prep): root 1000, regions 100+key, nations by nationkey. */
+  def qTaxtree(spark: SparkSession, dir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .select("r_regionkey", "r_name").collect()
+    val rootId = 1000L
+    val nodes: Seq[(Long, Long, String)] =
+      Seq((rootId, rootId, "root")) ++
+        region.map(r => (100L + r.getInt(0), rootId, "region")) ++
+        nation.map(n => (n.getInt(0).toLong, 100L + n.getInt(2), "nation"))
+    val names: Map[Long, String] =
+      (Seq(rootId -> "ROOT") ++
+        region.map(r => (100L + r.getInt(0)) -> r.getString(1)) ++
+        nation.map(n => n.getInt(0).toLong -> n.getString(1))).toMap
+    val tree = graft.sources.TaxTree.build(nodes, names)
+    graft.sources.TaxTree.toDim(spark, tree).orderBy("tax_id")
+  }
+
+  /** Tumbling-window aggregation over the events stream shape (the batch
+   * equivalent of the streaming violation-rate query). */
+  def evWindow(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
 }

@@ -234,4 +234,130 @@ object Oracles {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
       |  sha256(text) AS "sha256"
       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Shared rule conditions for the dependency checklist over derived
+   * document columns (mirrors Catalog.depFrame / depChecklist). */
+  private val depRules =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    (doc_id % 2 = 0) AS even,
+      |    (doc_id % 5 = 0) AS t_null,
+      |    (doc_id % 3 = 0) AS e_pres,
+      |    (doc_id % 7 = 0) AS a_unknown,
+      |    (doc_id % 7 <> 0 AND doc_id % 4 <> 0) AS a_comp,
+      |    (doc_id % 6 = 0) AS c_pres
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, even, t_null, e_pres, a_comp, c_pres,
+      |    (NOT c_pres) AS c_required,
+      |    (even AND t_null) AS if_then_invalid,
+      |    (even AND e_pres) AS if_else_present,
+      |    ((NOT even) AND NOT e_pres) AS if_else_invalid,
+      |    ((NOT even) AND NOT t_null) AS if_then_present,
+      |    (CAST(a_comp AS INT) + CAST(c_pres AS INT)) AS completed,
+      |    (CAST(a_comp AS INT) + CAST(c_pres AS INT) <> 1) AS one_of_viol,
+      |    (CAST(a_comp AS INT) + CAST(c_pres AS INT) < 1) AS some_of_viol
+      |  FROM r
+      |)""".stripMargin
+
+  val depVerdict: String =
+    depRules +
+      """
+        |SELECT doc_id,
+        |  NOT (c_required OR if_then_invalid OR if_else_present OR if_else_invalid
+        |       OR if_then_present OR one_of_viol OR some_of_viol) AS passed,
+        |  (CAST(c_required AS INT) + CAST(if_then_invalid AS INT)
+        |   + CAST(if_else_present AS INT) + CAST(if_else_invalid AS INT)
+        |   + CAST(if_then_present AS INT) + CAST(one_of_viol AS INT)
+        |   + CAST(some_of_viol AS INT)) AS n_violations,
+        |  CASE WHEN c_required OR if_then_invalid OR if_else_present OR if_else_invalid
+        |            OR if_then_present OR one_of_viol OR some_of_viol
+        |    THEN '[errors found on row ' || CAST(doc_id AS VARCHAR) || '] ' || trim(
+        |      CASE WHEN c_required THEN '[''c'' is a required field] ' ELSE '' END ||
+        |      CASE WHEN if_then_invalid THEN ' [field ''t'' must be valid if field ''b'' is set to true]' ELSE '' END ||
+        |      CASE WHEN if_else_present THEN ' [field ''e'' should not be completed if field ''b'' is set to true]' ELSE '' END ||
+        |      CASE WHEN if_else_invalid THEN ' [field ''e'' must be valid if field ''b'' is set to false]' ELSE '' END ||
+        |      CASE WHEN if_then_present THEN ' [field ''t'' should not be completed if field ''b'' is set to false]' ELSE '' END ||
+        |      CASE WHEN one_of_viol THEN ' [exactly one field out of ''a'', ''c'' should be completed (found ' || CAST(completed AS VARCHAR) || ') and not ''unknown'']' ELSE '' END ||
+        |      CASE WHEN some_of_viol THEN ' [at least one field out of ''a'', ''c''should be completed and not ''unknown'']' ELSE '' END)
+        |    ELSE NULL END AS error
+        |FROM v ORDER BY doc_id""".stripMargin
+
+  val depRuleCounts: String =
+    depRules +
+      """
+        |SELECT rule_id, field, n FROM (
+        |  SELECT 'required' AS rule_id, 'c' AS field, count(*) FILTER (WHERE c_required) AS n FROM v
+        |  UNION ALL
+        |  SELECT 'if_then_invalid', 't', count(*) FILTER (WHERE if_then_invalid) FROM v
+        |  UNION ALL
+        |  SELECT 'if_else_present', 'e', count(*) FILTER (WHERE if_else_present) FROM v
+        |  UNION ALL
+        |  SELECT 'if_else_invalid', 'e', count(*) FILTER (WHERE if_else_invalid) FROM v
+        |  UNION ALL
+        |  SELECT 'if_then_present', 't', count(*) FILTER (WHERE if_then_present) FROM v
+        |  UNION ALL
+        |  SELECT 'one_of', 'a,c', count(*) FILTER (WHERE one_of_viol) FROM v
+        |  UNION ALL
+        |  SELECT 'some_of', 'a,c', count(*) FILTER (WHERE some_of_viol) FROM v
+        |) WHERE n > 0 ORDER BY rule_id, field""".stripMargin
+
+  val vDatetime: String =
+    """SELECT o_orderkey,
+      |  CASE CAST(o_orderkey % 5 AS INT)
+      |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |    WHEN 1 THEN strftime(o_orderdate, '%y-%m-%d')
+      |    WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+      |    WHEN 3 THEN 'not-a-date'
+      |    ELSE strftime(o_orderdate, '%Y%m%dT%H%M%S') END AS ds,
+      |  (o_orderkey % 5 IN (0, 2, 4)) AS passed
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val vBool: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'click' THEN 'yes' WHEN 'view' THEN 'TRUE'
+      |    WHEN 'purchase' THEN '1' WHEN 'signup' THEN 'nope' ELSE 'false' END AS bs,
+      |  (event_type <> 'signup') AS passed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val vTaxonomy: String =
+    """SELECT n_nationkey,
+      |  CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS VARCHAR)
+      |       ELSE n_name END AS v,
+      |  (CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS VARCHAR)
+      |        ELSE n_name END
+      |     IN (SELECT CAST(n_nationkey AS VARCHAR) FROM nation WHERE n_regionkey <= 2)
+      |   OR CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS VARCHAR)
+      |           ELSE n_name END
+      |     IN (SELECT n_name FROM nation WHERE n_regionkey <= 1)) AS passed
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  val qTaxtree: String =
+    """WITH counts AS (SELECT n_regionkey AS rk, count(*) AS cnt FROM nation GROUP BY 1),
+      |regions AS (
+      |  SELECT r.r_regionkey AS rk, r.r_name AS name, c.cnt,
+      |    2 + coalesce(SUM(2 + 2 * c.cnt) OVER (ORDER BY r.r_regionkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lft
+      |  FROM region r JOIN counts c ON r.r_regionkey = c.rk),
+      |nations AS (
+      |  SELECT n_nationkey AS id, n_name AS name, n_regionkey AS rk,
+      |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS pos
+      |  FROM nation),
+      |allnodes AS (
+      |  SELECT CAST(1000 AS BIGINT) AS tax_id, 'ROOT' AS name, CAST(1 AS BIGINT) AS lft,
+      |    CAST(2 * (1 + (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)) AS BIGINT) AS rgt,
+      |    CAST(1000 AS BIGINT) AS parent_tax_id
+      |  UNION ALL
+      |  SELECT CAST(100 + rk AS BIGINT), name, CAST(lft AS BIGINT),
+      |    CAST(lft + 2 * cnt + 1 AS BIGINT), CAST(1000 AS BIGINT) FROM regions
+      |  UNION ALL
+      |  SELECT CAST(n.id AS BIGINT), n.name, CAST(r.lft + 1 + 2 * n.pos AS BIGINT),
+      |    CAST(r.lft + 2 + 2 * n.pos AS BIGINT), CAST(100 + n.rk AS BIGINT)
+      |  FROM nations n JOIN regions r ON n.rk = r.rk)
+      |SELECT tax_id, name, lft, rgt, parent_tax_id FROM allnodes ORDER BY tax_id""".stripMargin
+
+  val evWindow: String =
+    """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+      |  round(sum(value), 6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 }
