@@ -53,6 +53,7 @@ object SparkEntry {
     "q_ri_user" -> Oracles.qRiUser,
     "q_ri_lang" -> Oracles.qRiLang,
     "ta_features" -> Oracles.taFeatures,
+    "ta_extras" -> Oracles.taExtras,
     "dd_exact" -> Oracles.ddExact,
     "dd_ngram" -> Oracles.ddNgram,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
@@ -65,9 +66,8 @@ object SparkEntry {
     "v_taxonomy" -> Oracles.vTaxonomy,
     "q_taxtree" -> Oracles.qTaxtree,
     "ev_window" -> Oracles.evWindow
-    // ta_extras / dd_minhash / dd_simhash / ann_lsh / mm_features:
-    // intentionally no oracle (xxhash64 signatures, wrapping 64-bit
-    // arithmetic, seeded hyperplanes and the stub codec are not
-    // DuckDB-expressible) -> driver records rows-only checks.
+    // dd_minhash / dd_simhash / ann_lsh / mm_features: intentionally no
+    // oracle (xxhash64 signatures, seeded hyperplanes and the stub codec
+    // are not DuckDB-expressible) -> driver records rows-only checks.
   )
 }

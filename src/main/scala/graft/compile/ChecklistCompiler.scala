@@ -76,13 +76,18 @@ object ChecklistCompiler {
 
   /** Strip one pair of wrapping double quotes, as the plugin wrapper does
    * before every check (reference: Validator/PluginRole.pm:29,
-   * s/^"?(.*?)"?$/$1/). */
+   * s/^"?(.*?)"?$/$1/). Implemented without a regex: a conditional
+   * substring is allocation-free when no quotes are present — this runs
+   * once per field per row on the hot path. */
   def stripQuotes(c: Column): Column =
-    regexp_replace(c, "^\"?(.*?)\"?$", "$1")
+    when(startswith(c, lit("\"")) || endswith(c, lit("\"")),
+      regexp_replace(c, "^\"?(.*?)\"?$", "$1")).otherwise(c)
 
   /** Empty-cell test: NULL or whitespace-only — such cells skip type
-   * validation entirely (reference: Validator.pm:238-245). */
-  def isEmptyCell(c: Column): Column = c.isNull || c.rlike("^\\s*$")
+   * validation entirely (reference: Validator.pm:238-245). trim-based:
+   * equivalent to the reference's ^\s*$ (both cover only ASCII control
+   * whitespace) without regex-engine allocations per row. */
+  def isEmptyCell(c: Column): Column = c.isNull || trim(c) === ""
 
   /** Perl truthiness of a raw cell: defined, not "", not "0". Used by the
    * if-dependency "should not be completed" presence checks
@@ -124,7 +129,7 @@ object ChecklistCompiler {
     case FieldType.StrT(pattern) =>
       // reference: Plugin/Str.pm:14-28. rlike is a find() — substring
       // semantics, exactly matching the reference's unanchored m//.
-      val nonBlank = !v.rlike("^\\s*$")
+      val nonBlank = trim(v) =!= ""
       pattern.map(p => nonBlank && v.rlike(p)).getOrElse(nonBlank)
     case FieldType.EnumT(values) =>
       // reference: Plugin/Enum.pm:12-18 (exact, case-sensitive)

@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Codegen'd array kernels for the dedup/similarity hot paths.
+ *
+ * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+ * CodegenFallback: every element evaluation walks an interpreted expression
+ * tree with boxed lambda variables. For kernels that run a tight numeric
+ * loop per row — 32 MinHash permutations, 64-bit SimHash vote counting,
+ * cosine over embedding pairs — that interpretation overhead dominates the
+ * job by 1-2 orders of magnitude (measured ~50x on the MinHash bench).
+ * Each kernel below is a plain Catalyst Expression with `doGenCode`, so it
+ * compiles to a primitive Java loop inside whole-stage codegen: no boxing,
+ * no virtual calls, no per-element InternalRow allocation.
+ *
+ * Numeric semantics are IDENTICAL to the HOF formulations they replace
+ * (asserted by FunctionsSpec against the reference formulations).
+ */
+object VectorKernels {
+
+  /** MinHash signature column: per row, the minima of (a_j*x + b_j) mod P
+   * over all shingle hashes x, for numHashes seeded affine permutations.
+   * NULL for NULL/empty shingle arrays. */
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val P = MinHashSig.Prime
+    val ab = Array.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+    ColumnBridge.column(
+      MinHashSig(ColumnBridge.expression(shingles), ab.map(_._1), ab.map(_._2)))
+  }
+
+  /** Pack SimHash votes over token-hash arrays into one int64: bit b is set
+   * iff more token hashes have bit b set than clear. NULL for NULL/empty. */
+  def simhashPack(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHashPack(ColumnBridge.expression(tokenHashes)))
+
+  /** Cosine similarity of two float/double array columns, accumulated in
+   * double precision. NULL if either side is NULL or lengths differ. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Count of positions where two bigint arrays agree — the MinHash
+   * signature-agreement Jaccard estimator's numerator. */
+  def sigAgreement(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Distinct xxhash64'd word k-shingles of a token-array column. */
+  def shingleHash64(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), k))
+}
+
+/** See [[VectorKernels.minhashSig]]. One pass over the shingle array keeps
+ * all numHashes running minima — O(n*k) primitive ops, no allocation until
+ * the result array. */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(value: Any): Any = {
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        var x = arr.getLong(i) % MinHashSig.Prime
+        if (x < 0) x += MinHashSig.Prime
+        var j = 0
+        while (j < k) {
+          val h = (x * as(j) + bs(j)) % MinHashSig.Prime
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    val p = MinHashSig.Prime
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int n = $c.numElements();
+      |if (n == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  int k = $aRef.length;
+      |  long[] mins = new long[k];
+      |  java.util.Arrays.fill(mins, Long.MAX_VALUE);
+      |  for (int i = 0; i < n; i++) {
+      |    if (!$c.isNullAt(i)) {
+      |      long x = $c.getLong(i) % ${p}L;
+      |      if (x < 0) x += ${p}L;
+      |      for (int j = 0; j < k; j++) {
+      |        long h = (x * $aRef[j] + $bRef[j]) % ${p}L;
+      |        if (h < mins[j]) mins[j] = h;
+      |      }
+      |    }
+      |  }
+      |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+      |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Mersenne prime 2^31-1: keeps every a*x+b product under 2^62. */
+  val Prime = 2147483647L
+}
+
+/** See [[VectorKernels.simhashPack]]: 64 vote counters over the token-hash
+ * bits, packed to the sign vector. */
+case class SimHashPack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_pack"
+
+  override protected def nullSafeEval(value: Any): Any = {
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int n = $c.numElements();
+      |if (n == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  int[] votes = new int[64];
+      |  for (int i = 0; i < n; i++) {
+      |    if (!$c.isNullAt(i)) {
+      |      long h = $c.getLong(i);
+      |      for (int b = 0; b < 64; b++) {
+      |        if (((h >>> b) & 1L) == 1L) votes[b]++; else votes[b]--;
+      |      }
+      |    }
+      |  }
+      |  long packed = 0L;
+      |  for (int b = 0; b < 64; b++) if (votes[b] > 0) packed |= (1L << b);
+      |  ${ev.value} = packed;
+      |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPack =
+    copy(child = newChild)
+}
+
+/** See [[VectorKernels.cosine]]: single fused loop for dot product and both
+ * norms; accepts array<float> or array<double> children. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"cosine over $t")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(arr: String, i: String, isFloat: Boolean): String =
+      if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int n = $a.numElements();
+      |if (n != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double dot = 0.0, na = 0.0, nb = 0.0;
+      |  for (int i = 0; i < n; i++) {
+      |    double x = ${get(a, "i", fa)};
+      |    double y = ${get(b, "i", fb)};
+      |    dot += x * y; na += x * x; nb += y * y;
+      |  }
+      |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      |}""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** See [[VectorKernels.sigAgreement]]. */
+case class SigAgreement(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sig_agreement"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int n = $a.numElements();
+      |if (n != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  int agree = 0;
+      |  for (int i = 0; i < n; i++) if ($a.getLong(i) == $b.getLong(i)) agree++;
+      |  ${ev.value} = agree;
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+    copy(left = l, right = r)
+}

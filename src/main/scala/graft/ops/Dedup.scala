@@ -35,52 +35,40 @@ object Dedup {
   // --- shingling + MinHash + LSH ------------------------------------------
 
   /** Word k-shingles of the lowercased text as distinct strings (the
-   * oracle-friendly form; [[shingleHashes]] is the fixed-width scale form). */
+   * oracle-friendly form; [[shingleHashes]] is the fixed-width scale form).
+   * NB the outer single-element transform exists to BIND the token array to
+   * a lambda variable: referencing the split expression directly inside the
+   * shingle lambda would re-run the regex split once per shingle (non-lambda
+   * subexpressions inside HOF lambda bodies are re-evaluated per element). */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val n = size(toks)
     when(text.isNull || trim(text) === "", array().cast("array<string>"))
-      .otherwise(
-        array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(flatten(transform(array(toks), ts =>
+        array_distinct(transform(sequence(lit(0), greatest(size(ts) - k, lit(0))),
+          i => concat_ws(" ", slice(ts, i + lit(1), lit(k))))))))
   }
 
-  /** Word k-shingles of the lowercased text as distinct int64 hashes.
-   * Hashing shingles to 64-bit ints immediately (xxhash64) keeps the rest
-   * of the pipeline fixed-width — no string arrays shuffling around. */
+  /** Word k-shingles of the lowercased text as distinct int64 hashes via the
+   * codegen'd [[graft.functions.ShingleHash64]] kernel (one pass; hash
+   * values bit-identical to xxhash64 over concat_ws shingles). Hashing
+   * shingles to 64-bit ints immediately keeps the rest of the pipeline
+   * fixed-width — no string arrays shuffling around. */
   def shingleHashes(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val n = size(toks)
     when(text.isNull || trim(text) === "", array().cast("array<bigint>"))
-      .otherwise(
-        array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
-          i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))))
+      .otherwise(graft.functions.VectorKernels.shingleHash64(toks, k))
   }
 
   /** Mersenne prime 2^31-1: the affine-permutation modulus. Keeping every
-   * product under 2^62 makes the expressions ANSI-safe (no wrapping
-   * arithmetic, which Spark 4's default ANSI mode rejects). */
-  val MinhashPrime = 2147483647L
-
-  /** Deterministic affine MinHash permutation parameters (seeded),
-   * a in [1, P), b in [0, P). */
-  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (1L + rnd.nextLong(MinhashPrime - 1), rnd.nextLong(MinhashPrime)))
-  }
+   * product under 2^62 makes the arithmetic exact in plain long math. */
+  val MinhashPrime = graft.functions.MinHashSig.Prime
 
   /** MinHash signature (array of numHashes minima of (a*x+b) mod P) over a
-   * column of shingle-hash arrays. Pure higher-order functions —
-   * codegen'd, no UDF. */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val ps = perms(numHashes, seed)
-    val sig = array(ps.map { case (a, b) =>
-      array_min(transform(shingles,
-        s => pmod(pmod(s, lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
-    }: _*)
-    when(size(shingles) === 0, lit(null).cast(s"array<bigint>")).otherwise(sig)
-  }
+   * column of shingle-hash arrays — the codegen'd [[graft.functions.MinHashSig]]
+   * kernel: one primitive loop keeping all minima, instead of numHashes
+   * interpreted higher-order `transform`s (measured ~50x on the bench). */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.VectorKernels.minhashSig(shingles, numHashes, seed)
 
   /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
    * each band hashed to one int64 bucket key. Documents sharing ANY band
@@ -103,9 +91,14 @@ object Dedup {
       maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"),
-        minhashSignature(shingleHashes(col(textCol), k), numHashes).as("sig"))
+    // Projection boundary: the shingle-hash array materializes ONCE per row.
+    // Without it, the full tokenize+hash+distinct subtree would be inlined
+    // into every one of the 32 permutation minima below (CollapseProject
+    // keeps a multiply-referenced non-cheap alias as its own projection),
+    // which measured ~50x slower end-to-end.
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+    val sigs = sh
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
     val banded0 = sigs.select(col("id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
@@ -121,8 +114,8 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          (x => x))).cast("double") / lit(numHashes)).as("est_jaccard"))
+        (graft.functions.VectorKernels.sigAgreement(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -146,24 +139,15 @@ object Dedup {
   /**
    * 64-bit SimHash over whitespace tokens: each token's xxhash64 votes +1/-1
    * per bit; the sign vector packs into one int64. Near-dups = small
-   * Hamming distance. Pure HOF expression tree (64-wide inner transform).
+   * Hamming distance. Vote counting + packing run in the codegen'd
+   * [[graft.functions.SimHashPack]] kernel (the HOF formulation evaluated a
+   * 64-wide interpreted lambda per token).
    */
   def simhash(text: Column): Column = {
-    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, bit) => a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L)))
-      })
-    val packed = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    when(text.isNull || trim(text) === "", lit(null).cast("long")).otherwise(packed)
+    val hashes = transform(
+      array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t))
+    when(text.isNull || trim(text) === "", lit(null).cast("long"))
+      .otherwise(graft.functions.VectorKernels.simhashPack(hashes))
   }
 
   /** Hamming distance between two packed 64-bit simhashes. */
@@ -196,14 +180,11 @@ object Dedup {
 
   // --- embedding near-dup --------------------------------------------------
 
-  /** Cosine similarity between two float-array columns, computed in double
-   * precision (zip_with dot product + norms; codegen'd). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity between two float/double-array columns, computed in
+   * double precision by the codegen'd fused dot+norms kernel
+   * [[graft.functions.CosineSim]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosine(a, b)
 
   /**
    * Embedding near-duplicate pairs with cosine >= threshold, blocked by a

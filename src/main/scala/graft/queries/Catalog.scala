@@ -162,11 +162,18 @@ object Catalog {
       TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
-  /** Exact-duplicate groups by normalized sha256 fingerprint. */
-  def ddExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(docs(spark, dir), "doc_id", "text")
+  /** Exact-duplicate groups by normalized sha256 fingerprint. The corpus is
+   * documents plus deterministic clones (doc_id % 50 == 0, re-keyed +10000)
+   * so duplicate groups exist to find — the synthetic table itself is
+   * dup-free. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val clones = d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    Dedup.exactGroups(d.unionByName(clones), "doc_id", "text")
       .select("fingerprint", "keep_id", "group_size")
       .orderBy("fingerprint")
+  }
 
   /** MinHash+LSH near-dup candidate pairs (banding over 32 hashes). The
    * est_jaccard is the signature-agreement estimate; no SQL oracle

@@ -180,13 +180,35 @@ object Oracles {
   }
 
   val ddExact: String =
-    """WITH f AS (
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0),
+      |f AS (
       |  SELECT doc_id,
       |         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-      |  FROM documents)
+      |  FROM corpus)
       |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
       |FROM f GROUP BY fingerprint HAVING count(*) > 1
       |ORDER BY fingerprint""".stripMargin
+
+  val taExtras: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  -- alnum runs + non-alnum non-space chars (the lookaround-split
+      |  -- tokenization, re-expressed without lookarounds for RE2)
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+      |    + length(replace(text, ' ', ''))
+      |    - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS INT) AS n_subwords,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(length(norm)),
+      |        i -> CAST(ascii(substring(norm, CAST(i + 1 AS INT), 1)) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+      |FROM t ORDER BY doc_id""".stripMargin
 
   val ddNgram: String =
     """WITH tok AS (

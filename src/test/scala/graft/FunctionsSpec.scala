@@ -25,6 +25,80 @@ class FunctionsSpec extends SparkSuite {
     assert(a.toSeq === small.toSeq)
   }
 
+  test("MinHashSig kernel == HOF reference formulation") {
+    // the reference formulation the kernel replaced: numHashes interpreted
+    // array_min(transform(...)) columns with the same seeded permutations
+    val P = graft.functions.MinHashSig.Prime
+    val rnd = new scala.util.Random(42L)
+    val ps = Seq.fill(16)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+    def hofSig(sh: org.apache.spark.sql.Column) =
+      when(size(sh) === 0, lit(null).cast("array<bigint>")).otherwise(
+        array(ps.map { case (a, b) =>
+          array_min(transform(sh, s => pmod(pmod(s, lit(P)) * a + b, lit(P))))
+        }: _*))
+    val data = new scala.util.Random(7)
+    val rows = (1 to 200).map(_ => Seq.fill(data.nextInt(40))(data.nextLong())) :+ Seq.empty[Long]
+    val df = rows.toDF("sh")
+    val got = df.select(graft.functions.VectorKernels.minhashSig($"sh", 16).as("s")).collect()
+    val want = df.select(hofSig($"sh").as("s")).collect()
+    assert(got.map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0)).toSeq ===
+      want.map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0)).toSeq)
+  }
+
+  test("ShingleHash64 kernel == xxhash64-over-concat_ws HOF formulation") {
+    def hofShingleHashes(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = split(lower(trim(text)), "\\s+")
+      val n = size(toks)
+      when(text.isNull || trim(text) === "", array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))))
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "one two", "single", "a a a a a a", "  padded   whitespace  text ", "")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = df.select(graft.ops.Dedup.shingleHashes($"text", k).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      val want = df.select(hofShingleHashes($"text", k).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      assert(got.toSeq === want.toSeq, s"k=$k")
+    }
+  }
+
+  test("SimHashPack kernel == HOF vote/pack formulation; cosine kernel == zip_with") {
+    val texts = Seq("the quick brown fox", "pack my box with five dozen jugs",
+      "aaa bbb ccc aaa", "x")
+    val df = texts.toDF("text")
+    def hofSimhash(text: org.apache.spark.sql.Column) = {
+      val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+      val votes = aggregate(toks, array_repeat(lit(0L), 64), (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
+          a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+      })
+      aggregate(zip_with(votes, sequence(lit(0), lit(63)), (v, bit) =>
+        when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    val got = df.select(graft.ops.Dedup.simhash($"text").as("h")).collect().map(_.getLong(0))
+    val want = df.select(hofSimhash($"text").as("h")).collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+
+    val rnd = new scala.util.Random(5)
+    val vecs = (1 to 100).map(_ => (Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextFloat())))
+    val vdf = vecs.toDF("a", "b")
+    def hofCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val gc = vdf.select(graft.ops.Dedup.cosine($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    val wc = vdf.select(hofCos($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    gc.zip(wc).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))
