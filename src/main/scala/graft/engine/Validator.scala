@@ -79,6 +79,22 @@ object Validator {
       .select(col(RowId), col("v.field").as("field"),
         col("v.rule_id").as("rule_id"), col("v.message").as("message"))
 
+  /** Validated-manifest CSV projection (reference: Manifest.pm:326-402
+   * `get_csv`/`_get_csv_rows`): the checklist's columns in order plus the
+   * accumulated error message appended as an extra trailing column (empty
+   * string when the row passed, as the reference emits no cell content);
+   * `invalidOnly` keeps only rows that have errors (Manifest.pm:391-396).
+   * Rows come back in manifest order. Write with
+   * `.write.option("header", true).csv(path)` for the reference's
+   * header-first file shape. */
+  def manifestCsv(validated: DataFrame, checklist: Checklist,
+      invalidOnly: Boolean = false): DataFrame = {
+    val base = if (invalidOnly) validated.filter(!col(PassedCol)) else validated
+    base.orderBy(RowId)
+      .select(checklist.fieldNames.map(col) :+
+        coalesce(col(ErrorCol), lit("")).as("errors"): _*)
+  }
+
   /** Count of invalid rows (reference: Manifest.pm:288-302). */
   def invalidRowCount(validated: DataFrame): Long =
     validated.filter(!col(PassedCol)).count()

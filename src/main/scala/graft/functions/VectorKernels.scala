@@ -54,6 +54,12 @@ object VectorKernels {
   /** Distinct xxhash64'd word k-shingles of a token-array column. */
   def shingleHash64(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), k))
+
+  /** Sign-of-projection LSH bucket id over a float/double vector column:
+   * bit b set iff dot(vec, planes(b)) > 0. One fused loop over the vector
+   * for all planes. */
+  def hyperplaneLsh(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(vec), planes))
 }
 
 /** See [[VectorKernels.minhashSig]]. One pass over the shingle array keeps
@@ -231,6 +237,67 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** See [[VectorKernels.hyperplaneLsh]]: planes are laid out row-major in one
+ * flat double[] so the generated loop is cache-linear; dims beyond the
+ * vector's length contribute 0 (and vice versa — dot truncates to the
+ * shorter of vector/plane, matching zip_with semantics). */
+case class HyperplaneLshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val bits = planes.length
+  private val dim = if (planes.isEmpty) 0 else planes(0).length
+  private val flat: Array[Double] = planes.flatten
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hyperplane_lsh_bucket"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"hyperplane_lsh over $t")
+  }
+
+  override protected def nullSafeEval(value: Any): Any = {
+    val arr = value.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val isFloat = elemIsFloat
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      val off = b * dim
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * flat(off + i)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int n = java.lang.Math.min($c.numElements(), $dim);
+      |long bucket = 0L;
+      |for (int b = 0; b < $bits; b++) {
+      |  double dot = 0.0;
+      |  int off = b * $dim;
+      |  for (int i = 0; i < n; i++) dot += ((double) $c.$get(i)) * $planesRef[off + i];
+      |  if (dot > 0) bucket |= (1L << b);
+      |}
+      |${ev.value} = bucket;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
+    copy(child = newChild)
 }
 
 /** See [[VectorKernels.sigAgreement]]. */

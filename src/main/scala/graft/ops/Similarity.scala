@@ -34,16 +34,12 @@ object Similarity {
   }
 
   /** Sign-of-projection LSH bucket id (int64) for each vector: bit b set iff
-   * dot(vec, plane_b) > 0. Pure expression over the array column. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, b) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+   * dot(vec, plane_b) > 0 — the codegen'd fused kernel
+   * [[graft.functions.HyperplaneLshBucket]] (one loop over the vector for
+   * all planes; the HOF formulation ran `bits` interpreted zip_with+aggregate
+   * passes per row). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.VectorKernels.hyperplaneLsh(vec, planes)
 
   /** Assign every vector its LSH bucket — the index-build pass. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,

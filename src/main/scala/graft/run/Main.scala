@@ -67,11 +67,7 @@ object Main {
 
     args.output.foreach { out =>
       // CSV with the error message appended as an extra trailing column
-      val base = if (args.invalidOnly) validated.filter(!col(Validator.PassedCol))
-        else validated
-      base.orderBy(Validator.RowId)
-        .select(checklist.fieldNames.map(col) :+
-          coalesce(col(Validator.ErrorCol), lit("")).as("errors"): _*)
+      Validator.manifestCsv(validated, checklist, args.invalidOnly)
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(out)
     }

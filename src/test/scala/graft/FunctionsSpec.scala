@@ -99,6 +99,22 @@ class FunctionsSpec extends SparkSuite {
     gc.zip(wc).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("HyperplaneLshBucket kernel == HOF sign-of-projection formulation") {
+    def hofBucket(vec: org.apache.spark.sql.Column, planes: Array[Array[Double]]) =
+      planes.zipWithIndex.map { case (p, b) =>
+        val dot = aggregate(zip_with(vec, typedLit(p.toSeq),
+          (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+        when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val planes = graft.ops.Similarity.hyperplanes(dim = 16, bits = 6)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1)).toDF("v")
+    val got = df.select(graft.functions.VectorKernels.hyperplaneLsh($"v", planes).as("b"))
+      .collect().map(_.getLong(0))
+    val want = df.select(hofBucket($"v", planes).as("b")).collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Validator
+import graft.model._
+import graft.model.FieldType._
+
+/**
+ * Randomized-manifest property: the Spark validator must agree, row by row
+ * and violation by violation (including emission order), with a
+ * driver-side in-memory re-implementation of the reference's validation
+ * semantics (SURVEY.md §5 — the offline stand-in for a SQL oracle, since
+ * the checklist algebra is not SQL-expressible). Cells are drawn from
+ * per-type pools that cover valid/invalid/empty/whitespace/quoted/unknown
+ * values, so the property exercises the COMPOSITION rules — tri-state
+ * unknown wrapper, required-vs-skip, if/one_of/some_of interplay, rule
+ * emission order — across thousands of random combinations.
+ */
+class PropertySpec extends SparkSuite {
+
+  // --- the checklist under test: all interacting features at once ---------
+  val unknowns = Seq("unknown", "not available")
+  val cl = Checklist("prop",
+    fields = Seq(
+      FieldDef("a", BoolT, acceptsUnknown = true), // if-guard
+      FieldDef("b", StrT(Some("^[a-z]+$"))), // then-branch of if
+      FieldDef("c", IntT(min = Some(5), max = Some(10)), required = true),
+      FieldDef("d", EnumT(Seq("x", "y", "z"))), // else-branch of if
+      FieldDef("e", DateTimeT),
+      FieldDef("f", IntT()), // one_of group
+      FieldDef("g", IntT(), acceptsUnknown = true) // one_of group
+    ),
+    dependencies = Dependencies(
+      ifs = Seq(IfDep("a", thens = Seq("b"), elses = Seq("d"))),
+      oneOf = Seq(GroupDep("g1", Seq("f", "g"))),
+      someOf = Seq(GroupDep("g2", Seq("b", "e")))),
+    unknownTerms = unknowns)
+
+  val dtValid = Set("2014-12-04", "2014-12-04T12:28:33+00:00", "20141204T122833")
+  val pools: Map[String, Seq[String]] = Map(
+    "a" -> Seq("1", "0", "true", "yes", "no", "YES", "bogus", "unknown",
+      "not available", "\"1\"", "", " ", null),
+    "b" -> Seq("abc", "zz", "Abc", "a1", "7", "\"abc\"", "unknown", "", " ", null),
+    "c" -> Seq("5", "7", "10", "4", "11", "0", "-2", "x", "1.5", "\"7\"",
+      "unknown", "", " ", null),
+    "d" -> Seq("x", "y", "z", "w", "X", "\"x\"", "", " ", null),
+    "e" -> (dtValid.toSeq ++ Seq("04-12-14", "wibble", "2014-13-04", "", " ", null)),
+    "f" -> Seq("1", "3", "-4", "nope", "unknown", "", " ", null),
+    "g" -> Seq("2", "8", "bad", "unknown", "not available", "\"2\"", "", " ", null))
+
+  // --- in-memory reference-semantics oracle --------------------------------
+  def strip(s: String): String =
+    if (s != null && (s.startsWith("\"") || s.endsWith("\"")))
+      s.replaceFirst("^\"?(.*?)\"?$", "$1")
+    else s
+  def isEmptyCell(s: String): Boolean = s == null || s.trim.isEmpty
+  def perlTruthy(s: String): Boolean = s != null && s != "" && s != "0"
+
+  def typeValid(f: FieldDef, v: String): Boolean = f.ftype match {
+    case BoolT => v.matches("(?i)(1|true|yes|0|false|no)")
+    case IntT(min, max) =>
+      v.matches("-?\\d+") && {
+        val n = BigInt(v)
+        min.forall(n >= _) && max.forall(n <= _)
+      }
+    case StrT(p) =>
+      v.trim.nonEmpty && p.forall(pat => pat.r.findFirstIn(v).isDefined)
+    case EnumT(values) => values.contains(v)
+    case DateTimeT => dtValid.contains(v) // pool-classified
+    case OntologyT(terms, _) => terms.contains(v)
+    case TaxonomyT(ids, names) => ids.contains(v) || names.contains(v)
+  }
+
+  def stateOf(f: FieldDef, raw: String): Byte =
+    if (isEmptyCell(raw)) FieldState.Skipped
+    else {
+      val v = strip(raw)
+      if (f.acceptsUnknown && unknowns.contains(v)) FieldState.Unknown
+      else if (typeValid(f, v)) FieldState.Valid
+      else FieldState.Invalid
+    }
+
+  /** Expected (field, rule_id) violations in reference emission order. */
+  def oracle(row: Map[String, String]): Seq[(String, String)] = {
+    val st: Map[String, Byte] = cl.fields.map(f => f.name -> stateOf(f, row(f.name))).toMap
+    def notValid(n: String) = st(n) == FieldState.Invalid || st(n) == FieldState.Skipped
+    val out = Seq.newBuilder[(String, String)]
+
+    // field rules, field order: required then invalid
+    cl.fields.foreach { f =>
+      if (f.required && isEmptyCell(row(f.name))) out += f.name -> RuleIds.Required
+      if (st(f.name) == FieldState.Invalid) out += f.name -> RuleIds.FieldInvalid
+    }
+    // if deps
+    cl.dependencies.ifs.foreach { dep =>
+      val g = dep.guard
+      val guardUnknown = cl.fieldByName(g).acceptsUnknown && st(g) == FieldState.Unknown
+      val guardNotValid = notValid(g)
+      val active = !guardUnknown && !guardNotValid
+      val guardTrue = Set("true", "yes", "1").contains(row(g))
+      if (!guardUnknown && guardNotValid) out += g -> RuleIds.IfGuardInvalid
+      dep.thens.foreach(t =>
+        if (active && guardTrue && notValid(t)) out += t -> RuleIds.IfThenInvalid)
+      dep.elses.foreach(e =>
+        if (active && guardTrue && perlTruthy(row(e))) out += e -> RuleIds.IfElsePresent)
+      dep.elses.foreach(e =>
+        if (active && !guardTrue && notValid(e)) out += e -> RuleIds.IfElseInvalid)
+      dep.thens.foreach(t =>
+        if (active && !guardTrue && perlTruthy(row(t))) out += t -> RuleIds.IfThenPresent)
+    }
+    // groups: completed counts use RAW values (whitespace counts, unknown excluded)
+    def counts(fields: Seq[String]): (Int, Int, Boolean) = {
+      val unknownFlags = fields.map { n =>
+        cl.fieldByName(n).acceptsUnknown && row(n) != null && unknowns.contains(row(n))
+      }
+      val completed = fields.zip(unknownFlags).count { case (n, unk) => row(n) != null && !unk }
+      val numUnknown = unknownFlags.count(identity)
+      val allOptional = fields.forall(!cl.fieldByName(_).required)
+      (completed, numUnknown, allOptional)
+    }
+    def active(c: Int, u: Int, allOpt: Boolean, total: Int): Boolean =
+      u != total && (!allOpt || c != 0)
+    cl.dependencies.oneOf.foreach { grp =>
+      val (c, u, opt) = counts(grp.fields)
+      if (active(c, u, opt, grp.fields.size) && c != 1)
+        out += grp.fields.mkString(",") -> RuleIds.OneOf
+    }
+    cl.dependencies.someOf.foreach { grp =>
+      val (c, u, opt) = counts(grp.fields)
+      if (active(c, u, opt, grp.fields.size) && c < 1)
+        out += grp.fields.mkString(",") -> RuleIds.SomeOf
+    }
+    out.result()
+  }
+
+  test("property: random manifests agree with the in-memory oracle (3x500 rows)") {
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 1 to 3) {
+      val rows: Seq[Map[String, String]] = (1 to 500).map { _ =>
+        cl.fieldNames.map(n => n -> pools(n)(rnd.nextInt(pools(n).size))).toMap
+      }
+      val schema = org.apache.spark.sql.types.StructType(cl.fieldNames.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+      val rdd = spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(cl.fieldNames.map(r))), 4)
+      val df = spark.createDataFrame(rdd, schema)
+
+      val got = Validator.validate(df, cl)
+        .select(Validator.RowId, Validator.ViolationsCol)
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(v => (v.getString(0), v.getString(1))))
+        .toMap
+
+      rows.zipWithIndex.foreach { case (row, i) =>
+        val want = oracle(row)
+        assert(got(i + 1L) === want,
+          s"round $round row ${i + 1}: cells=${cl.fieldNames.map(row).mkString("|")}")
+      }
+    }
+  }
+
+  test("manifest CSV sink: error column appended, invalid-only filter") {
+    val df = {
+      val schema = org.apache.spark.sql.types.StructType(Seq("one", "two").map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("1", "two"),
+        org.apache.spark.sql.Row("not_a_bool", "two")), 2), schema)
+    }
+    val cl04 = Checklist("one", Seq(FieldDef("one", BoolT), FieldDef("two", StrT())))
+    val v = Validator.validate(df, cl04)
+    val all = Validator.manifestCsv(v, cl04).collect().map(_.toSeq)
+    assert(all.toSeq === Seq(
+      Seq("1", "two", ""),
+      Seq("not_a_bool", "two",
+        "[errors found on row 2] [value in field 'one' is not valid]")))
+    val inv = Validator.manifestCsv(v, cl04, invalidOnly = true).collect().map(_.toSeq)
+    assert(inv.length === 1 && inv.head.head === "not_a_bool")
+  }
+}
