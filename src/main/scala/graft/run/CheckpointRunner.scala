@@ -25,6 +25,12 @@ import graft.model.Checklist
  * Outputs are written with partition-directory overwrite, making re-runs
  * idempotent (no duplicated violation rows — risk register SURVEY.md §7.4).
  *
+ * Each partition is ONE compute pass: manifest metrics ride the validated
+ * write as CollectMetrics (`observe`) accumulators, and the violations
+ * table derives from the already-written columnar output with a
+ * pushed-down `passed = false` filter — no caching (a 100 TB partition
+ * doesn't fit executor memory) and no validation recompute.
+ *
  * This generalizes the reference's manifest identity (file MD5 + UUID,
  * Reader.pm:86-88 / Manifest.pm:219-224) into run-level lineage.
  */
@@ -74,23 +80,31 @@ object CheckpointRunner {
         // partition filter pushes down to the parquet scan
         val slice = input.filter(col(cfg.partitionCol) === p)
         val validated = Validator.validate(slice, checklist,
-          Validator.Options(cfg.rowIdCol, cfg.contentCol)).cache()
-        try {
-          validated.write.mode(SaveMode.Overwrite)
-            .parquet(s"${cfg.outputPath}/${cfg.partitionCol}=$p")
-          val viols = Validator.violationRows(validated)
-          viols.write.mode(SaveMode.Overwrite)
-            .parquet(s"${cfg.violationsPath}/${cfg.partitionCol}=$p")
-          val counts = validated.agg(
-            count(lit(1)), count(when(!col(Validator.PassedCol), 1)),
-            sum(size(col(Validator.ViolationsCol)))).collect().head
-          val (nRows, nInvalid, nViol) =
-            (counts.getLong(0), counts.getLong(1),
-              if (counts.isNullAt(2)) 0L else counts.getLong(2))
-          appendManifestRow(spark, cfg.manifestPath, runId, p, md5,
-            nRows, nInvalid, nViol, startedAt, "ok")
-          PartitionResult(p, nRows, nInvalid, nViol, skipped = false)
-        } finally validated.unpersist()
+          Validator.Options(cfg.rowIdCol, cfg.contentCol))
+        // ONE compute pass per partition: the manifest metrics ride the
+        // validated write as CollectMetrics (observe) accumulators instead
+        // of a second aggregation job, and nothing is cached — a 100 TB
+        // partition cannot be pinned in executor memory.
+        val obs = org.apache.spark.sql.Observation(s"graft_metrics_$p")
+        val outDir = s"${cfg.outputPath}/${cfg.partitionCol}=$p"
+        validated.observe(obs,
+          count(lit(1)).as("n_rows"),
+          count(when(!col(Validator.PassedCol), 1)).as("n_invalid"),
+          sum(size(col(Validator.ViolationsCol))).as("n_violations"))
+          .write.mode(SaveMode.Overwrite).parquet(outDir)
+        val m = obs.get
+        val nRows = m("n_rows").asInstanceOf[Long]
+        val nInvalid = m("n_invalid").asInstanceOf[Long]
+        val nViol = Option(m("n_violations")).fold(0L)(_.asInstanceOf[Long])
+        // violation rows derive from the just-written columnar output:
+        // the passed=false filter pushes down, so this second job reads
+        // only the invalid fraction — no recompute of the validation pass.
+        Validator.violationRows(spark.read.parquet(outDir))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${cfg.violationsPath}/${cfg.partitionCol}=$p")
+        appendManifestRow(spark, cfg.manifestPath, runId, p, md5,
+          nRows, nInvalid, nViol, startedAt, "ok")
+        PartitionResult(p, nRows, nInvalid, nViol, skipped = false)
       }
     }.toSeq
   }

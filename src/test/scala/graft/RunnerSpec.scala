@@ -105,6 +105,25 @@ class RunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming first-seen dedup keeps one row per key across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamingDedup.firstSeen[(Long, String)](
+      in.toDS(), _._2)
+    val q = deduped.toDF("id", "text").writeStream.format("memory")
+      .queryName("sd").outputMode("append").start()
+    try {
+      in.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa")) // dup inside batch
+      q.processAllAvailable()
+      in.addData((4L, "aaa"), (5L, "ccc")) // dup across batches
+      q.processAllAvailable()
+      val got = spark.sql("select id, text from sd").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "aaa"), (2L, "bbb"), (5L, "ccc")))
+    } finally q.stop()
+  }
+
   test("CLI arg parsing mirrors validate_manifest flags") {
     val a = graft.run.Main.parseArgs(
       List("-c", "x.conf", "-o", "out.csv", "-i", "-v", "in.csv"),
