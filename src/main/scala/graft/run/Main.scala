@@ -36,23 +36,18 @@ object Main {
     case v :: t => parseArgs(t, acc.copy(input = Some(v)))
   }
 
-  def main(argv: Array[String]): Unit = {
-    val args = parseArgs(argv.toList, Args())
+  /** The whole CLI path minus process concerns — returns the exit code
+   * (0 valid / 1 invalid, reference: bin/validate_manifest:76) so tests can
+   * drive it black-box like t/07_validate_manifest.t. */
+  def run(args: Args, spark: SparkSession): Int = {
     val configPath = args.config.orElse(sys.env.get("CHECKLIST_CONFIG")).getOrElse {
       System.err.println("ERROR: must specify a configuration file")
-      sys.exit(1)
+      return 1
     }
     val input = args.input.getOrElse {
       System.err.println("ERROR: must specify an input file")
-      sys.exit(1)
+      return 1
     }
-
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-validate")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val checklist = ChecklistConfig.parseFile(configPath)
     val manifest = ManifestReader.readCsv(spark, input, checklist)
@@ -60,7 +55,7 @@ object Main {
 
     val validated = Validator.validate(manifest.df, checklist,
       Validator.Options(rowIdCol = Some("row_id"), verboseErrors = args.verbose))
-      .cache()
+      .cache() // manifest-sized input: feeds the count and the CSV write
     val invalid = Validator.invalidRowCount(validated)
     val (report, exit) = Validator.report(input, invalid)
     println(report)
@@ -71,8 +66,19 @@ object Main {
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(out)
     }
+    validated.unpersist()
+    exit
+  }
 
-    spark.stop()
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toList, Args())
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-validate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val exit = try Main.run(args, spark) finally spark.stop()
     sys.exit(exit)
   }
 }

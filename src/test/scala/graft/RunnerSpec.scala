@@ -132,6 +132,48 @@ class RunnerSpec extends SparkSuite {
       invalidOnly = true, verbose = true, input = Some("in.csv")))
   }
 
+  test("07: CLI black-box - config+CSV in, report/output CSV/exit code out") {
+    val dir = Files.createTempDirectory("graft_cli")
+    val conf = dir.resolve("m.conf")
+    Files.writeString(conf,
+      """<checklist one>
+        |  header_row "one,two"
+        |  <field>
+        |    name one
+        |    type Bool
+        |  </field>
+        |  <field>
+        |    name two
+        |    type Str
+        |  </field>
+        |</checklist>""".stripMargin)
+    val bad = dir.resolve("broken.csv")
+    Files.writeString(bad, "one,two\n1,two\nx,two\n")
+    val good = dir.resolve("working.csv")
+    Files.writeString(good, "one,two\n1,two\n0,two\n")
+    val out = dir.resolve("out").toString
+
+    import graft.run.Main
+    def capture(args: Main.Args): (Int, String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val exit = Console.withOut(buf)(Main.run(args, spark))
+      (exit, buf.toString.trim)
+    }
+    val (e1, r1) = capture(Main.Args(config = Some(conf.toString),
+      input = Some(good.toString)))
+    assert(e1 === 0 && r1 === s"'$good' is valid")
+    val (e2, r2) = capture(Main.Args(config = Some(conf.toString),
+      output = Some(out), invalidOnly = true, input = Some(bad.toString)))
+    assert(e2 === 1 && r2 === s"'$bad' is invalid. Found 1 invalid rows")
+    val written = spark.read.option("header", true).csv(out).collect()
+    assert(written.length === 1)
+    assert(written.head.getString(0) === "x")
+    assert(written.head.getString(2) ===
+      "[errors found on row 2] [value in field 'one' is not valid]")
+    // missing config -> exit 1
+    assert(Main.run(Main.Args(input = Some(good.toString)), spark) === 1)
+  }
+
   test("report wording + exit codes match the reference CLI") {
     assert(graft.engine.Validator.report("f.csv", 0) === ("'f.csv' is valid", 0))
     assert(graft.engine.Validator.report("f.csv", 3) ===
