@@ -99,7 +99,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+    // 8M rows ≈ several seconds per timed pass at 32 cores: long enough that
+    // task-scheduling/stage-launch overhead stops dominating the rows/sec.
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

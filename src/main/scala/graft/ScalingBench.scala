@@ -43,7 +43,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "32000000").toLong
     val cores = sys.env.getOrElse("SPARK_GRAFT_CORES",
       sys.env.getOrElse("SPARK_GRAFT_N", "8")).toInt
     if (sys.env.contains("SPARK_GRAFT_GENONLY")) {

@@ -10,7 +10,7 @@ set -e
 cd "$(dirname "$0")/.."
 N=${1:-8}
 N4=$((N * 4))
-ROWS=${SPARK_GRAFT_BENCH_ROWS:-8000000}
+ROWS=${SPARK_GRAFT_BENCH_ROWS:-32000000}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
 --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED \
