@@ -25,7 +25,9 @@ with open(os.path.join(outdir, "oracle_sql.json")) as f:
 
 fails = 0
 for name, sql in sorted(oracles.items()):
-    got_dir = os.path.join(outdir, name)
+    got_dir = os.path.join(outdir, name + ".parquet")
+    if not os.path.isdir(got_dir):
+        got_dir = os.path.join(outdir, name)  # legacy layout
     if not os.path.isdir(got_dir):
         print(f"FAIL {name}: no spark output dir")
         fails += 1
