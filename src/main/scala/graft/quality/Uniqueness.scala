@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
  */
 object Uniqueness {
 
-  /** (key columns..., dup_count) for every key appearing more than once. */
+  /** (key columns..., dup_count) for every key appearing more than once.
+   * The salt must vary WITHIN a key group (it exists to spread a hot key
+   * over reducers), so it hashes the whole row — xxhash64 over the raw
+   * column values, which stays in codegen; a to_json-based salt would
+   * string-serialize every row (incl. content) just to pick a bucket. */
   def duplicates(df: DataFrame, keys: Seq[String], saltBuckets: Int = 64): DataFrame = {
     require(keys.nonEmpty)
-    val salt = pmod(crc32(to_json(struct(df.columns.map(col).toSeq: _*))),
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
       lit(saltBuckets)).as("__salt")
     df.select((keys.map(col) :+ salt): _*)
       .groupBy((keys :+ "__salt").map(col): _*)
