@@ -29,6 +29,7 @@ object SparkEntry {
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "ann_topk" -> (Catalog.annTopK _),
     "ann_lsh" -> (Catalog.annLsh _),
+    "ann_ivf" -> (Catalog.annIvf _),
     "mm_meta" -> (Catalog.mmMeta _),
     "mm_features" -> (Catalog.mmFeatures _),
     "dep_verdict" -> (Catalog.depVerdict _),
@@ -66,8 +67,9 @@ object SparkEntry {
     "v_taxonomy" -> Oracles.vTaxonomy,
     "q_taxtree" -> Oracles.qTaxtree,
     "ev_window" -> Oracles.evWindow
-    // dd_minhash / dd_simhash / ann_lsh / mm_features: intentionally no
-    // oracle (xxhash64 signatures, seeded hyperplanes and the stub codec
-    // are not DuckDB-expressible) -> driver records rows-only checks.
+    // dd_minhash / dd_simhash / ann_lsh / ann_ivf / mm_features:
+    // intentionally no oracle (xxhash64 signatures, seeded hyperplanes/
+    // centroids and the stub codec are not DuckDB-expressible) -> driver
+    // records rows-only checks.
   )
 }

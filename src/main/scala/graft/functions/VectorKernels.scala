@@ -46,6 +46,11 @@ object VectorKernels {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Squared L2 distance of a float/double vector column to a constant
+   * centroid (fused loop; the IVF assignment kernel). */
+  def l2sqTo(vec: Column, centroid: Array[Double]): Column =
+    ColumnBridge.column(L2SqTo(ColumnBridge.expression(vec), centroid))
+
   /** Count of positions where two bigint arrays agree — the MinHash
    * signature-agreement Jaccard estimator's numerator. */
   def sigAgreement(a: Column, b: Column): Column =
@@ -237,6 +242,51 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** See [[VectorKernels.l2sqTo]]: dims beyond min(len, centroid.length) are
+ * ignored, mirroring zip_with truncation. */
+case class L2SqTo(child: Expression, centroid: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "l2sq_to"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"l2sq_to over $t")
+  }
+
+  override protected def nullSafeEval(value: Any): Any = {
+    val arr = value.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), centroid.length)
+    val isFloat = elemIsFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) - centroid(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroid", centroid, "double[]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int n = java.lang.Math.min($c.numElements(), $cRef.length);
+      |double acc = 0.0;
+      |for (int i = 0; i < n; i++) {
+      |  double d = ((double) $c.$get(i)) - $cRef[i];
+      |  acc += d * d;
+      |}
+      |${ev.value} = acc;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2SqTo =
+    copy(child = newChild)
 }
 
 /** See [[VectorKernels.hyperplaneLsh]]: planes are laid out row-major in one

@@ -64,6 +64,78 @@ object Similarity {
       .limit(k)
   }
 
+  // --- IVF (inverted-file) coarse index -------------------------------------
+
+  /** 0-based index of the nearest centroid (squared L2), as a Column. The
+   * argmin is a `least` over (distance, index) structs — struct ordering
+   * compares fields left to right, so ties break to the lower index. Each
+   * distance is the codegen'd fused kernel [[graft.functions.L2SqTo]]. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorKernels.l2sqTo(vec, c).as("d"), lit(i).as("i"))
+    }
+    (if (scored.length == 1) scored.head else least(scored: _*)).getField("i")
+  }
+
+  /**
+   * Deterministic IVF centroid build: seeded initial picks (the k vectors
+   * with the smallest xxhash64(id, seed) — a deterministic distributed
+   * sample), refined by `iters` Lloyd steps. Each step is one pass over the
+   * table: assign (codegen'd argmin) → element-wise mean via
+   * posexplode + groupBy(cluster, pos) — the shuffle carries k×dim partial
+   * sums per partition, never vectors. Centroids return driver-side
+   * (k×dim doubles — broadcast scale), like every dimension table here.
+   * Empty clusters keep their previous centroid.
+   */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    for (_ <- 1 to iters) {
+      val means = df
+        .select(nearestCentroid(col(vecCol), cents).as("c"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("c", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: probe only the `nprobe` clusters nearest the query —
+   * the scan shrinks to ~nprobe/k of the table; rerank is exact cosine.
+   * With nprobe = k this degenerates to exact brute force. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def l2sq(c: Array[Double]): Double =
+      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeIds = centroids.zipWithIndex
+      .sortBy { case (c, i) => (l2sq(c), i) }
+      .take(nprobe).map(_._2)
+    val q = typedLit(query.toSeq)
+    df.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).as("c"))
+      .filter(col("c").isin(probeIds.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), round(Dedup.cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /**
    * All-pairs brute-force top-k per probe row (small probe set x large
    * corpus): broadcast the probe side, stream the corpus, per-probe top-k

@@ -231,6 +231,18 @@ object Catalog {
       q, 10, planes)
   }
 
+  /** IVF-bucketed ANN top-10 (scale path #2; rows-only — seeded centroid
+   * initialization is not SQL-expressible). Probes 2 of 8 coarse clusters. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2)
+    Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nprobe = 2)
+  }
+
   /** Multimodal metadata pass: payload stays unread (column pruning). */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(

@@ -138,6 +138,35 @@ class OpsSpec extends SparkSuite {
 
   // --- Multimodal ----------------------------------------------------------
 
+  test("IVF: deterministic centroids; nprobe=k == brute force; nprobe=1 finds planted NN") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(3)
+    // three well-separated clusters on orthogonal axes + noise
+    def cluster(center: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(12)(rnd.nextFloat() * 0.05f)
+      v(center) = 1.0f + rnd.nextFloat() * 0.05f
+      (base + i, v.toSeq)
+    }
+    val df = (cluster(0, 40, 0L) ++ cluster(5, 40, 100L) ++ cluster(9, 40, 200L))
+      .toDF("vec_id", "embedding")
+    val c1 = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 3, iters = 3)
+    val c2 = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 3, iters = 3)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+
+    val query = { val v = Array.fill(12)(0.0f); v(5) = 1.0f; v }
+    val full = Similarity.ivfTopK(df, "vec_id", "embedding", query, 10, c1, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute) // nprobe = k degenerates to exact
+
+    val probed = Similarity.ivfTopK(df, "vec_id", "embedding", query, 10, c1, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    // the probed cluster is the axis-5 one: all results come from it
+    assert(probed.nonEmpty && probed.forall(id => id >= 100L && id < 200L))
+    assert(probed === brute.map(_._1).filter(id => id >= 100L && id < 200L).take(probed.size))
+  }
+
   test("multimodal plumbing: metadata without payload, deterministic stub features") {
     val df = Seq((1L, "hello world"), (2L, "payload two")).toDF("doc_id", "text")
     val assets = Multimodal.toAssets(df, "doc_id", "text", "image", "image/x-test")
