@@ -30,6 +30,7 @@ object SparkEntry {
     "ann_topk" -> (Catalog.annTopK _),
     "ann_lsh" -> (Catalog.annLsh _),
     "ann_ivf" -> (Catalog.annIvf _),
+    "ann_knn_join" -> (Catalog.annKnnJoin _),
     "mm_meta" -> (Catalog.mmMeta _),
     "mm_features" -> (Catalog.mmFeatures _),
     "dep_verdict" -> (Catalog.depVerdict _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "dd_ngram" -> Oracles.ddNgram,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,
+    "ann_knn_join" -> Oracles.annKnnJoin,
     "mm_meta" -> Oracles.mmMeta,
     "dep_verdict" -> Oracles.depVerdict,
     "dep_rule_counts" -> Oracles.depRuleCounts,

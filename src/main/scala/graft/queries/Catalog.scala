@@ -220,6 +220,14 @@ object Catalog {
     Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
   }
 
+  /** Batch kNN join: top-3 cosine neighbors for each of 5 probe vectors
+   * against the whole corpus (broadcast probes, windowed rank). */
+  def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.knnJoin(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      .orderBy("probe_id", "rank")
+  }
+
   /** LSH-bucketed ANN top-10 for the same query (scale path; rows-only —
    * the bucketing is seed-dependent and not SQL-expressible). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

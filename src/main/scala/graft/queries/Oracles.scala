@@ -251,6 +251,24 @@ object Oracles {
       |FROM e, q WHERE e.vec_id <> 0
       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  val annKnnJoin: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT p.probe_id, e.vec_id AS corpus_id,
+      |    round(list_dot_product(e.v, p.pv)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos
+      |  FROM e, p WHERE e.vec_id <> p.probe_id),
+      |ranked AS (
+      |  SELECT probe_id, corpus_id, cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id ASC) AS "rank"
+      |  FROM scored)
+      |SELECT probe_id, corpus_id, cos, CAST("rank" AS INT) AS "rank"
+      |FROM ranked WHERE "rank" <= 3
+      |ORDER BY probe_id, "rank"""".stripMargin
+
   val mmMeta: String =
     """SELECT doc_id AS asset_id, 'text' AS modality, 'text/plain' AS mime,
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
