@@ -29,11 +29,14 @@ class PropertySpec extends SparkSuite {
       FieldDef("d", EnumT(Seq("x", "y", "z"))), // else-branch of if
       FieldDef("e", DateTimeT),
       FieldDef("f", IntT()), // one_of group
-      FieldDef("g", IntT(), acceptsUnknown = true) // one_of group
+      FieldDef("g", IntT(), acceptsUnknown = true), // one_of group
+      FieldDef("h", BoolT) // second if-guard, NOT accepts_unknown
     ),
     dependencies = Dependencies(
-      ifs = Seq(IfDep("a", thens = Seq("b"), elses = Seq("d"))),
-      oneOf = Seq(GroupDep("g1", Seq("f", "g"))),
+      ifs = Seq(
+        IfDep("a", thens = Seq("b"), elses = Seq("d")),
+        IfDep("h", thens = Seq("e", "f"), elses = Seq("g"))),
+      oneOf = Seq(GroupDep("g1", Seq("f", "g")), GroupDep("g3", Seq("c", "d"))),
       someOf = Seq(GroupDep("g2", Seq("b", "e")))),
     unknownTerms = unknowns)
 
@@ -47,7 +50,9 @@ class PropertySpec extends SparkSuite {
     "d" -> Seq("x", "y", "z", "w", "X", "\"x\"", "", " ", null),
     "e" -> (dtValid.toSeq ++ Seq("04-12-14", "wibble", "2014-13-04", "", " ", null)),
     "f" -> Seq("1", "3", "-4", "nope", "unknown", "", " ", null),
-    "g" -> Seq("2", "8", "bad", "unknown", "not available", "\"2\"", "", " ", null))
+    "g" -> Seq("2", "8", "bad", "unknown", "not available", "\"2\"", "", " ", null),
+    // "unknown" in a NON-accepting Bool guard must be plain-invalid
+    "h" -> Seq("1", "0", "yes", "no", "TRUE", "nope", "unknown", "", " ", null))
 
   // --- in-memory reference-semantics oracle --------------------------------
   def strip(s: String): String =
