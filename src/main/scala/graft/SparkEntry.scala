@@ -39,6 +39,7 @@ object SparkEntry {
     "v_bool" -> (Catalog.vBool _),
     "v_taxonomy" -> (Catalog.vTaxonomy _),
     "q_taxtree" -> (Catalog.qTaxtree _),
+    "q_tax_desc" -> (Catalog.qTaxDesc _),
     "ev_window" -> (Catalog.evWindow _)
   )
 
@@ -68,6 +69,7 @@ object SparkEntry {
     "v_bool" -> Oracles.vBool,
     "v_taxonomy" -> Oracles.vTaxonomy,
     "q_taxtree" -> Oracles.qTaxtree,
+    "q_tax_desc" -> Oracles.qTaxDesc,
     "ev_window" -> Oracles.evWindow
     // dd_minhash / dd_simhash / ann_lsh / ann_ivf / mm_features:
     // intentionally no oracle (xxhash64 signatures, seeded hyperplanes/

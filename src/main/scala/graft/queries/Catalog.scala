@@ -377,6 +377,21 @@ object Catalog {
     graft.sources.TaxTree.toDim(spark, tree).orderBy("tax_id")
   }
 
+  /** Subtree membership via the nested-set invariant — descendants of the
+   * region node 102 are exactly the rows with a.lft < d.lft AND d.rgt <
+   * a.rgt (one broadcast of the single ancestor row; the descendant test is
+   * a pure range predicate, no recursion at query time — the whole point of
+   * the lft/rgt numbering, reference TaxTree.pm:207-212). */
+  def qTaxDesc(spark: SparkSession, dir: String): DataFrame = {
+    val dim = qTaxtree(spark, dir)
+    val anc = dim.filter(col("tax_id") === 102)
+      .select(col("lft").as("alft"), col("rgt").as("argt"))
+    dim.join(broadcast(anc),
+      col("lft") > col("alft") && col("rgt") < col("argt"))
+      .select("tax_id", "name", "lft", "rgt", "parent_tax_id")
+      .orderBy("tax_id")
+  }
+
   /** Tumbling-window aggregation over the events stream shape (the batch
    * equivalent of the streaming violation-rate query). */
   def evWindow(spark: SparkSession, dir: String): DataFrame =

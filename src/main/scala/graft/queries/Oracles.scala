@@ -372,7 +372,8 @@ object Oracles {
       |     IN (SELECT n_name FROM nation WHERE n_regionkey <= 1)) AS passed
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
-  val qTaxtree: String =
+  /** Closed-form nested-set CTE shared by the tax-tree oracles. */
+  private val taxTreeCte: String =
     """WITH counts AS (SELECT n_regionkey AS rk, count(*) AS cnt FROM nation GROUP BY 1),
       |regions AS (
       |  SELECT r.r_regionkey AS rk, r.r_name AS name, c.cnt,
@@ -393,8 +394,16 @@ object Oracles {
       |  UNION ALL
       |  SELECT CAST(n.id AS BIGINT), n.name, CAST(r.lft + 1 + 2 * n.pos AS BIGINT),
       |    CAST(r.lft + 2 + 2 * n.pos AS BIGINT), CAST(100 + n.rk AS BIGINT)
-      |  FROM nations n JOIN regions r ON n.rk = r.rk)
-      |SELECT tax_id, name, lft, rgt, parent_tax_id FROM allnodes ORDER BY tax_id""".stripMargin
+      |  FROM nations n JOIN regions r ON n.rk = r.rk)""".stripMargin
+
+  val qTaxtree: String = taxTreeCte +
+    "\nSELECT tax_id, name, lft, rgt, parent_tax_id FROM allnodes ORDER BY tax_id"
+
+  val qTaxDesc: String = taxTreeCte + """
+    |SELECT d.tax_id, d.name, d.lft, d.rgt, d.parent_tax_id
+    |FROM allnodes d, allnodes a
+    |WHERE a.tax_id = 102 AND d.lft > a.lft AND d.rgt < a.rgt
+    |ORDER BY d.tax_id""".stripMargin
 
   val evWindow: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
