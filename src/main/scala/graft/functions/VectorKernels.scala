@@ -105,25 +105,34 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
     val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
     val p = MinHashSig.Prime
+    // every local via ctx.freshName: when the child is non-nullable,
+    // nullSafeCodeGen emits this body UNBRACED into the enclosing codegen
+    // method, so two kernel instances in one stage would otherwise
+    // redeclare the same Java locals (janino "Redefinition of local
+    // variable" -> silent interpreted fallback; seen in round 1 on annIvf).
+    val n = ctx.freshName("n"); val k = ctx.freshName("k")
+    val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |int n = $c.numElements();
-      |if (n == 0) {
+      |int $n = $c.numElements();
+      |if ($n == 0) {
       |  ${ev.isNull} = true;
       |} else {
-      |  int k = $aRef.length;
-      |  long[] mins = new long[k];
-      |  java.util.Arrays.fill(mins, Long.MAX_VALUE);
-      |  for (int i = 0; i < n; i++) {
-      |    if (!$c.isNullAt(i)) {
-      |      long x = $c.getLong(i) % ${p}L;
-      |      if (x < 0) x += ${p}L;
-      |      for (int j = 0; j < k; j++) {
-      |        long h = (x * $aRef[j] + $bRef[j]) % ${p}L;
-      |        if (h < mins[j]) mins[j] = h;
+      |  int $k = $aRef.length;
+      |  long[] $mins = new long[$k];
+      |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if (!$c.isNullAt($i)) {
+      |      long $x = $c.getLong($i) % ${p}L;
+      |      if ($x < 0) $x += ${p}L;
+      |      for (int $j = 0; $j < $k; $j++) {
+      |        long $h = ($x * $aRef[$j] + $bRef[$j]) % ${p}L;
+      |        if ($h < $mins[$j]) $mins[$j] = $h;
       |      }
       |    }
       |  }
-      |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+      |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
       |}""".stripMargin)
   }
 
@@ -167,25 +176,31 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
     packed
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName every local — see MinHashSig.doGenCode for why.
+    val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+    val i = ctx.freshName("i"); val h = ctx.freshName("h")
+    val b = ctx.freshName("b"); val b2 = ctx.freshName("b2")
+    val packed = ctx.freshName("packed")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |int n = $c.numElements();
-      |if (n == 0) {
+      |int $n = $c.numElements();
+      |if ($n == 0) {
       |  ${ev.isNull} = true;
       |} else {
-      |  int[] votes = new int[64];
-      |  for (int i = 0; i < n; i++) {
-      |    if (!$c.isNullAt(i)) {
-      |      long h = $c.getLong(i);
-      |      for (int b = 0; b < 64; b++) {
-      |        if (((h >>> b) & 1L) == 1L) votes[b]++; else votes[b]--;
+      |  int[] $votes = new int[64];
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if (!$c.isNullAt($i)) {
+      |      long $h = $c.getLong($i);
+      |      for (int $b = 0; $b < 64; $b++) {
+      |        if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
       |      }
       |    }
       |  }
-      |  long packed = 0L;
-      |  for (int b = 0; b < 64; b++) if (votes[b] > 0) packed |= (1L << b);
-      |  ${ev.value} = packed;
+      |  long $packed = 0L;
+      |  for (int $b2 = 0; $b2 < 64; $b2++) if ($votes[$b2] > 0) $packed |= (1L << $b2);
+      |  ${ev.value} = $packed;
       |}""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashPack =
     copy(child = newChild)
@@ -225,18 +240,23 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     def get(arr: String, i: String, isFloat: Boolean): String =
       if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
     val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
+    // freshName every local — see MinHashSig.doGenCode for why.
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = $a.numElements();
-      |if (n != $b.numElements()) {
+      |int $n = $a.numElements();
+      |if ($n != $b.numElements()) {
       |  ${ev.isNull} = true;
       |} else {
-      |  double dot = 0.0, na = 0.0, nb = 0.0;
-      |  for (int i = 0; i < n; i++) {
-      |    double x = ${get(a, "i", fa)};
-      |    double y = ${get(b, "i", fb)};
-      |    dot += x * y; na += x * x; nb += y * y;
+      |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    double $x = ${get(a, i, fa)};
+      |    double $y = ${get(b, i, fb)};
+      |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
       |  }
-      |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       |}""".stripMargin)
   }
 
@@ -275,14 +295,20 @@ case class L2SqTo(child: Expression, centroid: Array[Double]) extends UnaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroid", centroid, "double[]")
     val get = if (elemIsFloat) "getFloat" else "getDouble"
+    // freshName every local — this kernel is instantiated k times inside a
+    // single least(struct(...)) filter in annIvf; the round-1 bare names
+    // collided there (janino "Redefinition of local variable i") and the
+    // whole stage fell back to interpreted execution (9.5s of the bench).
+    val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i"); val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |int n = java.lang.Math.min($c.numElements(), $cRef.length);
-      |double acc = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double d = ((double) $c.$get(i)) - $cRef[i];
-      |  acc += d * d;
+      |int $n = java.lang.Math.min($c.numElements(), $cRef.length);
+      |double $acc = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $d = ((double) $c.$get($i)) - $cRef[$i];
+      |  $acc += $d * $d;
       |}
-      |${ev.value} = acc;""".stripMargin)
+      |${ev.value} = $acc;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): L2SqTo =
@@ -334,16 +360,20 @@ case class HyperplaneLshBucket(child: Expression, planes: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
     val get = if (elemIsFloat) "getFloat" else "getDouble"
+    // freshName every local — see MinHashSig.doGenCode for why.
+    val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+    val b = ctx.freshName("b"); val dot = ctx.freshName("dot")
+    val off = ctx.freshName("off"); val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |int n = java.lang.Math.min($c.numElements(), $dim);
-      |long bucket = 0L;
-      |for (int b = 0; b < $bits; b++) {
-      |  double dot = 0.0;
-      |  int off = b * $dim;
-      |  for (int i = 0; i < n; i++) dot += ((double) $c.$get(i)) * $planesRef[off + i];
-      |  if (dot > 0) bucket |= (1L << b);
+      |int $n = java.lang.Math.min($c.numElements(), $dim);
+      |long $bucket = 0L;
+      |for (int $b = 0; $b < $bits; $b++) {
+      |  double $dot = 0.0;
+      |  int $off = $b * $dim;
+      |  for (int $i = 0; $i < $n; $i++) $dot += ((double) $c.$get($i)) * $planesRef[$off + $i];
+      |  if ($dot > 0) $bucket |= (1L << $b);
       |}
-      |${ev.value} = bucket;""".stripMargin)
+      |${ev.value} = $bucket;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
@@ -370,16 +400,20 @@ case class SigAgreement(left: Expression, right: Expression) extends BinaryExpre
     agree
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName every local — see MinHashSig.doGenCode for why.
+    val n = ctx.freshName("n"); val agree = ctx.freshName("agree")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = $a.numElements();
-      |if (n != $b.numElements()) {
+      |int $n = $a.numElements();
+      |if ($n != $b.numElements()) {
       |  ${ev.isNull} = true;
       |} else {
-      |  int agree = 0;
-      |  for (int i = 0; i < n; i++) if ($a.getLong(i) == $b.getLong(i)) agree++;
-      |  ${ev.value} = agree;
+      |  int $agree = 0;
+      |  for (int $i = 0; $i < $n; $i++) if ($a.getLong($i) == $b.getLong($i)) $agree++;
+      |  ${ev.value} = $agree;
       |}""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
     copy(left = l, right = r)

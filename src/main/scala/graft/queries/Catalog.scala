@@ -205,10 +205,25 @@ object Catalog {
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
 
-  /** Embedding near-dup pairs (cosine >= 0.9) blocked by label. */
+  /** Embedding near-dup pairs (cosine >= 0.9) blocked by label. The raw
+   * synthetic embeddings contain NO pair above 0.9 (round-1 pass was two
+   * empty sets agreeing), so the corpus plants deterministic near-dups the
+   * way ddExact plants clones: exact clones (cos = 1.0, re-keyed +100000)
+   * and first-element-zeroed clones (cos = sqrt(1 - x1^2) ~ 0.99 for these
+   * unit vectors, re-keyed +200000). Zeroing instead of adding noise keeps
+   * the element values bit-identical across Spark and the DuckDB oracle —
+   * no float-vs-double rounding divergence. */
   def ddCosPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    Dedup.cosineNearDups(e, "vec_id", "embedding", "label", threshold = 0.9)
+      .select("vec_id", "label", "embedding")
+    val clones = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val zeroed = e.filter(col("vec_id") % 40 === 0)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("embedding", concat(array(lit(0.0f)),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+    Dedup.cosineNearDups(e.unionByName(clones).unionByName(zeroed),
+      "vec_id", "embedding", "label", threshold = 0.9)
       .orderBy("id_a", "id_b")
   }
 

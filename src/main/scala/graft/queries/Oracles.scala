@@ -228,10 +228,17 @@ object Oracles {
       |ORDER BY id_a, id_b""".stripMargin
 
   val ddCosPairs: String =
-    """WITH e AS (
+    """WITH base AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, label, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, v FROM base WHERE vec_id % 25 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000, label,
+      |         list_concat([CAST(0 AS DOUBLE)], v[2:]) FROM base WHERE vec_id % 40 = 0),
       |p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round(list_dot_product(a.v, b.v)

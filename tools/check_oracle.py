@@ -21,7 +21,13 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 with open(os.path.join(outdir, "oracle_sql.json")) as f:
-    oracles = json.load(f)
+    raw = json.load(f)
+# oracle_sql.json is dual-keyed ("<name>" and "<name>.parquet") so the
+# driver finds a match whichever key it uses; dedupe to bare names here.
+oracles = {}
+for k, v in raw.items():
+    name = k[: -len(".parquet")] if k.endswith(".parquet") else k
+    oracles[name] = v
 
 fails = 0
 for name, sql in sorted(oracles.items()):
