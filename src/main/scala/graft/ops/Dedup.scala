@@ -119,6 +119,32 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /**
+   * Exact n-gram Jaccard for all pairs within blocks — the oracle-checkable
+   * twin of [[minhashCandidates]] for data with a natural coarse blocking
+   * key. Pairing within a block is inherently quadratic, so blocks larger
+   * than `maxBlockSize` are dropped entirely (broadcast anti-join on the
+   * tiny oversized-block list — the same degenerate-bucket guard as LSH):
+   * a hot block (one (lang, length) bucket holding 10k+ rows) would
+   * otherwise generate 10^8 in-block pairs and go quadratic at scale. Use
+   * [[minhashCandidates]] when no bounded blocking key exists.
+   */
+  def blockedNgramPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], k: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
+    val bc = blockCols.map(col)
+    val d = df.select(bc :+ col(idCol).as("id") :+ shingles(col(textCol), k).as("sh"): _*)
+    val oversized = d.groupBy(bc: _*).agg(count(lit(1)).as("__block_n"))
+      .filter(col("__block_n") > maxBlockSize).select(bc: _*)
+    val kept = d.join(broadcast(oversized), blockCols, "left_anti")
+    val a = kept.select(bc :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
+    val b = kept.select(bc :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs: joins the pairs
    * back to per-id shingle sets (broadcast-sized at test scale; co-hashed
    * join at cluster scale) and computes |A∩B| / |A∪B| with array ops. */

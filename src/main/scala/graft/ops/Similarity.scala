@@ -137,19 +137,29 @@ object Similarity {
   }
 
   /**
-   * All-pairs brute-force top-k per probe row (small probe set x large
-   * corpus): broadcast the probe side, stream the corpus, per-probe top-k
-   * via window rank bounded by a pre-filter. Used for batch kNN joins.
+   * Brute-force batch kNN join (probe set x large corpus): broadcast the
+   * probe side, stream the corpus, then reduce to top-k per probe with the
+   * bounded [[graft.functions.TopKByScore]] aggregate.
+   *
+   * The round-1 formulation (`row_number() OVER (PARTITION BY probe_id)`)
+   * shuffled EVERY scored (probe, corpus) row into #probes partitions — one
+   * reducer per probe receiving the whole corpus. The aggregate formulation
+   * partial-aggregates map-side: each corpus partition emits at most one
+   * k-entry heap per probe, so the exchange carries
+   * #partitions x #probes x k fixed-width entries, independent of corpus
+   * size — the shape that survives 10^9 corpus rows.
    */
   def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("cvec"))
+    val p = broadcast(probes.select(col(idCol).cast("long").as("probe_id"), col(vecCol).as("pvec")))
     val scored = c.join(p, col("corpus_id") =!= col("probe_id"))
       .select(col("probe_id"), col("corpus_id"),
         round(Dedup.cosine(col("cvec"), col("pvec")), 6).as("cos"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.groupBy("probe_id")
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("corpus_id"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e.id").as("corpus_id"),
+        col("e.score").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 }

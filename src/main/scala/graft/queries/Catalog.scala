@@ -185,19 +185,13 @@ object Catalog {
       .orderBy("id_a", "id_b")
 
   /** Exact 3-gram Jaccard for all pairs inside (lang, n_chars) blocks —
-   * the oracle-checkable blocked near-dup form. */
-  def ddNgram(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"),
-      Dedup.shingles(col("text"), 3).as("sh"))
-    val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "n_chars"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+   * the oracle-checkable blocked near-dup form, with the oversized-block
+   * guard (blocks > 1000 rows are dropped; none exist at test scale, the
+   * cap exists so a hot block can't go quadratic at 100x). */
+  def ddNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedNgramPairs(docs(spark, dir), "doc_id", "text",
+      Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
       .orderBy("id_a", "id_b")
-  }
 
   /** SimHash near-dup pairs within Hamming distance 3 (pigeonhole-blocked
    * on 16-bit quarters; no SQL oracle, rows-only check). */

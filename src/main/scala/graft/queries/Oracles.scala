@@ -219,11 +219,15 @@ object Oracles {
       |  SELECT doc_id, lang, n_chars,
       |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
-      |  FROM tok)
+      |  FROM tok),
+      |keep AS (
+      |  SELECT lang, n_chars FROM documents
+      |  GROUP BY lang, n_chars HAVING count(*) <= 1000),
+      |sk AS (SELECT s.* FROM s JOIN keep USING (lang, n_chars))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(len(list_intersect(a.sh, b.sh)) * 1.0
       |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      |FROM s a JOIN s b
+      |FROM sk a JOIN sk b
       |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 

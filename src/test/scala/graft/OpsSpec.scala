@@ -136,6 +136,60 @@ class OpsSpec extends SparkSuite {
     assert(got.contains(999L)) // same bucket by construction (tiny perturbation)
   }
 
+  test("knnJoin: bounded top-k agg matches naive per-probe ranking (incl. ties)") {
+    val vecs = randVecs(120, 8, 13L)
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" < 4)
+    val got = Similarity.knnJoin(df, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expect = (0 until 4).flatMap { p =>
+      val pv = vecs(p)._2
+      vecs.filter(_._1 != p)
+        .map { case (id, v) => (id, math.rint(cos(v, pv) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, c), i) => (p.toLong, id, c, i + 1) }
+    }
+    assert(got.toSeq === expect)
+  }
+
+  test("TopKByScore heap: under-full, ties, eviction order") {
+    import graft.functions.TopKByScore
+    val b = new TopKByScore.Buffer(3)
+    Seq((0.5, 10L), (0.9, 4L), (0.9, 2L), (0.1, 7L), (0.7, 1L)).foreach {
+      case (s, id) => b.add(s, id)
+    }
+    // kept: the 3 best by (score desc, id asc) = (0.9,2),(0.9,4),(0.7,1)
+    assert(b.sortedDesc.toSeq === Seq((0.9, 2L), (0.9, 4L), (0.7, 1L)))
+    val small = new TopKByScore.Buffer(5)
+    small.add(0.3, 1L); small.add(0.8, 2L)
+    assert(small.sortedDesc.toSeq === Seq((0.8, 2L), (0.3, 1L)))
+  }
+
+  test("blockedNgramPairs drops oversized blocks, keeps small ones") {
+    // hot block: 12 rows sharing (lang=en, n=1); cold block: 3 similar rows
+    val hot = (0 until 12).map(i => (100L + i, "en", 1, "common shared text body"))
+    val cold = Seq(
+      (1L, "fr", 2, "alpha beta gamma delta"),
+      (2L, "fr", 2, "alpha beta gamma epsilon"),
+      (3L, "fr", 2, "unrelated words entirely different"))
+    val df = (hot ++ cold).toDF("doc_id", "lang", "n", "text")
+    val pairs = Dedup.blockedNgramPairs(df, "doc_id", "text", Seq("lang", "n"),
+      k = 2, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 12-row block exceeds the cap -> no pairs from it; cold block kept
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L })
+    assert(pairs.contains((1L, 2L)))
+    // raising the cap brings the hot block back
+    val all = Dedup.blockedNgramPairs(df, "doc_id", "text", Seq("lang", "n"),
+      k = 2, maxBlockSize = 100).count()
+    assert(all === 12L * 11 / 2 + 3)
+  }
+
   // --- Multimodal ----------------------------------------------------------
 
   test("IVF: deterministic centroids; nprobe=k == brute force; nprobe=1 finds planted NN") {

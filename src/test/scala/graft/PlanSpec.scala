@@ -85,6 +85,19 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange rangepartitioning"), "must not global-sort")
   }
 
+  test("knnJoin: no Window exchange of scored pairs — bounded partial agg") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.ops.Similarity.knnJoin(e, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", 3)
+    val plan = physical(q)
+    // the round-1 shape shuffled every scored (probe, corpus) row through a
+    // Window; the scale-safe shape partial-aggregates a k-heap map-side
+    assert(!plan.contains("Window"), s"knnJoin must not window-shuffle:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected typed agg:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"expected map-side partial top-k before the exchange:\n$plan")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
