@@ -84,32 +84,21 @@ object ChecklistCompiler {
       regexp_replace(c, "^\"?(.*?)\"?$", "$1")).otherwise(c)
 
   /** Empty-cell test: NULL or whitespace-only — such cells skip type
-   * validation entirely (reference: Validator.pm:238-245). trim-based:
-   * equivalent to the reference's ^\s*$ (both cover only ASCII control
-   * whitespace) without regex-engine allocations per row. */
-  def isEmptyCell(c: Column): Column = c.isNull || trim(c) === ""
+   * validation entirely (reference: Validator.pm:238-245, m/^\s*$/).
+   * trim with an explicit whitespace charset, NOT bare trim(): bare trim
+   * strips only ' ' (0x20), so a tab- or newline-only cell would wrongly
+   * count as non-empty and flip required/invalid verdicts. The charset is
+   * the RE2/DuckDB `\s` class [ \t\n\r\f] so the engine and the SQL oracles
+   * (regexp '^\s*$') agree byte-for-byte; Perl additionally treats \x0B as
+   * whitespace since 5.18 — deliberately excluded, none of the supported
+   * sources can produce it. */
+  def isEmptyCell(c: Column): Column = c.isNull || trim(c, " \t\n\r\f") === ""
 
   /** Perl truthiness of a raw cell: defined, not "", not "0". Used by the
    * if-dependency "should not be completed" presence checks
    * (reference: Validator.pm:467-471, 483-487 — `if ($field_values->{...})`). */
   def perlTruthy(c: Column): Column =
     c.isNotNull && c =!= "" && c =!= "0"
-
-  /** ISO-8601 format whitelist for the DateTime validator. Spark has no
-   * general ISO-8601 validity predicate, so parse attempts are coalesced
-   * (reference accepts e.g. 2014-12-04, 2014-12-04T12:28:33+00:00,
-   * 20141204T122833 — t/05_validation_plugins.t:79-83). */
-  val DateTimeFormats: Seq[String] = Seq(
-    "yyyy-MM-dd'T'HH:mm:ssXXX",
-    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd'T'HH:mm:ss.SSS",
-    "yyyy-MM-dd'T'HH:mm",
-    "yyyy-MM-dd",
-    "yyyyMMdd'T'HHmmss",
-    "yyyy-MM",
-    "yyyy-DDD"
-  )
 
   /** Boolean type predicate over the quote-stripped, non-empty value. */
   def typePredicate(ftype: FieldType, v: Column): Column = ftype match {
@@ -135,9 +124,13 @@ object ChecklistCompiler {
       // reference: Plugin/Enum.pm:12-18 (exact, case-sensitive)
       v.isin(values: _*)
     case FieldType.DateTimeT =>
-      // reference: Plugin/DateTime.pm:15-33 (two-digit-year form rejected)
-      !v.rlike("^\\d{2}-\\d{2}-\\d{2}$") &&
-        coalesce(DateTimeFormats.map(f => try_to_timestamp(v, lit(f))): _*).isNotNull
+      // reference: Plugin/DateTime.pm:15-33 — full ISO-8601 family
+      // (calendar/ordinal/week dates, basic+extended, optional time with
+      // fraction/offset), two-digit-year form rejected. The codegen'd
+      // [[graft.functions.Iso8601Valid]] kernel replaces the round-1
+      // try_to_timestamp whitelist, which could not express week/ordinal
+      // basic forms (Spark removed the w/W pattern letters in 3.0).
+      graft.functions.Iso8601.valid(v)
     case FieldType.OntologyT(terms, _) =>
       // reference: Plugin/Ontology.pm:19-34 — in-memory set membership
       // (its documented 4.5x win over per-value scans). Catalyst rewrites
@@ -207,8 +200,11 @@ object ChecklistCompiler {
 
     // --- field-level rules, in field order (reference: Validator.pm:219-271)
     val fieldRules: Seq[Rule] = checklist.fields.flatMap { f =>
+      // a field-def `unknown` key suppresses the required check on empty
+      // cells (reference: Validator.pm:238-245, `required && !unknown` —
+      // NB distinct from accepts_unknown, which only drives the tri-state)
       val requiredRule =
-        if (f.required)
+        if (f.required && !f.unknownFlag)
           Some(Rule(f.name, RuleIds.Required,
             isEmptyCell(raw(f.name)),
             lit(s"['${f.name}' is a required field]"), "", " "))

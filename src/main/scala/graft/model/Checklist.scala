@@ -63,14 +63,18 @@ object FieldType {
 /**
  * One field (column) definition. `required`/`acceptsUnknown` default off as
  * in the reference fixtures (FIXTURES.md §1). `description` feeds verbose
- * error messages (reference: Validator.pm:262-270).
+ * error messages (reference: Validator.pm:262-270). `unknownFlag` models
+ * the reference's field-def `unknown` key — distinct from
+ * `accepts_unknown` — whose only effect is suppressing the required-field
+ * error on empty cells (reference: Validator.pm:238-245).
  */
 final case class FieldDef(
     name: String,
     ftype: FieldType,
     description: Option[String] = None,
     required: Boolean = false,
-    acceptsUnknown: Boolean = false
+    acceptsUnknown: Boolean = false,
+    unknownFlag: Boolean = false
 )
 
 /** `if <guard> { then...; else... }` rule. Guard must be declared Bool —

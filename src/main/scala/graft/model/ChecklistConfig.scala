@@ -138,10 +138,15 @@ object ChecklistConfig {
           throw new IllegalArgumentException(
             s"There is no validation plugin for this column type ($other)")
       }
+      // Perl-truthiness for flag values ("1" in every reference fixture,
+      // but any non-empty non-"0" value is truthy to Config::General users)
+      def truthy(k: String): Boolean =
+        one(k).exists(v => v.nonEmpty && v != "0")
       FieldDef(name, ftype,
         description = one("description"),
-        required = one("required").contains("1"),
-        acceptsUnknown = one("accepts_unknown").contains("1"))
+        required = truthy("required"),
+        acceptsUnknown = truthy("accepts_unknown"),
+        unknownFlag = truthy("unknown"))
     }
 
     val deps = cl.items.collectFirst { case Block("dependencies", _, di) =>

@@ -115,6 +115,47 @@ class FunctionsSpec extends SparkSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("Iso8601: randomized corpus with constructed validity; Spark == driver kernel") {
+    import java.time.{LocalDate, LocalTime}
+    import java.time.format.DateTimeFormatter
+    val rnd = new scala.util.Random(20260816L)
+    val corpus = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    (1 to 300).foreach { _ =>
+      // a REAL date, rendered in each supported shape -> must validate
+      val d = LocalDate.ofEpochDay(rnd.between(-40000L, 40000L)) // ~1860..2079
+      corpus += ((d.toString, true))
+      corpus += ((d.format(DateTimeFormatter.BASIC_ISO_DATE), true))
+      corpus += ((d.format(DateTimeFormatter.ISO_ORDINAL_DATE), true))
+      corpus += ((d.format(DateTimeFormatter.ISO_WEEK_DATE), true))
+      corpus += ((f"${d.getYear}%04d-${d.getMonthValue}%02d", true))
+      // a REAL time in several renderings, attached to the date
+      val t = LocalTime.ofSecondOfDay(rnd.nextInt(86400))
+      val hms = f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+      val off = Seq("", "Z", "+02:00", "-0500", "+01")(rnd.nextInt(5))
+      corpus += ((s"${d}T$hms$off", true))
+      corpus += ((s"${d}T${hms.replace(":", "")}$off", true))
+      corpus += ((s"${d}T${hms.take(5)},${1 + rnd.nextInt(999)}$off", true))
+      // mutations with KNOWN invalidity
+      corpus += ((f"${d.getYear}%04d-13-${1 + rnd.nextInt(28)}%02d", false)) // month 13
+      corpus += ((f"${d.getYear}%04d-${d.getMonthValue}%02d-32", false)) // day 32
+      corpus += ((f"${d.getYear}%04d-W54-1", false)) // week 54
+      corpus += ((s"${d}T24:${f"${rnd.nextInt(59) + 1}%02d"}", false)) // hour 24
+      corpus += ((s"${d}T${f"${rnd.nextInt(24)}%02d"}:60", false)) // minute 60
+      corpus += ((f"${rnd.nextInt(100)}%02d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d", false)) // 2-digit year
+      val nonLeap = if (d.isLeapYear) d.getYear + 1 else d.getYear
+      corpus += ((f"$nonLeap%04d-366", false)) // ordinal 366 in a non-leap year
+      corpus += ((rnd.alphanumeric.take(8).mkString, false))
+    }
+    // driver-side kernel agrees with constructed validity
+    corpus.foreach { case (s, want) =>
+      assert(graft.functions.Iso8601.isValid(s) === want, s)
+    }
+    // Spark expression (codegen path) agrees with the driver kernel
+    val df = corpus.toSeq.map(_._1).toDF("s")
+    val got = df.select(graft.functions.Iso8601.valid($"s")).collect().map(_.getBoolean(0))
+    assert(got.toSeq === corpus.map(_._2).toSeq)
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))

@@ -30,7 +30,10 @@ class PropertySpec extends SparkSuite {
       FieldDef("e", DateTimeT),
       FieldDef("f", IntT()), // one_of group
       FieldDef("g", IntT(), acceptsUnknown = true), // one_of group
-      FieldDef("h", BoolT) // second if-guard, NOT accepts_unknown
+      FieldDef("h", BoolT), // second if-guard, NOT accepts_unknown
+      // required + the field-def `unknown` key: empty cells raise NO
+      // required error (reference: Validator.pm:238-245)
+      FieldDef("i", IntT(), required = true, unknownFlag = true)
     ),
     dependencies = Dependencies(
       ifs = Seq(
@@ -40,19 +43,29 @@ class PropertySpec extends SparkSuite {
       someOf = Seq(GroupDep("g2", Seq("b", "e")))),
     unknownTerms = unknowns)
 
-  val dtValid = Set("2014-12-04", "2014-12-04T12:28:33+00:00", "20141204T122833")
+  // DateTime pool spans the ISO-8601 family incl. week/ordinal/basic forms
+  // and fractional/offset times; validity comes from the PARSE-based model
+  // oracle below, not from a hand-labelled set.
+  val dtPool = Seq(
+    "2014-12-04", "2014-12-04T12:28:33+00:00", "20141204T122833",
+    "2014-W49-3", "2014W493", "2014-338", "2014338", "2014-12", "2014",
+    "2014-12-04T12:28:33.123Z", "2014-12-04T12:30,5", "2014-12-04T12:28-05:00",
+    "04-12-14", "wibble", "2014-13-04", "2014-02-30", "2013-366", "2014-W54-1",
+    "2014-12-04T24:01", "2014-12-04T12:61", "", " ", null)
   val pools: Map[String, Seq[String]] = Map(
     "a" -> Seq("1", "0", "true", "yes", "no", "YES", "bogus", "unknown",
       "not available", "\"1\"", "", " ", null),
-    "b" -> Seq("abc", "zz", "Abc", "a1", "7", "\"abc\"", "unknown", "", " ", null),
+    "b" -> Seq("abc", "zz", "Abc", "a1", "7", "\"abc\"", "unknown", "", " ",
+      "\t", null),
     "c" -> Seq("5", "7", "10", "4", "11", "0", "-2", "x", "1.5", "\"7\"",
       "unknown", "", " ", null),
     "d" -> Seq("x", "y", "z", "w", "X", "\"x\"", "", " ", null),
-    "e" -> (dtValid.toSeq ++ Seq("04-12-14", "wibble", "2014-13-04", "", " ", null)),
+    "e" -> dtPool,
     "f" -> Seq("1", "3", "-4", "nope", "unknown", "", " ", null),
     "g" -> Seq("2", "8", "bad", "unknown", "not available", "\"2\"", "", " ", null),
     // "unknown" in a NON-accepting Bool guard must be plain-invalid
-    "h" -> Seq("1", "0", "yes", "no", "TRUE", "nope", "unknown", "", " ", null))
+    "h" -> Seq("1", "0", "yes", "no", "TRUE", "nope", "unknown", "", " ", null),
+    "i" -> Seq("3", "-1", "bad", "", " ", "\t", null))
 
   // --- in-memory reference-semantics oracle --------------------------------
   def strip(s: String): String =
@@ -61,6 +74,51 @@ class PropertySpec extends SparkSuite {
     else s
   def isEmptyCell(s: String): Boolean = s == null || s.trim.isEmpty
   def perlTruthy(s: String): Boolean = s != null && s != "" && s != "0"
+
+  /** Parse-based ISO-8601 model (regex shapes + java.time calendar checks) —
+   * an independent reimplementation, NOT a call into the engine's kernel. */
+  def refIsoValid(raw: String): Boolean = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    def ok(f: => Any): Boolean = try { f; true } catch { case _: Exception => false }
+    if (raw == null || raw.isEmpty || raw.matches("\\d{2}-\\d{2}-\\d{2}")) return false
+    val ti = raw.indexOf('T')
+    val d = if (ti < 0) raw else raw.substring(0, ti)
+    val dateOk =
+      if (d.matches("\\d{4}-\\d{2}-\\d{2}")) ok(LocalDate.parse(d))
+      else if (d.matches("\\d{8}")) ok(LocalDate.parse(d, DateTimeFormatter.BASIC_ISO_DATE))
+      else if (d.matches("\\d{4}-\\d{3}")) ok(LocalDate.parse(d, DateTimeFormatter.ISO_ORDINAL_DATE))
+      else if (d.matches("\\d{7}"))
+        ok(LocalDate.parse(d.substring(0, 4) + "-" + d.substring(4), DateTimeFormatter.ISO_ORDINAL_DATE))
+      else if (d.matches("\\d{4}-W\\d{2}-\\d")) ok(LocalDate.parse(d, DateTimeFormatter.ISO_WEEK_DATE))
+      else if (d.matches("\\d{4}W\\d{2}\\d"))
+        ok(LocalDate.parse(s"${d.substring(0, 4)}-W${d.substring(5, 7)}-${d.substring(7)}",
+          DateTimeFormatter.ISO_WEEK_DATE))
+      // day-less week date: only the 1-53 range is checkable (no day, no date)
+      else if (d.matches("\\d{4}-W\\d{2}")) { val w = d.substring(6).toInt; w >= 1 && w <= 53 }
+      else if (d.matches("\\d{4}-\\d{2}")) ok(YearMonth.parse(d))
+      else d.matches("\\d{4}")
+    if (!dateOk || ti < 0) return dateOk
+    // time: HH[:mm[:ss]] | HH[mm[ss]] + optional [.,]frac + optional offset
+    var t = raw.substring(ti + 1)
+    var offOk = true
+    if (t.endsWith("Z")) t = t.dropRight(1)
+    else "([+-]\\d{2}(?::?\\d{2})?)$".r.findFirstIn(t).foreach { o =>
+      offOk = ok(ZoneOffset.of(o)); t = t.dropRight(o.length)
+    }
+    "([.,]\\d+)$".r.findFirstIn(t).foreach(f => t = t.dropRight(f.length))
+    val parts: Option[(Int, Int, Int)] = t match {
+      case s if s.matches("\\d{2}") => Some((s.toInt, 0, 0))
+      case s if s.matches("\\d{2}:\\d{2}") => Some((s.take(2).toInt, s.drop(3).toInt, 0))
+      case s if s.matches("\\d{4}") => Some((s.take(2).toInt, s.drop(2).toInt, 0))
+      case s if s.matches("\\d{2}:\\d{2}:\\d{2}") =>
+        Some((s.take(2).toInt, s.slice(3, 5).toInt, s.drop(6).toInt))
+      case s if s.matches("\\d{6}") =>
+        Some((s.take(2).toInt, s.slice(2, 4).toInt, s.drop(4).toInt))
+      case _ => None
+    }
+    offOk && parts.exists { case (h, m, s) => h <= 23 && m <= 59 && s <= 59 }
+  }
 
   def typeValid(f: FieldDef, v: String): Boolean = f.ftype match {
     case BoolT => v.matches("(?i)(1|true|yes|0|false|no)")
@@ -72,7 +130,7 @@ class PropertySpec extends SparkSuite {
     case StrT(p) =>
       v.trim.nonEmpty && p.forall(pat => pat.r.findFirstIn(v).isDefined)
     case EnumT(values) => values.contains(v)
-    case DateTimeT => dtValid.contains(v) // pool-classified
+    case DateTimeT => refIsoValid(v)
     case OntologyT(terms, _) => terms.contains(v)
     case TaxonomyT(ids, names) => ids.contains(v) || names.contains(v)
   }
@@ -92,9 +150,11 @@ class PropertySpec extends SparkSuite {
     def notValid(n: String) = st(n) == FieldState.Invalid || st(n) == FieldState.Skipped
     val out = Seq.newBuilder[(String, String)]
 
-    // field rules, field order: required then invalid
+    // field rules, field order: required (suppressed by the `unknown`
+    // field-def key, Validator.pm:241) then invalid
     cl.fields.foreach { f =>
-      if (f.required && isEmptyCell(row(f.name))) out += f.name -> RuleIds.Required
+      if (f.required && !f.unknownFlag && isEmptyCell(row(f.name)))
+        out += f.name -> RuleIds.Required
       if (st(f.name) == FieldState.Invalid) out += f.name -> RuleIds.FieldInvalid
     }
     // if deps

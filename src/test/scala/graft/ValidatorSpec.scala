@@ -108,6 +108,77 @@ class ValidatorSpec extends SparkSuite {
       assert(stateOf(DateTimeT, S(v)) === FieldState.Invalid, v)
   }
 
+  test("05: DateTime extended ISO-8601 family (week/ordinal/basic/fraction)") {
+    val valid = Seq(
+      "2014-W49-3", "2014W493", "2014-W49", // week dates
+      "2014-338", "2014338", // ordinal
+      "20141204", "2014-12", "2014", // basic / reduced precision
+      "2014-12-04T12:28", "2014-12-04T12:28:33.123456",
+      "2014-12-04T12:30,5", // fractional minutes, comma separator
+      "2014-12-04T12Z", "20141204T1228+0100", "2014-12-04T12:28:33-05:00")
+    for (v <- valid) assert(stateOf(DateTimeT, S(v)) === FieldState.Valid, v)
+    val invalid = Seq(
+      "2014-02-30", "2013-366", "2014-W54-1", "2014-W49-8", // calendar-invalid
+      "2014-12-04T24:01", "2014-12-04T12:61", "2014-12-04T12:28:61",
+      "2014-12-04T", "2014-12-04T12:28:33+19:00", "201412", "14-12-04")
+    for (v <- invalid) assert(stateOf(DateTimeT, S(v)) === FieldState.Invalid, v)
+    // leap-year ordinal/calendar boundaries
+    assert(stateOf(DateTimeT, S("2016-366")) === FieldState.Valid)
+    assert(stateOf(DateTimeT, S("2016-02-29")) === FieldState.Valid)
+    assert(stateOf(DateTimeT, S("2015-02-29")) === FieldState.Invalid)
+  }
+
+  test("05: Str AMR / author-list / MD5 / UUID regexes (05_str.conf, Types.pm)") {
+    // t/data/05_str.conf:16-19 — the AMR string regex; truth rows from
+    // t/data/05_str.csv (row 8 is the one invalid row)
+    val amr = StrT(Some("^((([A-Za-z\\d\\- ]+);([SIR]);(\\d+)(;(\\w+))?),? *)+$"))
+    for (v <- Seq(
+      "erythromycin;S;40,tetracyclin;R;50;Peru, piperacillin-tazobactam;R;16",
+      "tetracyclin;S;40,erythromycin;R;50;Peru"))
+      assert(stateOf(amr, S(v)) === FieldState.Valid, v)
+    for (v <- Seq(
+      "#erythromycin;S;40,tetracyclin;R;50;Peru, piperacillin-tazobactam;R;16",
+      "erythromycin;X;40", "erythromycin;S"))
+      assert(stateOf(amr, S(v)) === FieldState.Invalid, v)
+    // t/data/05_str.conf:10-13 — author-list regex incl. hyphen/apostrophe
+    val authors = StrT(Some("^(([A-Za-z\\-']{2,}) +([A-Za-z]+),? *)+$"))
+    for (v <- Seq("Tate JG, Other AN, Else SO", "Hyphen-Ated N", "O'Reilly M", "Tate JG"))
+      assert(stateOf(authors, S(v)) === FieldState.Valid, v)
+    assert(stateOf(authors, S("X Y,")) === FieldState.Invalid)
+    // Types.pm:32-40 — MD5 / UUID subtypes (case-insensitive m//i)
+    val md5 = StrT(Some("(?i)^[0-9a-f]{32}$"))
+    assert(stateOf(md5, S("8fb372b3d14392b8a21dd296dc7d9f5a")) === FieldState.Valid)
+    assert(stateOf(md5, S("8FB372B3D14392B8A21DD296DC7D9F5A")) === FieldState.Valid)
+    assert(stateOf(md5, S("8fb372b3d14392b8a21dd296dc7d9f5")) === FieldState.Invalid)
+    assert(stateOf(md5, S("zfb372b3d14392b8a21dd296dc7d9f5a")) === FieldState.Invalid)
+    val uuid = StrT(Some("(?i)^[0-9a-f]{8}-([0-9a-f]{4}-){3}[0-9a-f]{12}$"))
+    assert(stateOf(uuid, S("4162F712-1DD2-11B2-B17E-C09EFE1DC403")) === FieldState.Valid)
+    assert(stateOf(uuid, S("4162F712-1DD2-11B2-B17E")) === FieldState.Invalid)
+  }
+
+  test("empty-cell semantics: tab/newline-only cells skip validation") {
+    // reference: Validator.pm:238 m/^\s*$/ — NOT just the space character
+    for (v <- Seq("\t", "\n", "\r\n", " \t ", "\f"))
+      assert(stateOf(IntT(), S(v)) === FieldState.Skipped, v.map(_.toInt))
+    // and a required field raises the required error for them
+    val cl = Checklist("t", Seq(FieldDef("v", IntT(), required = true)))
+    val errs = errorsByRow(validate(manifest(Seq("v"), Seq(Seq(S("\t")))), cl))
+    assert(errs(1L) === "[errors found on row 1] ['v' is a required field]")
+  }
+
+  test("required + `unknown` field-def key suppresses the required error (Validator.pm:241)") {
+    val cl = Checklist("t", Seq(
+      FieldDef("u", IntT(), required = true, unknownFlag = true),
+      FieldDef("r", IntT(), required = true)))
+    val v = validate(manifest(Seq("u", "r"),
+      Seq(Seq(N, N), Seq(S("bad"), S("3")))), cl)
+    val errs = errorsByRow(v)
+    // row 1: both empty -> only 'r' raises required
+    assert(errs(1L) === "[errors found on row 1] ['r' is a required field]")
+    // row 2: non-empty values still validate normally
+    assert(errs(2L) === "[errors found on row 2] [value in field 'u' is not valid]")
+  }
+
   test("05: Bool truth table (case-insensitive)") {
     for (v <- Seq("1", "yes", "YES", "true", "0", "no", "NO", "false", "True"))
       assert(stateOf(BoolT, S(v)) === FieldState.Valid, v)
