@@ -50,7 +50,20 @@ object Validator {
         // 1-based input-order row number, matching the reference's row
         // numbering (Validator.pm:140). zipWithIndex keeps partition-local
         // counting + a tiny driver-side offset scan — no global shuffle —
-        // but is only intended for manifest-sized inputs.
+        // but it de-columnarizes (RDD round-trip: no codegen or pushdown
+        // below it), so it is ONLY for manifest-sized inputs. Fail fast on
+        // anything bigger instead of silently running 100x slower; the
+        // size check is plan statistics, not a data scan.
+        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        // plans without statistics report conf.defaultSizeInBytes
+        // (Long.MaxValue unless tuned) — "unknown" must not trip the guard
+        val unknown =
+          estBytes >= BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+        require(unknown || estBytes < (1L << 30),
+          s"rowIdCol=None synthesizes input-order ids via RDD zipWithIndex, " +
+            s"intended for manifest-sized inputs only (estimated input " +
+            s"$estBytes bytes >= 1 GiB). Pass Options(rowIdCol = Some(<key>)) " +
+            s"to keep the validation pass columnar.")
         val schema = df.schema
         val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))

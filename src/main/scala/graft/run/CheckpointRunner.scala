@@ -65,12 +65,36 @@ object CheckpointRunner {
         .collect().map(_.getString(0)).toSet
     } catch { case _: Exception => Set.empty } // first run: no manifest yet
 
+  /**
+   * Partition values from FILESYSTEM METADATA when the input is laid out
+   * hive-style on `partitionCol` (`.../col=value/`): one directory listing,
+   * zero data read — the parquet stand-in for an Iceberg/catalog partition
+   * listing. Falls back to a `distinct()` scan only for inputs that are not
+   * physically partitioned on the column (where a scan is unavoidable).
+   * Round 1 always ran the distinct() scan — a full pass over 100 TB just
+   * to enumerate work units.
+   */
+  def discoverPartitions(spark: SparkSession, inputPath: String,
+      partitionCol: String): Option[Seq[String]] = {
+    val prefix = partitionCol + "="
+    try {
+      val p = new org.apache.hadoop.fs.Path(inputPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(p).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(n => java.net.URLDecoder.decode(n.substring(prefix.length), "UTF-8"))
+      if (dirs.nonEmpty) Some(dirs.sorted) else None
+    } catch { case _: Exception => None }
+  }
+
   def run(spark: SparkSession, checklist: Checklist, cfg: Config,
       runId: String = java.util.UUID.randomUUID().toString): Seq[PartitionResult] = {
     val md5 = checklistMd5(checklist)
     val input = spark.read.parquet(cfg.inputPath)
-    val partitions = input.select(cfg.partitionCol).distinct()
-      .collect().map(_.get(0).toString).sorted
+    val partitions = discoverPartitions(spark, cfg.inputPath, cfg.partitionCol)
+      .getOrElse(input.select(cfg.partitionCol).distinct()
+        .collect().map(_.get(0).toString).sorted.toSeq)
     val done = completedPartitions(spark, cfg.manifestPath, md5)
 
     partitions.map { p =>

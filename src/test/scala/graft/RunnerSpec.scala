@@ -85,6 +85,23 @@ class RunnerSpec extends SparkSuite {
     assert(r4.forall(!_.skipped))
   }
 
+  test("partition discovery is metadata-only on hive layouts (no data scan)") {
+    val base = Files.createTempDirectory("graft_disc").toString
+    val input = s"$base/input"
+    CodeFiles.generate(spark, 100)
+      .withColumn("part", (col("id") % 2).cast("string"))
+      .write.partitionBy("part").parquet(input)
+    // a data-free partition directory: a distinct() scan can NEVER return
+    // it, so its presence in the result proves the listing path was used
+    Files.createDirectory(java.nio.file.Paths.get(s"$input/part=empty"))
+    assert(CheckpointRunner.discoverPartitions(spark, input, "part")
+      === Some(Seq("0", "1", "empty")))
+    // non-hive layout -> None (caller falls back to the distinct() scan)
+    val flat = s"$base/flat"
+    CodeFiles.generate(spark, 50).write.parquet(flat)
+    assert(CheckpointRunner.discoverPartitions(spark, flat, "part") === None)
+  }
+
   test("streaming validation matches batch verdicts (memory sink)") {
     val cl = Checklist("s", Seq(
       FieldDef("k", IntT(min = Some(0)), required = true),

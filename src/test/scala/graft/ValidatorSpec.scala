@@ -402,6 +402,19 @@ class ValidatorSpec extends SparkSuite {
   }
 
   // --- violation rows + invariants ----------------------------------------
+  test("rowIdCol=None fails fast on non-manifest-sized inputs (plan stats)") {
+    // ~2.4 GB estimated (no data materialized): must refuse zipWithIndex
+    val big = spark.range(300000000L).selectExpr("cast(id as string) as v")
+    val cl = Checklist("t", Seq(FieldDef("v", StrT())))
+    val e = intercept[IllegalArgumentException] {
+      validate(big, cl)
+    }
+    assert(e.getMessage.contains("rowIdCol"))
+    // and still fine for manifest-sized input
+    val small = validate(manifest(Seq("v"), Seq(Seq(S("x")), Seq(S("y")))), cl)
+    assert(small.select(RowId).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("violation rows carry (row_id, field, rule_id, message)") {
     val df = manifest(Seq("one", "two"),
       Seq(Seq(S("1"), S("two")), Seq(S("not_a_bool"), N)))
