@@ -115,13 +115,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Per query: min of two consecutive runs. The first run of the first
+    // queries otherwise absorbs the whole JVM warm-up (codegen compiler,
+    // parquet reader init, C2) — round-2 measured the alphabetically-first
+    // query at ~9x its warm time purely from that cold-start tax.
     val results: Seq[(String, Double)] = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val (_, sec) = timeIt {
+        def onePass(): Double = timeIt {
           try fn(spark, sfDir).count()
           catch { case _: Throwable => -1L }
-        }
-        name -> sec
+        }._2
+        val t = math.min(onePass(), onePass())
+        name -> t
     }
 
     if (only.isDefined) { // single-query timing mode: skip the headline job
