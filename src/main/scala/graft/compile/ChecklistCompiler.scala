@@ -281,15 +281,19 @@ object ChecklistCompiler {
     // ingest) and is not an accepted unknown term.
     def groupCounts(fields: Seq[String]): (Column, Column, Int, Int) = {
       val defs = fields.map(checklist.fieldByName)
-      val unknownOf: Seq[Column] = defs.map { d =>
+      // None for fields that can never hold an accepted unknown — emitting
+      // lit(0) === 0 instead would be a (correct but) trivially-true
+      // predicate Catalyst warns about and evaluates per row for nothing
+      val unknownOf: Seq[Option[Column]] = defs.map { d =>
         if (d.acceptsUnknown && unknowns.nonEmpty)
-          (raw(d.name).isNotNull && raw(d.name).isin(unknowns: _*)).cast("int")
-        else lit(0)
+          Some((raw(d.name).isNotNull && raw(d.name).isin(unknowns: _*)).cast("int"))
+        else None
       }
-      val completedOf: Seq[Column] = defs.zip(unknownOf).map { case (d, unk) =>
-        (raw(d.name).isNotNull && unk === 0).cast("int")
+      val completedOf: Seq[Column] = defs.zip(unknownOf).map {
+        case (d, Some(unk)) => (raw(d.name).isNotNull && unk === 0).cast("int")
+        case (d, None) => raw(d.name).isNotNull.cast("int")
       }
-      val numUnknown = unknownOf.reduce(_ + _)
+      val numUnknown = unknownOf.flatten.reduceOption(_ + _).getOrElse(lit(0))
       val numCompleted = completedOf.reduce(_ + _)
       val numOptional = defs.count(!_.required)
       (numCompleted, numUnknown, numOptional, fields.size)
