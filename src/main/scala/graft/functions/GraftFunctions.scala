@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.FunctionBridge
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * SQL surface for the engine's custom Catalyst kernels, so `spark.sql`
+ * users get the same codegen'd hot paths as the Column API:
+ *
+ *   is_iso8601(str)                         -> boolean
+ *   cosine_sim(arr, arr)                    -> double
+ *   sig_agreement(arr<bigint>, arr<bigint>) -> int
+ *   simhash_pack(arr<bigint>)               -> bigint
+ *   shingle_hash64(arr<string>, k)          -> arr<bigint>
+ *   minhash_sig(arr<bigint>, numHashes[, seed]) -> arr<bigint>
+ *   top_k_by_score(score, id, k)            -> AGGREGATE: arr<struct<score,id>>
+ *
+ * Two registration paths:
+ *  - config-time: `--conf spark.sql.extensions=graft.GraftExtensions`
+ *    (the standard [[SparkSessionExtensions]] injector)
+ *  - runtime: `GraftFunctions.register(spark)` on a live session
+ *
+ * Kernels parameterized by non-literal driver data (centroid arrays,
+ * hyperplane matrices, broadcast sets) stay Column-API-only by design: a
+ * SQL literal form would embed megabytes of doubles in the query text.
+ */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression): (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""), builder)
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("is_iso8601", "_FUNC_(str) - true iff str is a valid ISO-8601 date/time " +
+      "(full family; two-digit-year form rejected)") { args =>
+      require(args.size == 1, "is_iso8601(str)")
+      Iso8601Valid(args.head)
+    },
+    fn("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float/double arrays") { args =>
+      require(args.size == 2, "cosine_sim(a, b)")
+      CosineSim(args(0), args(1))
+    },
+    fn("sig_agreement", "_FUNC_(a, b) - count of agreeing positions of two bigint arrays") { args =>
+      require(args.size == 2, "sig_agreement(a, b)")
+      SigAgreement(args(0), args(1))
+    },
+    fn("simhash_pack", "_FUNC_(hashes) - 64-bit SimHash of a bigint hash array") { args =>
+      require(args.size == 1, "simhash_pack(hashes)")
+      SimHashPack(args.head)
+    },
+    fn("shingle_hash64", "_FUNC_(tokens, k) - distinct xxhash64'd word k-shingles") { args =>
+      require(args.size == 2, "shingle_hash64(tokens, k)")
+      ShingleHash64(args(0), intArg(args(1), "k"))
+    },
+    fn("minhash_sig", "_FUNC_(shingles, numHashes[, seed]) - MinHash signature") { args =>
+      require(args.size == 2 || args.size == 3, "minhash_sig(shingles, numHashes[, seed])")
+      val seed = if (args.size == 3) longArg(args(2), "seed") else 42L
+      MinHashSig.make(args(0), intArg(args(1), "numHashes"), seed)
+    },
+    fn("top_k_by_score", "_FUNC_(score, id, k) - aggregate: k best (score,id) " +
+      "pairs by (score DESC, id ASC), bounded map-side partial aggregation") { args =>
+      require(args.size == 3, "top_k_by_score(score, id, k)")
+      TopKByScore(args(0), args(1), intArg(args(2), "k"))
+    }
+  )
+
+  /** Register on a live session (tests, notebooks, existing jobs). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      FunctionBridge.register(spark, name, info, builder)
+    }
+}

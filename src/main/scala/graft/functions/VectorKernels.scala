@@ -28,13 +28,9 @@ object VectorKernels {
   /** MinHash signature column: per row, the minima of (a_j*x + b_j) mod P
    * over all shingle hashes x, for numHashes seeded affine permutations.
    * NULL for NULL/empty shingle arrays. */
-  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val P = MinHashSig.Prime
-    val ab = Array.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     ColumnBridge.column(
-      MinHashSig(ColumnBridge.expression(shingles), ab.map(_._1), ab.map(_._2)))
-  }
+      MinHashSig.make(ColumnBridge.expression(shingles), numHashes, seed))
 
   /** Pack SimHash votes over token-hash arrays into one int64: bit b is set
    * iff more token hashes have bit b set than clear. NULL for NULL/empty. */
@@ -143,6 +139,13 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
 object MinHashSig {
   /** Mersenne prime 2^31-1: keeps every a*x+b product under 2^62. */
   val Prime = 2147483647L
+
+  /** Seeded affine-permutation coefficients from (numHashes, seed). */
+  def make(child: Expression, numHashes: Int, seed: Long = 42L): MinHashSig = {
+    val rnd = new scala.util.Random(seed)
+    val ab = Array.fill(numHashes)((1L + rnd.nextLong(Prime - 1), rnd.nextLong(Prime)))
+    MinHashSig(child, ab.map(_._1), ab.map(_._2))
+  }
 }
 
 /** See [[VectorKernels.simhashPack]]: 64 vote counters over the token-hash

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** SQL-surface registration: every kernel callable from spark.sql with
+ * results identical to the Column API. */
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("is_iso8601 from SQL") {
+    val got = spark.sql(
+      "SELECT is_iso8601('2014-W49-3'), is_iso8601('2014-13-04'), is_iso8601(NULL)")
+      .collect().head
+    assert(got.getBoolean(0) === true)
+    assert(got.getBoolean(1) === false)
+    assert(got.isNullAt(2))
+  }
+
+  test("cosine_sim / sig_agreement / simhash_pack from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        |  cosine_sim(array(1.0D, 0.0D), array(0.0D, 2.0D)) AS c2,
+        |  sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
+        |  simhash_pack(array(5L)) AS sh""".stripMargin).collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getInt(2) === 2)
+    assert(r.getLong(3) === 5L) // single hash: sign vector == the hash itself
+  }
+
+  test("shingle_hash64 + minhash_sig from SQL match the Column API") {
+    val df = Seq("alpha beta gamma delta", "one two three").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT minhash_sig(shingle_hash64(split(text, ' '), 2), 8) AS sig
+        |FROM ext_docs""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    val api = df.select(graft.functions.VectorKernels.minhashSig(
+      graft.functions.VectorKernels.shingleHash64(split($"text", " "), 2), 8).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sql.toSeq === api.toSeq)
+  }
+
+  test("top_k_by_score works as a SQL aggregate with partial aggregation") {
+    val got = spark.sql(
+      """SELECT g, top_k_by_score(s, id, 2) AS tk
+        |FROM VALUES (1, 0.5D, 10L), (1, 0.9D, 4L), (1, 0.7D, 1L),
+        |            (2, 0.1D, 7L), (2, 0.3D, 9L) AS t(g, s, id)
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+    assert(got.toSeq === Seq(
+      1 -> Seq((0.9, 4L), (0.7, 1L)),
+      2 -> Seq((0.3, 9L), (0.1, 7L))))
+  }
+
+  test("GraftExtensions injector applies cleanly (config-time path)") {
+    // full end-to-end needs a fresh session with spark.sql.extensions set
+    // (getOrCreate reuses the test session), but the injector itself must
+    // accept the extension points without throwing
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
