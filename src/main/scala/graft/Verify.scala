@@ -50,7 +50,11 @@ object Verify {
       Seq(k -> v, s"$k.parquet" -> v)
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), jsonOf(bothKeys))
-    Files.writeString(Paths.get("ORACLES.json"), jsonOf(bothKeys))
+    // repo root explicitly (cwd may differ when the driver invokes sbt)
+    for (root <- Seq(Paths.get("ORACLES.json").toAbsolutePath,
+                     Paths.get("/root/repo/ORACLES.json")).distinct)
+      try Files.writeString(root, jsonOf(bothKeys))
+      catch { case _: Exception => }
     sql.foreach { case (k, v) =>
       Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
       println(s"[verify] oracle $k.parquet: $v")

@@ -101,4 +101,40 @@ object Multimodal {
       .filter(col("modality") === "video")
       .select(col("asset_id"),
         sequence(lit(0L), col("duration_ms"), lit(everyMs)).as("frame_times_ms"))
+
+  /**
+   * Per-partition batched resize (stubbed codec): the real op decodes the
+   * payload, scales it to `width` x `height` and re-encodes. The stub emits
+   * a deterministic payload derived from the source bytes with the byte
+   * budget of the target dimensions, so everything AROUND the codec —
+   * asset identity, metadata recompute (n_bytes/sha256 of the NEW payload),
+   * per-partition codec init, output schema — is real and tested. A
+   * replacement codec changes only the marked line.
+   */
+  def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    require(width > 0 && height > 0, "resize dims must be positive")
+    val outLen = math.max(16, (width.toLong * height / 64).toInt)
+    assets.mapPartitions { it =>
+      // real codec: initialize the scaler ONCE per partition, here — like
+      // the digest instance below, never per row
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { a =>
+        // --- stub scale step: deterministic bytes from an FNV-1a stream ---
+        var h = a.payload.foldLeft(1469598103934665603L)((acc, b) =>
+          (acc ^ (b & 0xff)) * 1099511628211L)
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) {
+          h = (h ^ i) * 1099511628211L
+          out(i) = (h >>> 56).toByte
+          i += 1
+        }
+        // --- real metadata recompute over the NEW payload ---
+        digest.reset()
+        val sha = digest.digest(out).map("%02x".format(_)).mkString
+        a.copy(payload = out, n_bytes = out.length.toLong, sha256 = sha)
+      }
+    }
+  }
 }

@@ -221,6 +221,24 @@ class OpsSpec extends SparkSuite {
     assert(probed === brute.map(_._1).filter(id => id >= 100L && id < 200L).take(probed.size))
   }
 
+  test("multimodal resize: deterministic payload, metadata recomputed, identity kept") {
+    val df = Seq((1L, "hello world"), (2L, "payload two")).toDF("doc_id", "text")
+    val assets = Multimodal.toAssets(df, "doc_id", "text", "image", "image/x-test")
+    val r1 = Multimodal.resize(assets, 64, 64).collect().sortBy(_.asset_id)
+    val r2 = Multimodal.resize(assets, 64, 64).collect().sortBy(_.asset_id)
+    assert(r1.map(_.payload.toSeq).toSeq === r2.map(_.payload.toSeq).toSeq) // deterministic
+    assert(r1.map(_.asset_id).toSeq === Seq(1L, 2L)) // identity preserved
+    assert(r1.forall(_.n_bytes === 64L * 64 / 64)) // target byte budget
+    // sha256 matches the NEW payload, not the source
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    assert(r1.forall(a => a.sha256 === d.digest(a.payload).map("%02x".format(_)).mkString))
+    // different sources -> different resized payloads
+    assert(r1(0).payload.toSeq !== r1(1).payload.toSeq)
+    // different target dims -> different payloads
+    val r3 = Multimodal.resize(assets, 32, 32).collect().sortBy(_.asset_id)
+    assert(r3.forall(_.n_bytes === 32L * 32 / 64))
+  }
+
   test("multimodal plumbing: metadata without payload, deterministic stub features") {
     val df = Seq((1L, "hello world"), (2L, "payload two")).toDF("doc_id", "text")
     val assets = Multimodal.toAssets(df, "doc_id", "text", "image", "image/x-test")
