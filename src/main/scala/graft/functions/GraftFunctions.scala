@@ -77,6 +77,23 @@ object GraftFunctions {
       "pairs by (score DESC, id ASC), bounded map-side partial aggregation") { args =>
       require(args.size == 3, "top_k_by_score(score, id, k)")
       TopKByScore(args(0), args(1), intArg(args(2), "k"))
+    },
+    fn("is_blank", "_FUNC_(str) - true iff str is empty or whitespace-only " +
+      "([ \\t\\n\\r\\f])") { args =>
+      require(args.size == 1, "is_blank(str)")
+      IsBlank(args.head)
+    },
+    fn("char_class_match", "_FUNC_(str, pattern) - anchored literal/char-class " +
+      "regex match via byte scan; pattern must be a supported literal") { args =>
+      require(args.size == 2, "char_class_match(str, pattern)")
+      val pattern = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"pattern must be a string literal, got $other")
+      }
+      require(CharClassMatch.compile(pattern).isDefined,
+        s"pattern not in the supported anchored char-class family: $pattern")
+      CharClassMatch(args(0), pattern)
     }
   )
 

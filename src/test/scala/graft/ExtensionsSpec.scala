@@ -59,6 +59,20 @@ class ExtensionsSpec extends SparkSuite {
       2 -> Seq((0.3, 9L), (0.1, 7L))))
   }
 
+  test("is_blank + char_class_match from SQL") {
+    val r = spark.sql(
+      """SELECT is_blank(''), is_blank(' \t'), is_blank('x'),
+        |  char_class_match('abc123', '^[a-z]{3}[0-9]+$'),
+        |  char_class_match('abc', '^[a-z]{3}[0-9]+$')""".stripMargin).collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    // unsupported pattern -> clear error, not silent misbehavior
+    val e = intercept[Exception] {
+      spark.sql("SELECT char_class_match('a', '^(a|b)$')").collect()
+    }
+    assert(e.getMessage.contains("supported"))
+  }
+
   test("GraftExtensions injector applies cleanly (config-time path)") {
     // full end-to-end needs a fresh session with spark.sql.extensions set
     // (getOrCreate reuses the test session), but the injector itself must

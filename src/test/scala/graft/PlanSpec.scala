@@ -85,6 +85,18 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange rangepartitioning"), "must not global-sort")
   }
 
+  test("anchored char-class Str regexes strength-reduce to the byte-scan kernel") {
+    val v = Validator.validate(docs, graft.queries.Catalog.docsChecklist.copy(
+      fields = graft.queries.Catalog.docsChecklist.fields.filterNot(_.name == "lang2")),
+      Validator.Options(rowIdCol = Some("doc_id")))
+    val plan = physical(v)
+    // source's ^src[0-9]$ must compile to char_class_match, not RLike
+    // (Int's ^-?\d+$ legitimately stays RLIKE: two variable-length tokens)
+    assert(plan.contains("char_class_match"), s"expected kernel:\n$plan")
+    assert(!plan.contains("src[0-9]") || !plan.contains("RLIKE(" + "src"),
+      s"the Str class pattern must not fall back to rlike:\n$plan")
+  }
+
   test("knnJoin: no Window exchange of scored pairs — bounded partial agg") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = graft.ops.Similarity.knnJoin(e, e.filter($"vec_id" < 5),
