@@ -109,7 +109,10 @@ object ChecklistCompiler {
     case FieldType.IntT(min, max) =>
       // reference: Plugin/Int.pm:14-27. Numeric bound compare on a wide
       // decimal so 19+-digit literals behave like Perl's numeric compare.
-      val isInt = v.rlike("^-?\\d+$")
+      // The integer-literal shape check strength-reduces to the
+      // CharClassMatch byte scan (same kernel as Str patterns).
+      val isInt = graft.functions.CharClassMatch
+        .columnIfSupported(v, "^-?\\d+$").getOrElse(v.rlike("^-?\\d+$"))
       val n = v.cast(DecimalType(38, 0))
       val boundOk = Seq(
         min.map(m => n >= lit(m)),

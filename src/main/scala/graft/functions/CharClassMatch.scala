@@ -156,60 +156,85 @@ object CharClassMatch {
               case Some(ni) => i = ni
             }
             case c if c < 128 && !c.isLetterOrDigit => // escaped punctuation
-              if (i + 2 < body.length && "+*?{".contains(body.charAt(i + 2)))
-                return None // quantified literal: out of scope
-              lit += c.toByte; i += 2
+              i = quantifiedLiteral(body, c, i + 2, toks, lit, flushLit _)
+                .getOrElse(return None)
             case _ => return None // \s \b \1 ...: out of scope
           }
         case c if "+*?{}()|.".contains(c) => return None
         case c if c < 128 =>
-          if (i + 1 < body.length && "+*?{".contains(body.charAt(i + 1)))
-            return None // quantified literal: out of scope
-          lit += c.toByte; i += 1
+          i = quantifiedLiteral(body, c, i + 1, toks, lit, flushLit _)
+            .getOrElse(return None)
         case _ => return None
       }
     }
     flushLit()
     val out = toks.toArray
-    // at most one variable-length token keeps matching backtracking-free
-    val varToks = out.count { case Cls(_, mn, mx) => mn != mx; case _ => false }
-    if (varToks > 1) None else Some(out)
+    // at most TWO variable-length tokens, and if two, the smaller span must
+    // be tiny — matching then needs at most span+1 attempts, no general
+    // backtracking (covers the ubiquitous `^-?\d+$` shape)
+    val spans = out.collect {
+      case Cls(_, mn, mx) if mn != mx =>
+        if (mx == Int.MaxValue) Int.MaxValue else mx - mn
+    }
+    spans.length match {
+      case 0 | 1 => Some(out)
+      case 2 if spans.min <= 8 => Some(out)
+      case _ => None
+    }
+  }
+
+  /** A literal char at whose position `next` may hold a quantifier: plain
+   * literals extend the current run; quantified ones become a single-char
+   * class token with the quantifier's range. Returns the next index. */
+  private def quantifiedLiteral(body: String, c: Char, next: Int,
+      toks: ArrayBuffer[Tok], lit: ArrayBuffer[Byte],
+      flushLit: () => Unit): Option[Int] = {
+    if (next < body.length && "+*?{".contains(body.charAt(next))) {
+      parseQuant(body, next).map { case (mn, mx, ni) =>
+        val bits = new Array[Long](2)
+        bit(bits, c)
+        flushLit()
+        toks += Cls(bits, mn, mx)
+        ni
+      }
+    } else {
+      lit += c.toByte
+      Some(next)
+    }
   }
 
   private def inCls(bits: Array[Long], b: Byte): Boolean =
     b >= 0 && (bits(b >>> 6) & (1L << (b & 63))) != 0
 
-  /** Match fixed-length tokens of toks[from,until) against s starting at
-   * byte `pos`; returns the byte position after the run, or -1. */
-  private def matchFixed(s: UTF8String, pos0: Int, toks: Array[Tok],
-      from: Int, until: Int): Int = {
-    var pos = pos0
-    var t = from
-    while (t < until) {
+  /** Match the whole program against s[0,n) with the variable tokens at
+   * vi1/vi2 assigned lengths len1/len2 (pass -1 for absent vars). */
+  private def matchWith(s: UTF8String, n: Int, toks: Array[Tok],
+      vi1: Int, len1: Int, vi2: Int, len2: Int): Boolean = {
+    var pos = 0
+    var t = 0
+    while (t < toks.length) {
       toks(t) match {
         case Lit(bytes) =>
+          if (pos + bytes.length > n) return false
           var i = 0
           while (i < bytes.length) {
-            if (s.getByte(pos + i) != bytes(i)) return -1
+            if (s.getByte(pos + i) != bytes(i)) return false
             i += 1
           }
           pos += bytes.length
-        case Cls(bits, mn, _) =>
+        case Cls(bits, mn, mx) =>
+          val len = if (mn == mx) mn else if (t == vi1) len1 else len2
+          if (pos + len > n) return false
           var i = 0
-          while (i < mn) {
-            if (!inCls(bits, s.getByte(pos + i))) return -1
+          while (i < len) {
+            if (!inCls(bits, s.getByte(pos + i))) return false
             i += 1
           }
-          pos += mn
+          pos += len
       }
       t += 1
     }
-    pos
-  }
-
-  private def fixedLen(t: Tok): Int = t match {
-    case Lit(b) => b.length
-    case Cls(_, mn, mx) => if (mn == mx) mn else -1
+    pos == n
   }
 
   /** Full anchored match of s against the program (Java/Perl `m/^...$/`
@@ -217,30 +242,43 @@ object CharClassMatch {
   def run(s: UTF8String, toks: Array[Tok]): Boolean = {
     var n = s.numBytes
     if (n > 0 && s.getByte(n - 1) == '\n') n -= 1
-    var varIdx = -1
     var fixed = 0
+    var v1 = -1
+    var v2 = -1
     var t = 0
     while (t < toks.length) {
-      val fl = fixedLen(toks(t))
-      if (fl >= 0) fixed += fl else varIdx = t
+      toks(t) match {
+        case Lit(b) => fixed += b.length
+        case Cls(_, mn, mx) =>
+          if (mn == mx) fixed += mn
+          else if (v1 < 0) v1 = t
+          else v2 = t
+      }
       t += 1
     }
-    if (varIdx < 0) {
-      n == fixed && matchFixed(s, 0, toks, 0, toks.length) >= 0
-    } else toks(varIdx) match {
-      case Cls(bits, mn, mx) =>
-        val mid = n - fixed
-        if (mid < mn || mid > mx) return false
-        val pre = matchFixed(s, 0, toks, 0, varIdx)
-        if (pre < 0) return false
-        var i = 0
-        while (i < mid) {
-          if (!inCls(bits, s.getByte(pre + i))) return false
-          i += 1
-        }
-        matchFixed(s, pre + mid, toks, varIdx + 1, toks.length) >= 0
-      case _ => false
+    if (v1 < 0) return n == fixed && matchWith(s, n, toks, -1, 0, -1, 0)
+    val (mn1, mx1) = toks(v1) match { case Cls(_, a, b) => (a, b); case _ => return false }
+    if (v2 < 0) {
+      val mid = n - fixed
+      return mid >= mn1 && mid <= mx1 && matchWith(s, n, toks, v1, mid, -1, 0)
     }
+    val (mn2, mx2) = toks(v2) match { case Cls(_, a, b) => (a, b); case _ => return false }
+    // loop the smaller-span token's feasible lengths (compile caps it at 8)
+    val span1 = if (mx1 == Int.MaxValue) Int.MaxValue else mx1 - mn1
+    val span2 = if (mx2 == Int.MaxValue) Int.MaxValue else mx2 - mn2
+    val (va, mnA, mxA, vb, mnB, mxB) =
+      if (span1 <= span2) (v1, mn1, mx1, v2, mn2, mx2)
+      else (v2, mn2, mx2, v1, mn1, mx1)
+    val rest = n - fixed
+    var lenA = mnA
+    val hiA = math.min(mxA, rest - mnB)
+    while (lenA <= hiA) {
+      val lenB = rest - lenA
+      if (lenB >= mnB && lenB <= mxB &&
+        matchWith(s, n, toks, va, lenA, vb, lenB)) return true
+      lenA += 1
+    }
+    false
   }
 
   /** Generated-code entry point: janino-side arrays are typed Object[]

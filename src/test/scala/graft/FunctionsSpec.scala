@@ -161,13 +161,16 @@ class FunctionsSpec extends SparkSuite {
     val patterns = Seq(
       "^repo_[a-z0-9_]+$", "^[A-Za-z0-9_./-]+$", "^[0-9a-f]{40}$",
       "^src[0-9]$", "^\\d{1,3}$", "^[a-f]{2}[0-9]{3}$", "^\\w+$",
-      "^x[0-9]*y$")
+      "^x[0-9]*y$",
+      // two variable tokens, one small-bounded (<= 9 attempts, no general
+      // backtracking): the Int validator's shape
+      "^-?\\d+$", "^-?\\d{1,3}$", "^[ab]{0,2}x[0-9]*$")
     patterns.foreach(p => assert(CharClassMatch.compile(p).isDefined, p))
     // out-of-scope patterns fall back to rlike (compile -> None)
     Seq("^((([A-Za-z\\d\\- ]+);([SIR]);(\\d+)(;(\\w+))?),? *)+$", // AMR: groups
       "(?i)^[0-9a-f]{32}$", // inline flag
       "^[0-9a-f]{8}-([0-9a-f]{4}-){3}[0-9a-f]{12}$", // group quantifier
-      "^-?\\d{1,3}$", // two variable-length tokens (needs backtracking)
+      "^[a-z]+[0-9]+$", // two UNBOUNDED variable tokens
       "^[^a-z]+$", "^a.b$", "^(a|b)$", "\\d+", "^a\\s$")
       .foreach(p => assert(CharClassMatch.compile(p).isEmpty, p))
     // corpus: targeted edge cases + fuzz; oracle = java.util.regex find()
@@ -176,7 +179,8 @@ class FunctionsSpec extends SparkSuite {
     val edge = Seq("", "repo_", "repo_a", "repo_A", "repo_a\n", "repo_a\n\n",
       "src1", "src12", "srcx", "a" * 40, "0" * 40, "0" * 39, "0" * 41,
       "repo_é", "é", "x9y", "xy", "x\n", "-12", "123", "-1234", "ab123",
-      "repo_a ", " repo_a")
+      "repo_a ", " repo_a", "-", "--1", "-0", "42", "-9" * 6, "abx12",
+      "bax", "aax9", "x", "-12\n")
     val fuzz = (1 to 400).map(_ =>
       (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     val corpus = (edge ++ fuzz).distinct

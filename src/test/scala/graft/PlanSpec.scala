@@ -90,11 +90,11 @@ class PlanSpec extends SparkSuite {
       fields = graft.queries.Catalog.docsChecklist.fields.filterNot(_.name == "lang2")),
       Validator.Options(rowIdCol = Some("doc_id")))
     val plan = physical(v)
-    // source's ^src[0-9]$ must compile to char_class_match, not RLike
-    // (Int's ^-?\d+$ legitimately stays RLIKE: two variable-length tokens)
+    // source's ^src[0-9]$ AND the Int fields' ^-?\d+$ must both compile to
+    // char_class_match — this checklist needs no regex engine at all
     assert(plan.contains("char_class_match"), s"expected kernel:\n$plan")
-    assert(!plan.contains("src[0-9]") || !plan.contains("RLIKE(" + "src"),
-      s"the Str class pattern must not fall back to rlike:\n$plan")
+    assert(!plan.contains("RLIKE"),
+      s"anchored class patterns must not fall back to rlike:\n$plan")
   }
 
   test("knnJoin: no Window exchange of scored pairs — bounded partial agg") {
