@@ -70,10 +70,15 @@ object SparkEntry {
     "v_taxonomy" -> Oracles.vTaxonomy,
     "q_taxtree" -> Oracles.qTaxtree,
     "q_tax_desc" -> Oracles.qTaxDesc,
-    "ev_window" -> Oracles.evWindow
-    // dd_minhash / dd_simhash / ann_lsh / ann_ivf / mm_features:
-    // intentionally no oracle (xxhash64 signatures, seeded hyperplanes/
-    // centroids and the stub codec are not DuckDB-expressible) -> driver
-    // records rows-only checks.
-  )
+    "ev_window" -> Oracles.evWindow,
+    "ann_lsh" -> Oracles.annLsh,
+    "mm_features" -> Oracles.mmFeatures
+    // dd_minhash / dd_simhash: intentionally no SQL oracle (xxhash64
+    // signatures are not DuckDB-expressible); end-to-end value checks live
+    // in OpsSpec (planted near-dup properties) + kernel parity specs.
+  ) ++
+    // ann_ivf's oracle inlines the centroid table the query just computed,
+    // so it exists only after the query ran (Verify runs queries first,
+    // then dumps oracleSql — the ordering this depends on).
+    Catalog.lastIvfCentroids.map(c => "ann_ivf" -> Oracles.annIvf(c)).toMap
 }

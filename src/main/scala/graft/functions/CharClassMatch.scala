@@ -26,9 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * middle). Classes must be ASCII (multi-byte UTF-8 never matches — their
  * bytes have the high bit set, same as java.util.regex on non-ASCII
  * chars vs ASCII classes). Anything else — alternation, groups, `.`,
- * `?`, negated classes, unanchored patterns — returns None and the
- * caller keeps `rlike`. Semantics equal Java/Perl `m/^...$/` including
- * the `$`-before-one-trailing-newline rule.
+ * negated classes, unanchored patterns, mid-pattern anchors, letter
+ * escapes (`\s`, `\n`, `\S`, ...) inside or outside classes — returns
+ * None and the caller keeps `rlike`. Semantics equal java.util.regex
+ * (what `rlike` runs) including its `$`-before-one-final-line-terminator
+ * rule — see [[run]].
  */
 object CharClassMatch {
 
@@ -61,9 +63,14 @@ object CharClassMatch {
     def litChar(at: Int): Option[(Char, Int)] = s.charAt(at) match {
       case '\\' if at + 1 < s.length =>
         s.charAt(at + 1) match {
-          case 'd' => None // handled by caller branch below
-          case 'w' => None
-          case c if c < 128 => Some((c, at + 2))
+          // Mirror the top-level rule: an escaped letter/digit is a regex
+          // ESCAPE (`\s` `\n` `\S` `\D` `\W` `\b` `\1` ...), not a literal —
+          // everything but the caller-handled \d/\w is out of scope, so the
+          // whole class returns None and the caller keeps rlike. (Round-2
+          // accepted any ASCII escape as a literal, silently compiling
+          // `[\s]` to a scan for the LETTER 's' — a wrong answer, not a
+          // fallback.)
+          case c if c < 128 && !c.isLetterOrDigit => Some((c, at + 2))
           case _ => None
         }
       case c if c < 128 => Some((c, at + 1))
@@ -160,7 +167,10 @@ object CharClassMatch {
                 .getOrElse(return None)
             case _ => return None // \s \b \1 ...: out of scope
           }
-        case c if "+*?{}()|.".contains(c) => return None
+        // '^'/'$' in the BODY are mid-pattern anchors (the outer ones were
+        // stripped) — compiling them as literal bytes would silently match
+        // "a$b" against `^a$b$`; reject so the caller keeps rlike.
+        case c if "+*?{}()|.^$".contains(c) => return None
         case c if c < 128 =>
           i = quantifiedLiteral(body, c, i + 1, toks, lit, flushLit _)
             .getOrElse(return None)
@@ -237,11 +247,26 @@ object CharClassMatch {
     pos == n
   }
 
-  /** Full anchored match of s against the program (Java/Perl `m/^...$/`
-   * semantics: one trailing newline is tolerated by `$`). */
+  /** Full anchored match of s against the program. Contract: identical to
+   * java.util.regex (the `rlike` engine this kernel substitutes for), whose
+   * `$` matches at end of input or before ONE final line terminator —
+   * `\r\n` (as a unit), `\n`, `\r`, U+0085, U+2028 or U+2029. This is
+   * deliberately the JAVA set, wider than Perl's `\n`-only rule: the same
+   * pattern must give the same verdict whether or not it strength-reduced.
+   * (The reference's Perl `$` would reject a bare trailing `\r`; its CSV
+   * ingest — and ours, ManifestReader — strips CRLF before validation, so
+   * the divergence is unreachable from file input and the kernel sides
+   * with rlike for programmatic input.) */
   def run(s: UTF8String, toks: Array[Tok]): Boolean = {
     var n = s.numBytes
-    if (n > 0 && s.getByte(n - 1) == '\n') n -= 1
+    if (n >= 2 && s.getByte(n - 2) == '\r' && s.getByte(n - 1) == '\n') n -= 2
+    else if (n >= 1 && (s.getByte(n - 1) == '\n' || s.getByte(n - 1) == '\r')) n -= 1
+    else if (n >= 2 && (s.getByte(n - 2) & 0xff) == 0xc2 &&
+      (s.getByte(n - 1) & 0xff) == 0x85) n -= 2 // U+0085 NEL
+    else if (n >= 3 && (s.getByte(n - 3) & 0xff) == 0xe2 &&
+      (s.getByte(n - 2) & 0xff) == 0x80 &&
+      ((s.getByte(n - 1) & 0xff) == 0xa8 || (s.getByte(n - 1) & 0xff) == 0xa9))
+      n -= 3 // U+2028 LS / U+2029 PS
     var fixed = 0
     var v1 = -1
     var v2 = -1

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.FunctionBridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /**
  * SQL surface for the engine's custom Catalyst kernels, so `spark.sql`
@@ -76,7 +76,10 @@ object GraftFunctions {
     fn("top_k_by_score", "_FUNC_(score, id, k) - aggregate: k best (score,id) " +
       "pairs by (score DESC, id ASC), bounded map-side partial aggregation") { args =>
       require(args.size == 3, "top_k_by_score(score, id, k)")
-      TopKByScore(args(0), args(1), intArg(args(2), "k"))
+      // cast like the Column API (TopKByScore.topK) does: without these an
+      // int-typed score/id from SQL hits update()'s asInstanceOf mid-job
+      TopKByScore(Cast(args(0), DoubleType), Cast(args(1), LongType),
+        intArg(args(2), "k"))
     },
     fn("is_blank", "_FUNC_(str) - true iff str is empty or whitespace-only " +
       "([ \\t\\n\\r\\f])") { args =>

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
  * `binary` columns with a typed metadata struct; decode / feature-extract /
  * resize / frame-sample run as per-partition batch transforms.
  *
- * The Spark-side contract (schema, partitioning, batch shape) is real and
- * tested; the actual codec step is STUBBED — no image/audio libraries exist
- * in this container — behind [[DecodeStub]], a deterministic fake keyed on
- * the payload bytes, clearly marked for replacement by a real codec.
+ * The IMAGE modality uses a REAL codec: JDK 17's `javax.imageio` decodes,
+ * scales and re-encodes PNG with no external dependency ([[Codec]]) —
+ * `mm_features` width/height are true pixel dimensions and the resize path
+ * really rescales pixels. Audio/video remain STUBBED behind [[DecodeStub]]
+ * (no ffmpeg-class library exists in this container), a deterministic fake
+ * keyed on the payload bytes, clearly marked for replacement.
  *
  * Batch shape: `mapPartitions` over a typed Dataset is the Scala analogue
  * of `mapInPandas` — one iterator per partition, so a real decoder can
@@ -42,9 +44,10 @@ object Multimodal {
   val FeatureDim = 8
 
   /**
-   * Deterministic stand-in for the real codec. Replace with an actual
-   * decoder (e.g. javax.imageio / ffmpeg bindings) — the surrounding
-   * plumbing (schema, batching, partitioning) does not change.
+   * Deterministic stand-in for the codecs this container lacks (audio,
+   * video, non-PNG image formats). Replace with actual ffmpeg-class
+   * bindings — the surrounding plumbing (schema, batching, partitioning)
+   * does not change. PNG images take the REAL [[Codec]] path instead.
    */
   object DecodeStub {
     def apply(a: Asset): AssetFeatures = {
@@ -60,6 +63,104 @@ object Multimodal {
         duration_ms = if (a.modality == "image") 0L else 1000L + part(2),
         feature = Array.tabulate(FeatureDim)(i =>
           (((h >>> i) & 0xff).toInt / 255.0f) * 2f - 1f))
+    }
+  }
+
+  /** Real image codec over JDK `javax.imageio` — no external dependency.
+   * All entry points are called from executor tasks; ImageIO's reader
+   * registry is static, so there is no per-partition handle to manage
+   * (a native codec would initialize one in the mapPartitions preamble). */
+  object Codec {
+    System.setProperty("java.awt.headless", "true")
+
+    /** Deterministic synthetic PNG: pixel (x,y) color is a pure function of
+     * (seed, x, y), so the same id always encodes byte-identical payload. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = (seed * 1099511628211L ^ (x * 131L + y * 31L) * 2654435761L).toInt
+          img.setRGB(x, y, v & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    /** Real decode + feature extraction: true pixel dimensions and a small
+     * luminance-profile embedding (mean luminance of FeatureDim horizontal
+     * strips, 0..1) — the deterministic stand-in for a vision encoder. */
+    def imageFeatures(a: Asset): AssetFeatures = {
+      val img = decode(a.payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val feature = new Array[Float](FeatureDim)
+      var strip = 0
+      while (strip < FeatureDim) {
+        val y0 = h * strip / FeatureDim
+        val y1 = math.max(y0 + 1, h * (strip + 1) / FeatureDim)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+            x += 1
+          }
+          y += 1
+        }
+        feature(strip) = (sum / ((y1 - y0).toLong * w)).toFloat
+        strip += 1
+      }
+      AssetFeatures(a.asset_id, a.modality, a.n_bytes, w, h, 0L, feature)
+    }
+
+    /** Real rescale: decode, Graphics2D bilinear draw into the target
+     * canvas, re-encode PNG. */
+    def resizePng(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val src = decode(payload)
+      val dst = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic PNG corpus: one REAL encoded PNG per id with
+   * width = 16 + id % 32, height = 16 + (id * 7) % 32 — a formula a SQL
+   * oracle can restate, so decoding it back end-to-end PROVES the codec
+   * round-trip (the generator emits the expected-dims table in SQL form). */
+  def pngAssets(ids: Dataset[Long]): Dataset[Asset] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { id =>
+        val w = 16 + (((id % 32) + 32) % 32).toInt
+        val h = 16 + ((((id * 7) % 32) + 32) % 32).toInt
+        val png = Codec.encodePng(w, h, id)
+        digest.reset()
+        Asset(id, "image", png, "image/png", png.length.toLong,
+          digest.digest(png).map("%02x".format(_)).mkString)
+      }
     }
   }
 
@@ -79,12 +180,17 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** Per-partition batched decode/feature-extract (stubbed codec). */
+  /** Per-partition batched decode/feature-extract: REAL `javax.imageio`
+   * decode for `image/png` payloads (true pixel dims + luminance profile);
+   * [[DecodeStub]] for the modalities this container has no codec for. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real codec: initialize decoder/model HERE, once per partition
-      it.map(DecodeStub(_))
+      // a native codec/model handle would be initialized HERE, once per
+      // partition; ImageIO's registry is static so PNG needs no handle
+      it.map { a =>
+        if (a.mime == "image/png") Codec.imageFeatures(a) else DecodeStub(a)
+      }
     }
   }
 
@@ -103,33 +209,36 @@ object Multimodal {
         sequence(lit(0L), col("duration_ms"), lit(everyMs)).as("frame_times_ms"))
 
   /**
-   * Per-partition batched resize (stubbed codec): the real op decodes the
-   * payload, scales it to `width` x `height` and re-encodes. The stub emits
-   * a deterministic payload derived from the source bytes with the byte
-   * budget of the target dimensions, so everything AROUND the codec —
-   * asset identity, metadata recompute (n_bytes/sha256 of the NEW payload),
-   * per-partition codec init, output schema — is real and tested. A
-   * replacement codec changes only the marked line.
+   * Per-partition batched resize: REAL decode-scale-reencode for
+   * `image/png` payloads ([[Codec.resizePng]]); for modalities without a
+   * codec in this container, a deterministic stub payload with the byte
+   * budget of the target dimensions. Metadata (n_bytes/sha256) is
+   * recomputed over the NEW payload on both paths.
    */
   def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     require(width > 0 && height > 0, "resize dims must be positive")
     val outLen = math.max(16, (width.toLong * height / 64).toInt)
     assets.mapPartitions { it =>
-      // real codec: initialize the scaler ONCE per partition, here — like
-      // the digest instance below, never per row
+      // a native scaler would be initialized ONCE per partition, here —
+      // like the digest instance below, never per row
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { a =>
-        // --- stub scale step: deterministic bytes from an FNV-1a stream ---
-        var h = a.payload.foldLeft(1469598103934665603L)((acc, b) =>
-          (acc ^ (b & 0xff)) * 1099511628211L)
-        val out = new Array[Byte](outLen)
-        var i = 0
-        while (i < outLen) {
-          h = (h ^ i) * 1099511628211L
-          out(i) = (h >>> 56).toByte
-          i += 1
-        }
+        val out =
+          if (a.mime == "image/png") Codec.resizePng(a.payload, width, height)
+          else {
+            // --- stub scale step (audio/video): FNV-1a byte stream ---
+            var h = a.payload.foldLeft(1469598103934665603L)((acc, b) =>
+              (acc ^ (b & 0xff)) * 1099511628211L)
+            val bytes = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) {
+              h = (h ^ i) * 1099511628211L
+              bytes(i) = (h >>> 56).toByte
+              i += 1
+            }
+            bytes
+          }
         // --- real metadata recompute over the NEW payload ---
         digest.reset()
         val sha = digest.digest(out).map("%02x".format(_)).mkString

@@ -148,9 +148,31 @@ object Similarity {
    * k-entry heap per probe, so the exchange carries
    * #partitions x #probes x k fixed-width entries, independent of corpus
    * size — the shape that survives 10^9 corpus rows.
+   *
+   * Contract (fail-fast, not silent):
+   *  - `idCol` must be NUMERIC on both sides — the aggregate keeps ids as
+   *    long. A string/UUID id would cast to null and silently drop every
+   *    row; map such ids to a dense surrogate first and join back after.
+   *  - the probe side is BROADCAST (that is what makes the corpus side
+   *    shuffle-free), so it must stay dimension-sized: at most `maxProbes`
+   *    rows (default 100k ~ tens of MB of vectors). Larger probe sets need
+   *    a partitioned formulation (e.g. LSH-bucket both sides and join on
+   *    bucket), not a bigger broadcast.
    */
   def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, maxProbes: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    for ((df, side) <- Seq(corpus -> "corpus", probes -> "probes")) {
+      val dt = df.schema(idCol).dataType
+      require(dt.isInstanceOf[NumericType],
+        s"knnJoin $side id column '$idCol' must be numeric (got $dt): map to " +
+          "a dense surrogate id and join back, or the long cast nulls every row")
+    }
+    // bounded count: scans at most maxProbes+1 probe rows, never the corpus
+    val nProbes = probes.limit(maxProbes + 1).count()
+    require(nProbes <= maxProbes,
+      s"knnJoin probe side exceeds maxProbes=$maxProbes rows - the probe set " +
+        "is broadcast and must stay dimension-sized; use a bucketed variant")
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("cvec"))
     val p = broadcast(probes.select(col(idCol).cast("long").as("probe_id"), col(vecCol).as("pvec")))
     val scored = c.join(p, col("corpus_id") =!= col("probe_id"))

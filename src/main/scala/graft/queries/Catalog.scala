@@ -248,8 +248,16 @@ object Catalog {
       q, 10, planes)
   }
 
-  /** IVF-bucketed ANN top-10 (scale path #2; rows-only — seeded centroid
-   * initialization is not SQL-expressible). Probes 2 of 8 coarse clusters. */
+  /** Centroids used by the most recent [[annIvf]] run in this JVM — the
+   * seeded k-means result is data-derived, so the DuckDB oracle cannot
+   * restate it; instead Verify inlines THESE exact values into
+   * [[Oracles.annIvf]] after the query runs (publish the lookup data, the
+   * reference's own design for ontology sets, Plugin/Ontology.pm:63-69). */
+  @volatile var lastIvfCentroids: Option[Array[Array[Double]]] = None
+
+  /** IVF-bucketed ANN top-10 (scale path #2). Probes 2 of 8 coarse
+   * clusters; the oracle recomputes assignment + probe list + rerank from
+   * the recorded centroid table. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select("embedding")
@@ -257,6 +265,7 @@ object Catalog {
     val corpus = e.filter(col("vec_id") =!= 0)
     val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
       k = 8, iters = 2)
+    lastIvfCentroids = Some(cents)
     Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nprobe = 2)
   }
 
@@ -266,14 +275,20 @@ object Catalog {
       Multimodal.toAssets(docs(spark, dir), "doc_id", "text", "text", "text/plain"))
       .orderBy("asset_id")
 
-  /** Multimodal feature extraction through the stubbed per-partition codec
-   * (rows-only check: the stub features are not SQL-expressible). */
-  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
-      Multimodal.toAssets(docs(spark, dir), "doc_id", "text", "image", "image/x-stub"))
+  /** Multimodal feature extraction through the REAL per-partition PNG
+   * codec: each doc_id becomes a real encoded PNG whose dimensions follow
+   * a closed formula; the pipeline decodes the pixels back, so the
+   * oracle-matched width/height prove an end-to-end encode-decode round
+   * trip (n_bytes/sha256 are PNG-encoder-specific and stay out of the
+   * oracle-checked projection). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = docs(spark, dir).select(col("doc_id").cast("long")).as[Long]
+    Multimodal.extractFeatures(Multimodal.pngAssets(ids))
       .toDF()
-      .select("asset_id", "modality", "n_bytes", "width", "height", "duration_ms")
+      .select("asset_id", "modality", "width", "height", "duration_ms")
       .orderBy("asset_id")
+  }
 
   // --- dependency rules + remaining plugin families on real tables ---------
 

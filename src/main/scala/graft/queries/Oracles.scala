@@ -280,10 +280,98 @@ object Oracles {
       |FROM ranked WHERE "rank" <= 3
       |ORDER BY probe_id, "rank"""".stripMargin
 
+  /** Shortest-round-trip double literal: Double.toString parses back to the
+   * identical bit pattern in DuckDB, so inlined lookup data (hyperplanes,
+   * centroids) is byte-exact across engines. */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s == "NaN" || s.contains("Infinity"))
+      throw new IllegalArgumentException(s"non-finite lookup value $x")
+    s
+  }
+  private def listLit(v: Array[Double]): String = v.map(dlit).mkString("[", ", ", "]")
+
+  /**
+   * ann_lsh oracle: the hyperplanes are pure seed data
+   * ([[graft.ops.Similarity.hyperplanes]](64, 4, seed=42) — no data
+   * dependence), so they inline as literals and DuckDB recomputes the
+   * bucket assignment exactly (publish-the-lookup-data design; the
+   * reference does the same for ontology membership, Plugin/Ontology.pm:63-69).
+   * Bucket bit b is sign(dot(v, plane_b)); both engines evaluate the dot
+   * in double precision, so the sign agrees bit-for-bit.
+   */
+  val annLsh: String = {
+    val planes = graft.ops.Similarity.hyperplanes(dim = 64, bits = 4)
+    val bucketOf = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_dot_product($v, ${listLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |b AS (
+       |  SELECT e.vec_id, e.v,
+       |    ${bucketOf("e.v")} AS bucket,
+       |    ${bucketOf("q.qv")} AS qbucket,
+       |    q.qv
+       |  FROM e, q WHERE e.vec_id <> 0)
+       |SELECT vec_id,
+       |  round(list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+       |FROM b WHERE bucket = qbucket
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /**
+   * ann_ivf oracle, parameterized by the centroid table the Spark query
+   * actually used (recorded by [[Catalog.annIvf]], inlined by Verify at
+   * oracle-dump time — the centroids are data-derived, so unlike the LSH
+   * planes they cannot be static). DuckDB recomputes the nearest-centroid
+   * assignment (squared L2, ties to the lower index — same contract as
+   * [[graft.ops.Similarity.nearestCentroid]]), the nprobe=2 probe list,
+   * and the exact cosine rerank.
+   */
+  def annIvf(centroids: Array[Array[Double]], nprobe: Int = 2): String = {
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${listLit(c)})" }.mkString(",\n    ")
+    s"""WITH cents(ci, c) AS (VALUES
+       |    $cents),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT e.vec_id, e.v, cents.ci,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cents.c)
+       |        + list_dot_product(cents.c, cents.c) ASC, cents.ci ASC) AS rn
+       |  FROM e, cents WHERE e.vec_id <> 0),
+       |probe AS (
+       |  SELECT cents.ci FROM cents, q
+       |  ORDER BY list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, cents.c)
+       |    + list_dot_product(cents.c, cents.c) ASC, cents.ci ASC LIMIT $nprobe)
+       |SELECT a.vec_id,
+       |  round(list_dot_product(a.v, q.qv)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |FROM assign a, q
+       |WHERE a.rn = 1 AND a.ci IN (SELECT ci FROM probe)
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val mmMeta: String =
     """SELECT doc_id AS asset_id, 'text' AS modality, 'text/plain' AS mime,
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
       |  sha256(text) AS "sha256"
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** The expected-dims table for the synthetic PNG corpus: the generator's
+   * dimension formula restated in SQL. A match proves the Spark side really
+   * encoded a PNG of these dims AND decoded the pixels back ([[Catalog.mmFeatures]]). */
+  val mmFeatures: String =
+    """SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS modality,
+      |  CAST(16 + doc_id % 32 AS INT) AS width,
+      |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+      |  CAST(0 AS BIGINT) AS duration_ms
       |FROM documents ORDER BY asset_id""".stripMargin
 
   /** Shared rule conditions for the dependency checklist over derived

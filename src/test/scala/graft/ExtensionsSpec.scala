@@ -59,6 +59,15 @@ class ExtensionsSpec extends SparkSuite {
       2 -> Seq((0.3, 9L), (0.1, 7L))))
   }
 
+  test("top_k_by_score casts int score/id like the Column API (no runtime CCE)") {
+    val got = spark.sql(
+      """SELECT top_k_by_score(s, id, 2) AS tk
+        |FROM VALUES (5, 10), (9, 4), (7, 1) AS t(s, id)""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(got === Seq((9.0, 4L), (7.0, 1L)))
+  }
+
   test("is_blank + char_class_match from SQL") {
     val r = spark.sql(
       """SELECT is_blank(''), is_blank(' \t'), is_blank('x'),

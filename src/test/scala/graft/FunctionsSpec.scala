@@ -203,6 +203,108 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("CharClassMatch rejects letter escapes in classes and mid-pattern anchors") {
+    import graft.functions.CharClassMatch
+    // round-2 bug: these compiled to literal-LETTER scans (silent wrong
+    // answers); they must return None so the caller keeps rlike
+    Seq("^[\\s]$", "^[\\n]+$", "^[\\t]$", "^[\\S]$", "^[\\D]$", "^[\\W]$",
+      "^[a\\s]+$", "^[\\w\\s]+$", "^[\\b]$", "^[\\1]$", "^[a-\\d]$",
+      "^a$b$", "^a^b$", "^$a$")
+      .foreach(p => assert(CharClassMatch.compile(p).isEmpty, p))
+    // escaped punctuation inside classes stays supported and correct
+    val p = "^[\\-\\.a-f]+$"
+    val prog = CharClassMatch.compile(p).get
+    val jre = java.util.regex.Pattern.compile(p)
+    Seq("-.af", "a-f.", "g", "", "A", "a.f\n", "-").foreach { s =>
+      assert(CharClassMatch.run(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), prog)
+        === jre.matcher(s).find(), s)
+    }
+  }
+
+  test("CharClassMatch $ tolerates exactly java.util.regex's final line terminators") {
+    import graft.functions.CharClassMatch
+    val prog = CharClassMatch.compile("^abc$").get
+    val jre = java.util.regex.Pattern.compile("^abc$")
+    val table = Seq(
+      "abc" -> true, "abc\n" -> true, "abc\r\n" -> true, "abc\r" -> true,
+      "abc\u0085" -> true, "abc\u2028" -> true, "abc\u2029" -> true,
+      "abc\n\n" -> false, "abc\r\r" -> false, "abc\n\r" -> false,
+      "abc\r\n\n" -> false, "abc " -> false, "ab\nc" -> false,
+      "abc\u0085\u0085" -> false, "abc\u2028x" -> false)
+    table.foreach { case (s, want) =>
+      assert(jre.matcher(s).find() === want, s"oracle drift: $s") // self-check
+      assert(CharClassMatch.run(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), prog) === want,
+        s.map(_.toInt).mkString(","))
+    }
+  }
+
+  test("CharClassMatch property fuzz: kernel == java.util.regex on generated patterns") {
+    import graft.functions.CharClassMatch
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(2026L)
+    val classes = Seq(
+      "[a-f]" -> "abcdef", "[0-9]" -> "0123456789",
+      "[a-f0-9_]" -> "abcdef0123456789_", "\\d" -> "0123456789",
+      "\\w" -> "azAZ09_", "[abc]" -> "abc", "[.-]" -> ".-", "[\\-\\.]" -> "-.")
+    def quant(): (String, Int, Int) = rnd.nextInt(7) match {
+      case 0 => ("", 1, 1)
+      case 1 => ("+", 1, 5)
+      case 2 => ("*", 0, 5)
+      case 3 => ("?", 0, 1)
+      case 4 => ("{2}", 2, 2)
+      case 5 => ("{1,3}", 1, 3)
+      case _ => ("{2,}", 2, 5)
+    }
+    val noiseAlpha = "abf09_.-\t\n\r xZ"
+    var tested = 0
+    for (_ <- 1 to 400) {
+      val nTok = 1 + rnd.nextInt(4)
+      val sb = new StringBuilder("^")
+      // each maker renders one token's worth of (possibly) matching text
+      val makers = (1 to nTok).map { _ =>
+        if (rnd.nextBoolean()) {
+          val (pat, alpha) = classes(rnd.nextInt(classes.length))
+          val (q, lo, hi) = quant()
+          sb.append(pat).append(q)
+          () => {
+            val len = lo + rnd.nextInt(hi - lo + 1)
+            (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+          }
+        } else {
+          val chars = "abz019_"
+          val (pat, s) =
+            if (rnd.nextInt(4) == 0) ("\\.", ".")
+            else { val c = chars(rnd.nextInt(chars.length)).toString; (c, c) }
+          sb.append(pat)
+          () => s
+        }
+      }
+      sb.append("$")
+      val p = sb.toString
+      CharClassMatch.compile(p).foreach { prog =>
+        tested += 1
+        val jre = java.util.regex.Pattern.compile(p)
+        val base = (1 to 6).map(_ => makers.map(_()).mkString)
+        val mutated = base.flatMap { s =>
+          Seq(s, s + "\n", s + "\r\n", s + "\r", s + "\u0085",
+            s + "\u2028", s + "\u2029", s + "\n\n", s + "x", "x" + s,
+            s + " ", s.drop(1))
+        }
+        val noise = (1 to 10).map(_ => (0 until rnd.nextInt(8)).map(_ =>
+          noiseAlpha(rnd.nextInt(noiseAlpha.length))).mkString)
+        for (s <- (mutated ++ noise).distinct) {
+          val want = jre.matcher(s).find()
+          val got = CharClassMatch.run(UTF8String.fromString(s), prog)
+          assert(got === want,
+            s"pattern=$p value=[${s.map(_.toInt).mkString(",")}]")
+        }
+      }
+    }
+    assert(tested >= 100, s"generator only produced $tested compilable patterns")
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))

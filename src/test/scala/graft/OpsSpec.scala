@@ -157,6 +157,20 @@ class OpsSpec extends SparkSuite {
     assert(got.toSeq === expect)
   }
 
+  test("knnJoin fails fast on non-numeric ids and oversized probe sets") {
+    val vecs = randVecs(20, 8, 17L)
+    val df = vecs.toDF("vec_id", "embedding")
+    val strIds = df.selectExpr("concat('id', vec_id) AS vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(strIds, strIds.limit(2), "vec_id", "embedding", 3)
+    }
+    assert(e1.getMessage.contains("must be numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(df, df, "vec_id", "embedding", 3, maxProbes = 10)
+    }
+    assert(e2.getMessage.contains("maxProbes"))
+  }
+
   test("TopKByScore heap: under-full, ties, eviction order") {
     import graft.functions.TopKByScore
     val b = new TopKByScore.Buffer(3)
@@ -250,5 +264,103 @@ class OpsSpec extends SparkSuite {
     assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq) // deterministic
     assert(f1.forall(_.feature.length === Multimodal.FeatureDim))
     assert(f1.forall(f => f.width >= 16 && f.height >= 16))
+  }
+
+  test("multimodal PNG: real encode -> decode round trip, dims match the formula") {
+    import spark.implicits._
+    val ids = (0L to 70L).toDS()
+    val feats = Multimodal.extractFeatures(Multimodal.pngAssets(ids))
+      .collect().sortBy(_.asset_id)
+    assert(feats.length === 71)
+    feats.foreach { f =>
+      assert(f.width === 16 + (f.asset_id % 32).toInt, s"id=${f.asset_id}")
+      assert(f.height === 16 + ((f.asset_id * 7) % 32).toInt, s"id=${f.asset_id}")
+      assert(f.modality === "image" && f.duration_ms === 0L)
+      // luminance profile is a real pixel statistic: all strips in [0,1]
+      assert(f.feature.length === Multimodal.FeatureDim)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+    // payloads are genuine PNGs (magic bytes) and deterministic across runs
+    val a1 = Multimodal.pngAssets(ids).collect().sortBy(_.asset_id)
+    val a2 = Multimodal.pngAssets(ids).collect().sortBy(_.asset_id)
+    assert(a1.map(_.sha256).toSeq === a2.map(_.sha256).toSeq)
+    val magic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    assert(a1.forall(_.payload.take(4).sameElements(magic)))
+  }
+
+  // deterministic planted-near-dup corpus shared by the two end-to-end
+  // dedup property tests: 600 base docs of 40-70 random tokens, plus one
+  // near-dup clone (single token replaced) of every 10th doc at id+100000
+  lazy val plantedCorpus: (Seq[(Long, String)], Seq[Long]) = {
+    val rnd = new scala.util.Random(99L)
+    val vocab = (1 to 400).map(i => s"w$i")
+    val base = (0 until 600).map { i =>
+      val n = 40 + rnd.nextInt(31)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val clones = base.filter(_._1 % 10 == 0).map { case (id, text) =>
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+      (id + 100000L, toks.mkString(" "))
+    }
+    (base ++ clones, clones.map(_._1 - 100000L))
+  }
+
+  test("minhash end-to-end property: planted near-dups found, est_jaccard tracks exact") {
+    val (corpus, plantedIds) = plantedCorpus
+    val df = corpus.toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8)
+    val withExact = Dedup.ngramJaccard(
+      cands.select("id_a", "id_b", "est_jaccard"), df, "doc_id", "text", k = 3)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val found = withExact.map(t => (t._1, t._2)).toSet
+    // recall on the planted pairs: one replaced token in 40-70 leaves 3-gram
+    // Jaccard ~0.85-0.95; at 8 bands x 4 rows the LSH miss probability per
+    // pair is <1e-3, so at most 1 of the 60 planted pairs may be missed
+    val missed = plantedIds.filterNot(id => found.contains((id, id + 100000L)))
+    assert(missed.size <= 1, s"LSH missed planted pairs: $missed")
+    // estimator property: per-pair |est - exact| within 4 sigma of the
+    // 32-hash binomial (~0.24), and unbiased on average
+    val errs = withExact.map(t => t._3 - t._4)
+    assert(withExact.forall(t => math.abs(t._3 - t._4) <= 0.25),
+      s"worst est error ${errs.map(math.abs).max}")
+    assert(math.abs(errs.sum / errs.length) <= 0.05, "estimator biased")
+    // every planted candidate's exact jaccard really is high (the plant
+    // construction itself is sane)
+    withExact.filter(t => plantedIds.contains(t._1) && t._2 == t._1 + 100000L)
+      .foreach(t => assert(t._4 >= 0.7, s"planted pair $t not a near-dup"))
+  }
+
+  test("simhash end-to-end property: pipeline == brute-force hamming<=3 on planted corpus") {
+    val (corpus, _) = plantedCorpus
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the driver-side simhashes (660 docs -> 217k pairs)
+    val hashes = df.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === want, // pigeonhole blocking is lossless for d <= maxDist
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "vacuous: corpus must contain hamming<=3 pairs")
+  }
+
+  test("multimodal PNG resize: really rescales pixels to the target dims") {
+    import spark.implicits._
+    val assets = Multimodal.pngAssets(Seq(3L, 17L).toDS())
+    val resized = Multimodal.resize(assets, 24, 20).collect().sortBy(_.asset_id)
+    resized.foreach { a =>
+      val img = Multimodal.Codec.decode(a.payload)
+      assert(img.getWidth === 24 && img.getHeight === 20)
+      // metadata recomputed over the NEW payload
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      assert(a.sha256 === d.digest(a.payload).map("%02x".format(_)).mkString)
+      assert(a.n_bytes === a.payload.length.toLong)
+    }
   }
 }
