@@ -104,8 +104,12 @@ object ChecklistCompiler {
   /** Boolean type predicate over the quote-stripped, non-empty value. */
   def typePredicate(ftype: FieldType, v: Column): Column = ftype match {
     case FieldType.BoolT =>
-      // reference: Plugin/Bool.pm:12-16
-      v.rlike("(?i)^(1|true|yes|0|false|no)$")
+      // reference: Plugin/Bool.pm:12-16. The anchored case-insensitive
+      // literal alternation strength-reduces to the AsciiAltMatch byte
+      // compare (rlike-identical semantics, no per-row Matcher).
+      val boolPattern = "(?i)^(1|true|yes|0|false|no)$"
+      graft.functions.AsciiAltMatch.columnIfSupported(v, boolPattern)
+        .getOrElse(v.rlike(boolPattern))
     case FieldType.IntT(min, max) =>
       // reference: Plugin/Int.pm:14-27. Numeric bound compare on a wide
       // decimal so 19+-digit literals behave like Perl's numeric compare.
@@ -131,6 +135,7 @@ object ChecklistCompiler {
       val nonBlank = !graft.functions.IsBlank(v)
       pattern.map { p =>
         val m = graft.functions.CharClassMatch.columnIfSupported(v, p)
+          .orElse(graft.functions.AsciiAltMatch.columnIfSupported(v, p))
           .getOrElse(v.rlike(p))
         nonBlank && m
       }.getOrElse(nonBlank)

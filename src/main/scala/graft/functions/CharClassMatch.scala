@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * per char; this kernel is branch-per-byte with zero allocation (measured
  * ~2.4x on the three code_files field regexes over 32M rows).
  *
- * Supported: `^ ... $` around any sequence of literal runs and classes
+ * Supported: `^ ... $` (optionally prefixed by the `(?i)` ASCII-fold
+ * flag, e.g. the reference's MD5 subtype `(?i)^[0-9a-f]{32}$`,
+ * Types.pm:32-40) around any sequence of literal runs and classes
  * `[...]` / `\d` / `\w` with quantifiers `+ * {n} {n,} {n,m}`, where at
  * most ONE token is variable-length (so matching needs no backtracking:
  * fixed tokens match from both ends, the variable class absorbs the
@@ -119,12 +121,19 @@ object CharClassMatch {
     }
   }
 
+  /** Compiled program: token list + whether to ASCII-case-fold (the `(?i)`
+   * flag; Java's `(?i)` without UNICODE_CASE folds ASCII letters only,
+   * which is exactly a byte-level a..z mapping). */
+  final case class Prog(toks: Array[Tok], fold: Boolean) extends Serializable
+
   /** Compile a regex to a token program, or None if out of scope. */
-  def compile(pattern: String): Option[Array[Tok]] = {
-    if (pattern.length < 2 || pattern.charAt(0) != '^' ||
-      pattern.charAt(pattern.length - 1) != '$' || pattern.endsWith("\\$"))
+  def compile(pattern: String): Option[Prog] = {
+    val fold = pattern.startsWith("(?i)")
+    val p = if (fold) pattern.substring(4) else pattern
+    if (p.length < 2 || p.charAt(0) != '^' ||
+      p.charAt(p.length - 1) != '$' || p.endsWith("\\$"))
       return None
-    val body = pattern.substring(1, pattern.length - 1)
+    val body = p.substring(1, p.length - 1)
     val toks = ArrayBuffer.empty[Tok]
     val lit = ArrayBuffer.empty[Byte]
     def flushLit(): Unit =
@@ -178,7 +187,19 @@ object CharClassMatch {
       }
     }
     flushLit()
-    val out = toks.toArray
+    // case folding: lowercase literal bytes; add the lowercase twin of any
+    // letter bit in a class (input bytes are folded to lowercase at match
+    // time, so upper bits simply become unreachable, never wrong)
+    val out = (if (!fold) toks else toks.map[Tok] {
+      case Lit(bytes) => Lit(bytes.map(b =>
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte else b))
+      case Cls(bits, mn, mx) =>
+        val nb = bits.clone()
+        ('A' to 'Z').foreach { c =>
+          if ((bits(c >>> 6) & (1L << (c & 63))) != 0) bit(nb, (c + 32).toChar)
+        }
+        Cls(nb, mn, mx)
+    }).toArray
     // at most TWO variable-length tokens, and if two, the smaller span must
     // be tiny — matching then needs at most span+1 attempts, no general
     // backtracking (covers the ubiquitous `^-?\d+$` shape)
@@ -187,8 +208,8 @@ object CharClassMatch {
         if (mx == Int.MaxValue) Int.MaxValue else mx - mn
     }
     spans.length match {
-      case 0 | 1 => Some(out)
-      case 2 if spans.min <= 8 => Some(out)
+      case 0 | 1 => Some(Prog(out, fold))
+      case 2 if spans.min <= 8 => Some(Prog(out, fold))
       case _ => None
     }
   }
@@ -216,9 +237,28 @@ object CharClassMatch {
   private def inCls(bits: Array[Long], b: Byte): Boolean =
     b >= 0 && (bits(b >>> 6) & (1L << (b & 63))) != 0
 
+  private def foldByte(b: Byte, fold: Boolean): Byte =
+    if (fold && b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  /** Effective length under java.util.regex `$`: the byte count with ONE
+   * final line terminator (`\r\n`, `\n`, `\r`, U+0085, U+2028, U+2029)
+   * stripped. Shared by [[CharClassMatch]] and [[AsciiAltMatch]]. */
+  def effectiveLength(s: UTF8String): Int = {
+    val n = s.numBytes
+    if (n >= 2 && s.getByte(n - 2) == '\r' && s.getByte(n - 1) == '\n') n - 2
+    else if (n >= 1 && (s.getByte(n - 1) == '\n' || s.getByte(n - 1) == '\r')) n - 1
+    else if (n >= 2 && (s.getByte(n - 2) & 0xff) == 0xc2 &&
+      (s.getByte(n - 1) & 0xff) == 0x85) n - 2 // U+0085 NEL
+    else if (n >= 3 && (s.getByte(n - 3) & 0xff) == 0xe2 &&
+      (s.getByte(n - 2) & 0xff) == 0x80 &&
+      ((s.getByte(n - 1) & 0xff) == 0xa8 || (s.getByte(n - 1) & 0xff) == 0xa9))
+      n - 3 // U+2028 LS / U+2029 PS
+    else n
+  }
+
   /** Match the whole program against s[0,n) with the variable tokens at
    * vi1/vi2 assigned lengths len1/len2 (pass -1 for absent vars). */
-  private def matchWith(s: UTF8String, n: Int, toks: Array[Tok],
+  private def matchWith(s: UTF8String, n: Int, toks: Array[Tok], fold: Boolean,
       vi1: Int, len1: Int, vi2: Int, len2: Int): Boolean = {
     var pos = 0
     var t = 0
@@ -228,7 +268,7 @@ object CharClassMatch {
           if (pos + bytes.length > n) return false
           var i = 0
           while (i < bytes.length) {
-            if (s.getByte(pos + i) != bytes(i)) return false
+            if (foldByte(s.getByte(pos + i), fold) != bytes(i)) return false
             i += 1
           }
           pos += bytes.length
@@ -237,7 +277,7 @@ object CharClassMatch {
           if (pos + len > n) return false
           var i = 0
           while (i < len) {
-            if (!inCls(bits, s.getByte(pos + i))) return false
+            if (!inCls(bits, foldByte(s.getByte(pos + i), fold))) return false
             i += 1
           }
           pos += len
@@ -257,16 +297,10 @@ object CharClassMatch {
    * ingest — and ours, ManifestReader — strips CRLF before validation, so
    * the divergence is unreachable from file input and the kernel sides
    * with rlike for programmatic input.) */
-  def run(s: UTF8String, toks: Array[Tok]): Boolean = {
-    var n = s.numBytes
-    if (n >= 2 && s.getByte(n - 2) == '\r' && s.getByte(n - 1) == '\n') n -= 2
-    else if (n >= 1 && (s.getByte(n - 1) == '\n' || s.getByte(n - 1) == '\r')) n -= 1
-    else if (n >= 2 && (s.getByte(n - 2) & 0xff) == 0xc2 &&
-      (s.getByte(n - 1) & 0xff) == 0x85) n -= 2 // U+0085 NEL
-    else if (n >= 3 && (s.getByte(n - 3) & 0xff) == 0xe2 &&
-      (s.getByte(n - 2) & 0xff) == 0x80 &&
-      ((s.getByte(n - 1) & 0xff) == 0xa8 || (s.getByte(n - 1) & 0xff) == 0xa9))
-      n -= 3 // U+2028 LS / U+2029 PS
+  def run(s: UTF8String, prog: Prog): Boolean = {
+    val toks = prog.toks
+    val fold = prog.fold
+    val n = effectiveLength(s)
     var fixed = 0
     var v1 = -1
     var v2 = -1
@@ -281,11 +315,11 @@ object CharClassMatch {
       }
       t += 1
     }
-    if (v1 < 0) return n == fixed && matchWith(s, n, toks, -1, 0, -1, 0)
+    if (v1 < 0) return n == fixed && matchWith(s, n, toks, fold, -1, 0, -1, 0)
     val (mn1, mx1) = toks(v1) match { case Cls(_, a, b) => (a, b); case _ => return false }
     if (v2 < 0) {
       val mid = n - fixed
-      return mid >= mn1 && mid <= mx1 && matchWith(s, n, toks, v1, mid, -1, 0)
+      return mid >= mn1 && mid <= mx1 && matchWith(s, n, toks, fold, v1, mid, -1, 0)
     }
     val (mn2, mx2) = toks(v2) match { case Cls(_, a, b) => (a, b); case _ => return false }
     // loop the smaller-span token's feasible lengths (compile caps it at 8)
@@ -300,16 +334,15 @@ object CharClassMatch {
     while (lenA <= hiA) {
       val lenB = rest - lenA
       if (lenB >= mnB && lenB <= mxB &&
-        matchWith(s, n, toks, va, lenA, vb, lenB)) return true
+        matchWith(s, n, toks, fold, va, lenA, vb, lenB)) return true
       lenA += 1
     }
     false
   }
 
-  /** Generated-code entry point: janino-side arrays are typed Object[]
-   * (the Scala-nested Tok type has no clean Java source name). */
-  def runGeneric(s: UTF8String, toks: Array[AnyRef]): Boolean =
-    run(s, toks.asInstanceOf[Array[Tok]])
+  /** Generated-code entry point (janino-side reference type is Object). */
+  def runGeneric(s: UTF8String, prog: AnyRef): Boolean =
+    run(s, prog.asInstanceOf[Prog])
 
   /** Column form when the pattern is in scope; None -> caller uses rlike. */
   def columnIfSupported(c: Column, pattern: String): Option[Column] =
@@ -322,7 +355,7 @@ object CharClassMatch {
 case class CharClassMatch(child: Expression, pattern: String)
     extends UnaryExpression {
 
-  @transient private lazy val program: Array[CharClassMatch.Tok] =
+  @transient private lazy val program: CharClassMatch.Prog =
     CharClassMatch.compile(pattern).getOrElse(
       throw new IllegalArgumentException(s"unsupported pattern $pattern"))
 
@@ -334,7 +367,7 @@ case class CharClassMatch(child: Expression, pattern: String)
     CharClassMatch.run(value.asInstanceOf[UTF8String], program)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val progRef = ctx.addReferenceObj("ccmProgram", program, "java.lang.Object[]")
+    val progRef = ctx.addReferenceObj("ccmProgram", program, "java.lang.Object")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.CharClassMatch$$.MODULE$$.runGeneric($c, $progRef);")
   }

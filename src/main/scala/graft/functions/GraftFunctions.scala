@@ -97,6 +97,18 @@ object GraftFunctions {
       require(CharClassMatch.compile(pattern).isDefined,
         s"pattern not in the supported anchored char-class family: $pattern")
       CharClassMatch(args(0), pattern)
+    },
+    fn("ascii_alt_match", "_FUNC_(str, pattern) - anchored literal-alternation " +
+      "regex match (^(a|b)$ / (?i)^(a|b)$) via byte compare") { args =>
+      require(args.size == 2, "ascii_alt_match(str, pattern)")
+      val pattern = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"pattern must be a string literal, got $other")
+      }
+      require(AsciiAltMatch.compile(pattern).isDefined,
+        s"pattern not in the supported anchored literal-alternation family: $pattern")
+      AsciiAltMatch(args(0), pattern)
     }
   )
 

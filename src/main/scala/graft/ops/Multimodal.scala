@@ -78,16 +78,18 @@ object Multimodal {
     def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
           val v = (seed * 1099511628211L ^ (x * 131L + y * 31L) * 2654435761L).toInt
-          img.setRGB(x, y, v & 0xffffff)
+          px(y * width + x) = v & 0xffffff
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, width, height, px, 0, width)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -101,27 +103,27 @@ object Multimodal {
 
     /** Real decode + feature extraction: true pixel dimensions and a small
      * luminance-profile embedding (mean luminance of FeatureDim horizontal
-     * strips, 0..1) — the deterministic stand-in for a vision encoder. */
+     * strips, 0..1) — the deterministic stand-in for a vision encoder.
+     * Pixels are read in ONE bulk getRGB call: the per-pixel accessor does
+     * a color-model conversion per call and measured ~5x slower. */
     def imageFeatures(a: Asset): AssetFeatures = {
       val img = decode(a.payload)
       val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val feature = new Array[Float](FeatureDim)
       var strip = 0
       while (strip < FeatureDim) {
         val y0 = h * strip / FeatureDim
         val y1 = math.max(y0 + 1, h * (strip + 1) / FeatureDim)
-        var sum = 0.0
-        var y = y0
-        while (y < y1) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
-            x += 1
-          }
-          y += 1
+        var sum = 0L // channel values are ints; exact integer accumulation
+        var i = y0 * w
+        val end = y1 * w
+        while (i < end) {
+          val rgb = px(i)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          i += 1
         }
-        feature(strip) = (sum / ((y1 - y0).toLong * w)).toFloat
+        feature(strip) = (sum / (3.0 * 255.0 * (end - y0 * w))).toFloat
         strip += 1
       }
       AssetFeatures(a.asset_id, a.modality, a.n_bytes, w, h, 0L, feature)

@@ -164,11 +164,13 @@ class FunctionsSpec extends SparkSuite {
       "^x[0-9]*y$",
       // two variable tokens, one small-bounded (<= 9 attempts, no general
       // backtracking): the Int validator's shape
-      "^-?\\d+$", "^-?\\d{1,3}$", "^[ab]{0,2}x[0-9]*$")
+      "^-?\\d+$", "^-?\\d{1,3}$", "^[ab]{0,2}x[0-9]*$",
+      // (?i) ASCII fold: the reference's MD5 subtype + mixed literal/class
+      "(?i)^[0-9a-f]{32}$", "(?i)^src[0-9]$", "(?i)^[A-F]+x$")
     patterns.foreach(p => assert(CharClassMatch.compile(p).isDefined, p))
     // out-of-scope patterns fall back to rlike (compile -> None)
     Seq("^((([A-Za-z\\d\\- ]+);([SIR]);(\\d+)(;(\\w+))?),? *)+$", // AMR: groups
-      "(?i)^[0-9a-f]{32}$", // inline flag
+      "^(?i)[0-9a-f]{32}$", // flag not at position 0
       "^[0-9a-f]{8}-([0-9a-f]{4}-){3}[0-9a-f]{12}$", // group quantifier
       "^[a-z]+[0-9]+$", // two UNBOUNDED variable tokens
       "^[^a-z]+$", "^a.b$", "^(a|b)$", "\\d+", "^a\\s$")
@@ -180,7 +182,10 @@ class FunctionsSpec extends SparkSuite {
       "src1", "src12", "srcx", "a" * 40, "0" * 40, "0" * 39, "0" * 41,
       "repo_é", "é", "x9y", "xy", "x\n", "-12", "123", "-1234", "ab123",
       "repo_a ", " repo_a", "-", "--1", "-0", "42", "-9" * 6, "abx12",
-      "bax", "aax9", "x", "-12\n")
+      "bax", "aax9", "x", "-12\n",
+      // (?i) fold cases: mixed-case hex, SRC, class-vs-literal case
+      "A" * 32, "a" * 32, "aAbB0912" * 4, "SRC1", "Src9", "sRc5", "ABx",
+      "abX", "Fx", "fx", "FX")
     val fuzz = (1 to 400).map(_ =>
       (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     val corpus = (edge ++ fuzz).distinct
@@ -261,7 +266,7 @@ class FunctionsSpec extends SparkSuite {
     var tested = 0
     for (_ <- 1 to 400) {
       val nTok = 1 + rnd.nextInt(4)
-      val sb = new StringBuilder("^")
+      val sb = new StringBuilder(if (rnd.nextInt(3) == 0) "(?i)^" else "^")
       // each maker renders one token's worth of (possibly) matching text
       val makers = (1 to nTok).map { _ =>
         if (rnd.nextBoolean()) {
@@ -290,7 +295,7 @@ class FunctionsSpec extends SparkSuite {
         val mutated = base.flatMap { s =>
           Seq(s, s + "\n", s + "\r\n", s + "\r", s + "\u0085",
             s + "\u2028", s + "\u2029", s + "\n\n", s + "x", "x" + s,
-            s + " ", s.drop(1))
+            s + " ", s.drop(1), s.toUpperCase, s.toLowerCase)
         }
         val noise = (1 to 10).map(_ => (0 until rnd.nextInt(8)).map(_ =>
           noiseAlpha(rnd.nextInt(noiseAlpha.length))).mkString)
@@ -303,6 +308,41 @@ class FunctionsSpec extends SparkSuite {
       }
     }
     assert(tested >= 100, s"generator only produced $tested compilable patterns")
+  }
+
+  test("AsciiAltMatch == java.util.regex on literal alternations incl. (?i) and terminators") {
+    import graft.functions.AsciiAltMatch
+    import org.apache.spark.unsafe.types.UTF8String
+    val patterns = Seq(
+      "(?i)^(1|true|yes|0|false|no)$", // the reference Bool pattern
+      "^(male|female|unknown)$", "^(a)$", "^(GET|PUT|POST)$",
+      "(?i)^(On|Off)$", "^(a\\.b|c\\-d)$")
+    patterns.foreach(p => assert(AsciiAltMatch.compile(p).isDefined, p))
+    // out of scope -> None (caller keeps rlike)
+    Seq("^(a|)$", "^(|a)$", "^(a|b)c$", "^a|b$", "^((a)|b)$", "^([ab]|c)$",
+      "^(a+|b)$", "^(a\\d|b)$", "(?i)^(a|é)$", "^(a|b)", "(a|b)$",
+      "(?u)^(a|b)$").foreach(p => assert(AsciiAltMatch.compile(p).isEmpty, p))
+    val values = Seq("", "1", "true", "TRUE", "True", "tRuE", "yes", "no",
+      "NO", "0", "false", "nope", "truex", "xtrue", " true", "true ",
+      "true\n", "TRUE\r\n", "yes\r", "no", "1 ", "0 ",
+      "true\n\n", "male", "FEMALE", "unknown", "GET", "get", "PUT", "a.b",
+      "axb", "c-d", "cxd", "On", "ON", "on", "Off", "é", "a", "A")
+    for (p <- patterns) {
+      val jre = java.util.regex.Pattern.compile(p)
+      val (alts, fold) = AsciiAltMatch.compile(p).get
+      for (s <- values) {
+        val want = jre.matcher(s).find()
+        val got = AsciiAltMatch.run(UTF8String.fromString(s), alts, fold)
+        assert(got === want, s"pattern=$p value=[${s.map(_.toInt).mkString(",")}]")
+      }
+    }
+    // Spark column path (codegen) == rlike over the same corpus
+    val df = values.toDF("s")
+    for (p <- patterns) {
+      val kernel = graft.functions.AsciiAltMatch.columnIfSupported($"s", p).get
+      val both = df.select(kernel.as("k"), $"s".rlike(p).as("r")).collect()
+      both.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), p))
+    }
   }
 
   test("large Ontology fields compile to the broadcast-set expression") {

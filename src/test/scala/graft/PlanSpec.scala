@@ -97,6 +97,20 @@ class PlanSpec extends SparkSuite {
       s"anchored class patterns must not fall back to rlike:\n$plan")
   }
 
+  test("Bool fields strength-reduce to ascii_alt_match (no regex engine)") {
+    import graft.model._
+    val cl = Checklist("b", Seq(FieldDef("bs", FieldType.BoolT)))
+    // parquet-backed input: a local Seq would constant-fold the whole
+    // validate projection into a LocalTableScan and hide the expression
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"lang".as("bs"))
+    val v = Validator.validate(df, cl, Validator.Options(rowIdCol = Some("bs")))
+    val plan = physical(v)
+    assert(plan.contains("ascii_alt_match"), s"expected kernel:\n$plan")
+    assert(!plan.contains("RLIKE"),
+      s"the Bool literal alternation must not fall back to rlike:\n$plan")
+  }
+
   test("knnJoin: no Window exchange of scored pairs — bounded partial agg") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = graft.ops.Similarity.knnJoin(e, e.filter($"vec_id" < 5),
