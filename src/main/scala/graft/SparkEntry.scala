@@ -33,6 +33,7 @@ object SparkEntry {
     "ann_knn_join" -> (Catalog.annKnnJoin _),
     "mm_meta" -> (Catalog.mmMeta _),
     "mm_features" -> (Catalog.mmFeatures _),
+    "mm_frames" -> (Catalog.mmFrames _),
     "dep_verdict" -> (Catalog.depVerdict _),
     "dep_rule_counts" -> (Catalog.depRuleCounts _),
     "v_datetime" -> (Catalog.vDatetime _),
@@ -72,10 +73,14 @@ object SparkEntry {
     "q_tax_desc" -> Oracles.qTaxDesc,
     "ev_window" -> Oracles.evWindow,
     "ann_lsh" -> Oracles.annLsh,
-    "mm_features" -> Oracles.mmFeatures
-    // dd_minhash / dd_simhash: intentionally no SQL oracle (xxhash64
-    // signatures are not DuckDB-expressible); end-to-end value checks live
-    // in OpsSpec (planted near-dup properties) + kernel parity specs.
+    "mm_features" -> Oracles.mmFeatures,
+    "mm_frames" -> Oracles.mmFrames,
+    // dd_minhash / dd_simhash gained full-value oracles in round 3:
+    // XXH64 is pure 64-bit arithmetic, so the oracle recomputes the
+    // signatures from raw text via a DuckDB SQL formulation of the hash
+    // (queries/SqlXxh64.scala) — nothing engine-derived crosses over.
+    "dd_minhash" -> Oracles.ddMinhash,
+    "dd_simhash" -> Oracles.ddSimhash
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // so it exists only after the query ran (Verify runs queries first,

@@ -140,10 +140,16 @@ object MinHashSig {
   /** Mersenne prime 2^31-1: keeps every a*x+b product under 2^62. */
   val Prime = 2147483647L
 
-  /** Seeded affine-permutation coefficients from (numHashes, seed). */
-  def make(child: Expression, numHashes: Int, seed: Long = 42L): MinHashSig = {
+  /** Seeded affine-permutation coefficients from (numHashes, seed) — shared
+   * with [[graft.queries.Oracles]], whose DuckDB oracle inlines the same
+   * pairs so both sides use identical permutations. */
+  def coefficients(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    val ab = Array.fill(numHashes)((1L + rnd.nextLong(Prime - 1), rnd.nextLong(Prime)))
+    Array.fill(numHashes)((1L + rnd.nextLong(Prime - 1), rnd.nextLong(Prime)))
+  }
+
+  def make(child: Expression, numHashes: Int, seed: Long = 42L): MinHashSig = {
+    val ab = coefficients(numHashes, seed)
     MinHashSig(child, ab.map(_._1), ab.map(_._2))
   }
 }

@@ -176,8 +176,10 @@ object Catalog {
   }
 
   /** MinHash+LSH near-dup candidate pairs (banding over 32 hashes). The
-   * est_jaccard is the signature-agreement estimate; no SQL oracle
-   * (xxhash64-based signatures), rows-only check. */
+   * est_jaccard is the signature-agreement estimate. Full-value DuckDB
+   * oracle: [[Oracles.ddMinhash]] recomputes shingles, xxhash64 (as pure
+   * SQL arithmetic), the 32 affine permutations, band keys and the
+   * bucket-join from raw text. */
   def ddMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(docs(spark, dir), "doc_id", "text",
       k = 3, numHashes = 32, bands = 8)
@@ -194,7 +196,8 @@ object Catalog {
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs within Hamming distance 3 (pigeonhole-blocked
-   * on 16-bit quarters; no SQL oracle, rows-only check). */
+   * on 16-bit quarters). Full-value DuckDB oracle: [[Oracles.ddSimhash]]
+   * recomputes the xxhash64 signatures from raw text in SQL. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
@@ -275,19 +278,34 @@ object Catalog {
       Multimodal.toAssets(docs(spark, dir), "doc_id", "text", "text", "text/plain"))
       .orderBy("asset_id")
 
-  /** Multimodal feature extraction through the REAL per-partition PNG
-   * codec: each doc_id becomes a real encoded PNG whose dimensions follow
-   * a closed formula; the pipeline decodes the pixels back, so the
-   * oracle-matched width/height prove an end-to-end encode-decode round
-   * trip (n_bytes/sha256 are PNG-encoder-specific and stay out of the
-   * oracle-checked projection). */
+  /** Multimodal feature extraction through the REAL per-partition codecs
+   * for all three modalities: each doc_id becomes a real encoded PNG
+   * (javax.imageio), a real RIFF/WAV PCM16 payload (+1,000,000 id space)
+   * and a GVF1 frame container of real PNGs (+2,000,000); dims, rates and
+   * durations follow closed formulas, so the oracle-matched projection
+   * proves three end-to-end encode-decode round trips (n_bytes/sha256 are
+   * encoder-specific and stay out of the checked projection). */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = docs(spark, dir).select(col("doc_id").cast("long")).as[Long]
-    Multimodal.extractFeatures(Multimodal.pngAssets(ids))
+    val assets = Multimodal.pngAssets(ids)
+      .unionByName(Multimodal.wavAssets(ids.map(_ + 1000000L)))
+      .unionByName(Multimodal.videoAssets(ids.map(_ + 2000000L)))
+    Multimodal.extractFeatures(assets)
       .toDF()
       .select("asset_id", "modality", "width", "height", "duration_ms")
       .orderBy("asset_id")
+  }
+
+  /** Real video frame sampling: container-parse each GVF1 asset, decode
+   * every 2nd frame, emit (asset_id, frame_idx, true decoded dims) —
+   * frame counts and dims follow the generator formulas the oracle
+   * restates. */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = docs(spark, dir).select(col("doc_id").cast("long")).as[Long]
+    Multimodal.frameSample(Multimodal.videoAssets(ids), stride = 2)
+      .orderBy("asset_id", "frame_idx")
   }
 
   // --- dependency rules + remaining plugin families on real tables ---------

@@ -231,6 +231,117 @@ object Oracles {
       |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /**
+   * Full-value oracle for [[Catalog.ddMinhash]] (previously `no_oracle`):
+   * recomputes the ENTIRE MinHash-LSH pipeline in DuckDB — word 3-shingles,
+   * xxhash64 via [[SqlXxh64]], the 32 seeded affine permutations (the same
+   * coefficient table the kernel derives, inlined below), 8 band keys
+   * (xxhash64 of the comma-joined signature slice folded with the band
+   * index through the int path), the >200 degenerate-bucket guard, the
+   * bucket self-join, and the signature-agreement estimate.
+   */
+  def ddMinhash: String = {
+    import SqlXxh64._
+    val numHashes = 32; val bands = 8; val rowsPerBand = 4
+    val maxBucket = 200; val thresh = "0.5"
+    val ab = graft.functions.MinHashSig.coefficients(numHashes, 42L)
+      .map { case (a, b) => s"[$a, $b]" }.mkString(", ")
+    s"""WITH RECURSIVE
+corp AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+dsh AS (
+  SELECT id, list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 3, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM corp),
+shs AS (SELECT DISTINCT unnest(shingles) AS s FROM dsh),
+shid AS (SELECT row_number() OVER (ORDER BY s) AS sid, s FROM shs),
+${xxh64Cte("shid", "sx", 42L)},
+doch AS (
+  SELECT d.id, list_distinct(list(${signed("x.h")})) AS xl0
+  FROM (SELECT id, unnest(shingles) AS s FROM dsh) d
+  JOIN sxdone x USING (s)
+  GROUP BY d.id),
+docx AS (
+  SELECT id, list_transform(xl0,
+      h -> ((h % 2147483647) + 2147483647) % 2147483647) AS xl
+  FROM doch WHERE len(xl0) > 0),
+sigs AS (
+  SELECT id, list_transform([$ab],
+      p -> list_min(list_transform(xl, x -> (x * p[1] + p[2]) % 2147483647))) AS sig
+  FROM docx),
+bandstr AS (
+  SELECT id * $bands + b AS sid,
+         array_to_string(sig[$rowsPerBand*b+1:$rowsPerBand*b+$rowsPerBand], ',') AS s
+  FROM sigs, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+${xxh64Cte("bandstr", "bx", 42L)},
+buckets AS (
+  ${stagesSql(hashIntStages(s"sid % $bands", "h"), "bxdone", Seq("sid", "h"))}
+),
+banded AS (
+  SELECT sid // $bands AS id, ib4 AS bucket FROM buckets),
+oversized AS (
+  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) > $maxBucket),
+kept AS (
+  SELECT b.id, b.bucket FROM banded b
+  WHERE b.bucket NOT IN (SELECT bucket FROM oversized)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM kept a JOIN kept bb ON a.bucket = bb.bucket AND a.id < bb.id),
+scored AS (
+  SELECT p.id_a, p.id_b,
+    CAST(list_sum(list_transform(generate_series(1, $numHashes),
+        j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $numHashes AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.id = p.id_a
+  JOIN sigs sb ON sb.id = p.id_b)
+SELECT id_a, id_b, est_jaccard FROM scored
+WHERE est_jaccard >= $thresh
+ORDER BY id_a, id_b"""
+  }
+
+  /**
+   * Full-value oracle for [[Catalog.ddSimhash]] (previously `no_oracle`):
+   * distinct tokens → xxhash64 ([[SqlXxh64]]) → 64 per-bit majority votes
+   * packed to the sign vector → 16-bit pigeonhole quarters → block
+   * self-join with hamming <= 3, exactly as Dedup.simhashPairs plans it.
+   */
+  def ddSimhash: String = {
+    import SqlXxh64._
+    val maxDist = 3
+    s"""WITH RECURSIVE
+corp AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+ts AS (SELECT DISTINCT unnest(toks) AS s FROM corp),
+tid AS (SELECT row_number() OVER (ORDER BY s) AS sid, s FROM ts),
+${xxh64Cte("tid", "tx", 42L)},
+doch AS (
+  SELECT d.id, list(x.h) AS hl
+  FROM (SELECT id, unnest(toks) AS s FROM corp) d
+  JOIN txdone x USING (s)
+  GROUP BY d.id),
+packed AS (
+  SELECT id,
+    CAST(list_sum(list_transform(generate_series(0, 63),
+      b -> CASE WHEN 2 * list_sum(list_transform(hl, x -> ((x >> b) & 1)::BIGINT)) > len(hl)
+           THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)) AS UBIGINT) AS sh
+  FROM doch WHERE len(hl) > 0),
+blocked AS (
+  SELECT id, sh, q, ((sh >> (q * 16)) & 65535) AS v
+  FROM packed, unnest(generate_series(0, 3)) AS t(q)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM blocked a JOIN blocked b
+    ON a.q = b.q AND a.v = b.v AND a.id < b.id
+  WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
+ORDER BY id_a, id_b"""
+  }
+
   val ddCosPairs: String =
     """WITH base AS (
       |  SELECT vec_id, label,
@@ -364,15 +475,40 @@ object Oracles {
       |  sha256(text) AS "sha256"
       |FROM documents ORDER BY asset_id""".stripMargin
 
-  /** The expected-dims table for the synthetic PNG corpus: the generator's
-   * dimension formula restated in SQL. A match proves the Spark side really
-   * encoded a PNG of these dims AND decoded the pixels back ([[Catalog.mmFeatures]]). */
+  /** The expected table for the synthetic multimodal corpora: each
+   * generator's closed formulas (PNG dims; WAV rate/bits/duration; GVF1
+   * first-frame dims + frame-count duration) restated in SQL. A match
+   * proves three real encode-decode round trips
+   * ([[Catalog.mmFeatures]]). */
   val mmFeatures: String =
     """SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS modality,
       |  CAST(16 + doc_id % 32 AS INT) AS width,
       |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
       |  CAST(0 AS BIGINT) AS duration_ms
-      |FROM documents ORDER BY asset_id""".stripMargin
+      |FROM documents
+      |UNION ALL
+      |SELECT CAST(doc_id + 1000000 AS BIGINT), 'audio',
+      |  CAST(8000 AS INT),  -- width slot carries the sample rate
+      |  CAST(16 AS INT),    -- height slot carries bits per sample
+      |  CAST(500 + ((doc_id + 1000000) % 32) * 50 AS BIGINT)
+      |FROM documents
+      |UNION ALL
+      |SELECT CAST(doc_id + 2000000 AS BIGINT), 'video',
+      |  CAST(8 + (doc_id + 2000000) % 16 AS INT),
+      |  CAST(8 + ((doc_id + 2000000) * 3) % 16 AS INT),
+      |  CAST(400 + ((doc_id + 2000000) % 8) * 100 AS BIGINT)
+      |FROM documents
+      |ORDER BY asset_id""".stripMargin
+
+  /** Frame-sample oracle: every 2nd frame index below the per-asset frame
+   * count, with the container's shared frame dims ([[Catalog.mmFrames]]). */
+  val mmFrames: String =
+    """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+      |  CAST(t.f AS INT) AS frame_idx,
+      |  CAST(8 + doc_id % 16 AS INT) AS width,
+      |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height
+      |FROM documents, unnest(generate_series(0, CAST(4 + doc_id % 8 AS INT) - 1, 2)) AS t(f)
+      |ORDER BY asset_id, frame_idx""".stripMargin
 
   /** Shared rule conditions for the dependency checklist over derived
    * document columns (mirrors Catalog.depFrame / depChecklist). */

@@ -345,6 +345,25 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("MinHashSig.coefficients(32, 42) is the pinned sequence the DuckDB oracle inlines") {
+    // Oracles.ddMinhash embeds these (a, b) pairs in its generated SQL; if
+    // the derivation (scala.util.Random(42) interleaved draws) ever drifts,
+    // the kernel and the oracle would silently diverge — pin the head and a
+    // middle/tail sample of the sequence.
+    val ab = graft.functions.MinHashSig.coefficients(32, 42L)
+    assert(ab.length === 32)
+    assert(ab(0) === ((1562431131L, 1467211249L)))
+    assert(ab(1) === ((102948885L, 2023087526L)))
+    assert(ab(15) === ((194700535L, 641275112L)))
+    assert(ab(31) === ((740513296L, 2066924824L)))
+    // every a in [1, P-1], every b in [0, P-1]
+    val P = graft.functions.MinHashSig.Prime
+    assert(ab.forall { case (a, b) => a >= 1 && a < P && b >= 0 && b < P })
+    // and the oracle SQL actually embeds the first pair
+    assert(graft.queries.Oracles.ddMinhash.contains("[1562431131, 1467211249]"))
+    assert(graft.queries.Oracles.ddSimhash.contains("WITH RECURSIVE"))
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))

@@ -288,6 +288,70 @@ class OpsSpec extends SparkSuite {
     assert(a1.forall(_.payload.take(4).sameElements(magic)))
   }
 
+  test("multimodal WAV: real RIFF encode -> chunk-walk decode, formula durations, RMS features") {
+    import spark.implicits._
+    val ids = (0L to 40L).toDS()
+    val feats = Multimodal.extractFeatures(Multimodal.wavAssets(ids))
+      .collect().sortBy(_.asset_id)
+    assert(feats.length === 41)
+    feats.foreach { f =>
+      assert(f.modality === "audio")
+      assert(f.width === 8000 && f.height === 16) // rate / bits slots
+      assert(f.duration_ms === 500 + (f.asset_id % 32) * 50, s"id=${f.asset_id}")
+      assert(f.feature.length === Multimodal.FeatureDim)
+      // RMS of uniform-ish noise sits well inside (0, 1)
+      assert(f.feature.forall(v => v > 0f && v < 1f))
+    }
+    // genuine RIFF/WAVE magic; decode survives an extra chunk before data
+    val a = Multimodal.wavAssets(ids).collect().head
+    assert(new String(a.payload.take(4), "US-ASCII") === "RIFF")
+    assert(new String(a.payload.slice(8, 12), "US-ASCII") === "WAVE")
+    val m = Multimodal.Codec.wavMeta(a.payload)
+    assert(m.sampleRate === 8000 && m.channels === 1 && m.bitsPerSample === 16)
+    // inject a LIST chunk between fmt and data; the chunk walk must skip it
+    val bb = java.nio.ByteBuffer.allocate(a.payload.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(a.payload, 0, 36)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put(a.payload, 36, a.payload.length - 36)
+    val m2 = Multimodal.Codec.wavMeta(bb.array())
+    assert(m2.frames === m.frames && m2.sampleRate === 8000)
+  }
+
+  test("multimodal video: GVF1 container parse, real frame decode, frame sampling") {
+    import spark.implicits._
+    val ids = (0L to 40L).toDS()
+    val feats = Multimodal.extractFeatures(Multimodal.videoAssets(ids))
+      .collect().sortBy(_.asset_id)
+    feats.foreach { f =>
+      assert(f.modality === "video")
+      assert(f.width === 8 + (f.asset_id % 16).toInt, s"id=${f.asset_id}")
+      assert(f.height === 8 + ((f.asset_id * 3) % 16).toInt, s"id=${f.asset_id}")
+      assert(f.duration_ms === 400 + (f.asset_id % 8) * 100)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+    // frame sampling: stride-2 indices below the per-asset frame count,
+    // every sampled frame REALLY decoded to the shared dims
+    val frames = Multimodal.frameSample(Multimodal.videoAssets(ids), stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byAsset = frames.groupBy(_._1)
+    assert(byAsset.keySet === ids.collect().toSet)
+    for (id <- 0L to 40L) {
+      val nf = 4 + (id % 8).toInt
+      val expect = (0 until nf by 2).toSeq
+      val got = byAsset(id).map(_._2).toSeq.sorted
+      assert(got === expect, s"id=$id")
+      assert(byAsset(id).forall(t => t._3 === 8 + (id % 16).toInt &&
+        t._4 === 8 + ((id * 3) % 16).toInt))
+    }
+    // O(1) frame seek: frame k from the index equals the encoder's frame k
+    val asset = Multimodal.videoAssets(Seq(7L).toDS()).collect().head
+    val idx = Multimodal.Codec.videoIndex(asset.payload)
+    assert(idx.nFrames === 4 + 7 % 8 && idx.fps === 10)
+    val f2 = idx.frame(asset.payload, 2)
+    assert(f2.sameElements(Multimodal.Codec.encodePng(8 + 7 % 16, 8 + (7 * 3) % 16, 7L * 1000 + 2)))
+  }
+
   // deterministic planted-near-dup corpus shared by the two end-to-end
   // dedup property tests: 600 base docs of 40-70 random tokens, plus one
   // near-dup clone (single token replaced) of every 10th doc at id+100000
