@@ -310,6 +310,7 @@ ORDER BY id_a, id_b"""
   def ddSimhash: String = {
     import SqlXxh64._
     val maxDist = 3
+    val maxBlockSize = 1000
     s"""WITH RECURSIVE
 corp AS (
   SELECT doc_id AS id,
@@ -332,10 +333,13 @@ packed AS (
 blocked AS (
   SELECT id, sh, q, ((sh >> (q * 16)) & 65535) AS v
   FROM packed, unnest(generate_series(0, 3)) AS t(q)),
+keepb AS (
+  SELECT q, v FROM blocked GROUP BY q, v HAVING count(*) <= $maxBlockSize),
+kept AS (SELECT b.* FROM blocked b JOIN keepb USING (q, v)),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          bit_count(xor(a.sh, b.sh)) AS hamming
-  FROM blocked a JOIN blocked b
+  FROM kept a JOIN kept b
     ON a.q = b.q AND a.v = b.v AND a.id < b.id
   WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist)
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs

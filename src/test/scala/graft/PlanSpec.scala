@@ -124,6 +124,22 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial top-k before the exchange:\n$plan")
   }
 
+  test("minhash pairs expand in collected buckets (no self-join); simhash keeps the guard") {
+    // MinHash: pairs expand inside collected (bounded) buckets — past the
+    // broadcast degenerate-bucket guard there must be NO equi-join of the
+    // banded set with itself (a SortMergeJoin/ShuffledHashJoin there means
+    // the plan re-shuffles and re-computes the signature pipeline twice).
+    val mh = physical(graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text"))
+    assert(!mh.contains("SortMergeJoin") && !mh.contains("ShuffledHashJoin"),
+      s"minhash pairs must not self-join:\n$mh")
+    assert(mh.contains("BroadcastHashJoin"), "oversized-bucket anti-join must broadcast")
+    // SimHash: quarter blocks collide broadly, so the pair path is a
+    // streaming join BY DESIGN (see Dedup.simhashPairs) — but the
+    // degenerate-block guard must still be a broadcast anti-join.
+    val sh = physical(graft.ops.Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(sh.contains("BroadcastHashJoin"), "oversized-block anti-join must broadcast")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
