@@ -91,18 +91,34 @@ object CheckpointRunner {
   def run(spark: SparkSession, checklist: Checklist, cfg: Config,
       runId: String = java.util.UUID.randomUUID().toString): Seq[PartitionResult] = {
     val md5 = checklistMd5(checklist)
-    val input = spark.read.parquet(cfg.inputPath)
-    val partitions = discoverPartitions(spark, cfg.inputPath, cfg.partitionCol)
-      .getOrElse(input.select(cfg.partitionCol).distinct()
-        .collect().map(_.get(0).toString).sorted.toSeq)
+    // Input resolution order mirrors the north_rule's table-format shape:
+    // a snapshot-manifest table (graft.sources.SnapshotTable — the Iceberg
+    // access pattern) plans partitions AND per-partition file sets from
+    // pure metadata; plain hive-layout parquet falls back to directory
+    // discovery, then to a distinct() scan.
+    val isSnapshotTable =
+      graft.sources.SnapshotTable.currentVersion(spark, cfg.inputPath).isDefined
+    lazy val input = spark.read.parquet(cfg.inputPath)
+    val partitions =
+      if (isSnapshotTable)
+        graft.sources.SnapshotTable.partitions(spark, cfg.inputPath)
+          .flatMap(_.get(cfg.partitionCol)).distinct.sorted
+      else discoverPartitions(spark, cfg.inputPath, cfg.partitionCol)
+        .getOrElse(input.select(cfg.partitionCol).distinct()
+          .collect().map(_.get(0).toString).sorted.toSeq)
     val done = completedPartitions(spark, cfg.manifestPath, md5)
 
     partitions.map { p =>
       if (done.contains(p)) PartitionResult(p, 0, 0, 0, skipped = true)
       else {
         val startedAt = java.time.Instant.now().toString
-        // partition filter pushes down to the parquet scan
-        val slice = input.filter(col(cfg.partitionCol) === p)
+        // snapshot tables prune the slice's FILE SET manifest-side; hive
+        // layout pushes the partition filter down to the parquet scan
+        val slice =
+          if (isSnapshotTable)
+            graft.sources.SnapshotTable.read(spark, cfg.inputPath,
+              partitionFilter = Map(cfg.partitionCol -> p))
+          else input.filter(col(cfg.partitionCol) === p)
         val validated = Validator.validate(slice, checklist,
           Validator.Options(cfg.rowIdCol, cfg.contentCol))
         // ONE compute pass per partition: the manifest metrics ride the

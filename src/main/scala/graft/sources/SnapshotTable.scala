@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/**
+ * Snapshot-manifest table layer — the Iceberg ACCESS PATTERN with no
+ * Iceberg dependency (this sandbox ships no Iceberg jars; the north_rule
+ * input is "an Iceberg table of source-code repositories"). What is
+ * reproduced is exactly the set of behaviors that matter for planning at
+ * 10^12 files:
+ *
+ *  - **Metadata-driven scans**: the file list comes from a versioned
+ *    manifest document, never from recursive directory listing — at
+ *    10^12 files the object-store LIST call is the scan-planning
+ *    bottleneck, which is the core reason table formats exist.
+ *  - **Manifest-side partition pruning**: a partition predicate prunes
+ *    whole FILES out of the scan before Spark ever sees a path
+ *    (complementing parquet footer/row-group pruning below it). The
+ *    pruned set is observable via `DataFrame.inputFiles` and pinned by
+ *    spec.
+ *  - **Snapshot isolation / time travel**: every commit writes data files
+ *    into a fresh immutable snapshot directory, publishes `vN.json`, and
+ *    atomically flips `version-hint.text`. Readers resolve the hint (or
+ *    pin an explicit version) and then read only immutable state — a
+ *    concurrent writer can never expose a half-written table, and any
+ *    historical snapshot stays readable.
+ *
+ * Layout (mirrors Iceberg's metadata tree one level flatter):
+ * {{{
+ *   <root>/data/s<N>/<part>=.../...parquet   immutable data files
+ *   <root>/metadata/v<N>.json                snapshot manifest
+ *   <root>/metadata/version-hint.text        current-version pointer
+ * }}}
+ *
+ * JSON rides Spark's own Jackson (no new dependency). Cited reference
+ * behavior: the reference records per-file identity (MD5 + UUID,
+ * Manifest.pm:219-224) — here generalized to per-snapshot lineage.
+ */
+object SnapshotTable {
+
+  final case class FileEntry(path: String, partition: Map[String, String],
+      rows: Long, bytes: Long)
+
+  final case class Snapshot(version: Int, partitionCols: Seq[String],
+      files: Seq[FileEntry])
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // --- manifest I/O --------------------------------------------------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeManifest(spark: SparkSession, root: String, s: Snapshot): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", s.version)
+    val pc = node.putArray("partitionCols")
+    s.partitionCols.foreach(pc.add)
+    val fl = node.putArray("files")
+    s.files.foreach { f =>
+      val fn = fl.addObject()
+      fn.put("path", f.path)
+      fn.put("rows", f.rows)
+      fn.put("bytes", f.bytes)
+      val pn = fn.putObject("partition")
+      f.partition.foreach { case (k, v) => pn.put(k, v) }
+    }
+    val dir = new Path(root, "metadata")
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".v${s.version}.json.tmp")
+    val out = f.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(node)); out.close()
+    f.rename(tmp, new Path(dir, s"v${s.version}.json"))
+    // atomic pointer flip: write-then-rename
+    val hintTmp = new Path(dir, ".version-hint.tmp")
+    val ho = f.create(hintTmp, true)
+    ho.write(s.version.toString.getBytes("UTF-8")); ho.close()
+    val hint = new Path(dir, "version-hint.text")
+    f.delete(hint, false)
+    f.rename(hintTmp, hint)
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Option[Int] = {
+    val hint = new Path(root, "metadata/version-hint.text")
+    val f = fs(spark, hint)
+    if (!f.exists(hint)) None
+    else {
+      val in = f.open(hint)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  def snapshot(spark: SparkSession, root: String, version: Option[Int] = None): Snapshot = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val p = new Path(root, s"metadata/v$v.json")
+    val f = fs(spark, p)
+    require(f.exists(p), s"snapshot v$v does not exist under $root")
+    val in = f.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val pcols = (0 until node.get("partitionCols").size())
+      .map(node.get("partitionCols").get(_).asText())
+    val files = (0 until node.get("files").size()).map { i =>
+      val fn = node.get("files").get(i)
+      val part = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val it = fn.get("partition").fields()
+      while (it.hasNext) { val e = it.next(); part(e.getKey) = e.getValue.asText() }
+      FileEntry(fn.get("path").asText(), part.toMap,
+        fn.get("rows").asLong(), fn.get("bytes").asLong())
+    }
+    Snapshot(v, pcols, files)
+  }
+
+  // --- commit --------------------------------------------------------------
+
+  /**
+   * Commit `df` as a new snapshot. `overwritePartitions = true` replaces
+   * the manifest entries of every partition value present in `df` (the
+   * Iceberg dynamic-overwrite shape CheckpointRunner's idempotent re-runs
+   * need); `false` appends files to existing partitions. Data files land
+   * in an immutable per-snapshot directory, so every previous snapshot
+   * remains fully readable (time travel) until an explicit GC.
+   *
+   * The commit-time file enumeration walks ONLY the freshly written
+   * `data/s<N>` subtree — bounded by this commit's output, exactly like a
+   * table-format writer tracking the files it just wrote; readers never
+   * list anything.
+   */
+  def commit(df: DataFrame, root: String, partitionCols: Seq[String],
+      overwritePartitions: Boolean = true): Snapshot = {
+    require(partitionCols.nonEmpty, "snapshot tables are partitioned")
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, root).map(v => snapshot(spark, root, Some(v)))
+    prev.foreach { s =>
+      require(s.partitionCols == partitionCols,
+        s"partition spec mismatch: table has ${s.partitionCols}, got $partitionCols")
+    }
+    val version = prev.map(_.version + 1).getOrElse(1)
+    val dataDir = s"$root/data/s$version"
+    df.write.partitionBy(partitionCols: _*).parquet(dataDir)
+
+    // enumerate ONLY the new snapshot subtree
+    val base = new Path(dataDir)
+    val f = fs(spark, base)
+    val newFiles = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    def walk(p: Path, part: Map[String, String]): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val kv = name.split("=", 2)
+          val nextPart =
+            if (kv.length == 2)
+              part + (kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8"))
+            else part
+          walk(st.getPath, nextPart)
+        } else if (name.endsWith(".parquet")) {
+          newFiles += FileEntry(st.getPath.toString, part, -1L, st.getLen)
+        }
+      }
+    walk(base, Map.empty)
+
+    val overwritten: Set[Map[String, String]] =
+      if (overwritePartitions) newFiles.map(_.partition).toSet else Set.empty
+    val carried = prev.map(_.files.filterNot(fe => overwritten.contains(fe.partition)))
+      .getOrElse(Seq.empty)
+    val snap = Snapshot(version, partitionCols, carried ++ newFiles)
+    writeManifest(spark, root, snap)
+    snap
+  }
+
+  // --- read ----------------------------------------------------------------
+
+  /**
+   * Plan a scan from the manifest: resolve the snapshot (current or
+   * pinned), prune files by the partition predicate MANIFEST-SIDE, and
+   * hand Spark exactly the surviving file paths (`basePath` per snapshot
+   * subtree reattaches partition columns). No directory listing happens on
+   * the read path; an empty survivor set still returns the right schema.
+   */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None,
+      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    val snap = snapshot(spark, root, version)
+    val survivors = snap.files.filter(fe =>
+      partitionFilter.forall { case (k, v) => fe.partition.get(k).contains(v) })
+    if (survivors.isEmpty) {
+      // schema from any file of the snapshot, filtered to no rows
+      val any = snap.files.headOption.getOrElse(
+        throw new IllegalStateException("empty snapshot"))
+      val df = sliceRead(spark, Seq(any))
+      return df.filter(org.apache.spark.sql.functions.lit(false))
+    }
+    sliceRead(spark, survivors)
+  }
+
+  /** Group surviving files by snapshot subtree (= basePath) and union —
+   * files from different snapshots carry different base directories. */
+  private def sliceRead(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
+    val bySnapDir = files.groupBy(fe => fe.path.replaceAll("(/data/s\\d+)/.*$", "$1"))
+    bySnapDir.map { case (basePath, fes) =>
+      spark.read.option("basePath", basePath).parquet(fes.map(_.path): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The distinct partition values of a snapshot — CheckpointRunner's
+   * partition discovery from pure metadata (no listing, no scan). */
+  def partitions(spark: SparkSession, root: String,
+      version: Option[Int] = None): Seq[Map[String, String]] =
+    snapshot(spark, root, version).files.map(_.partition).distinct
+      .sortBy(_.toSeq.sortBy(_._1).map(t => s"${t._1}=${t._2}").mkString(","))
+}

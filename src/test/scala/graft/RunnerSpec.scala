@@ -85,6 +85,33 @@ class RunnerSpec extends SparkSuite {
     assert(r4.forall(!_.skipped))
   }
 
+  test("checkpoint runner over a snapshot-manifest table: metadata planning + resume") {
+    val base = Files.createTempDirectory("graft_snap_ckpt").toString
+    val root = s"$base/table"
+    graft.sources.SnapshotTable.commit(
+      CodeFiles.generate(spark, 300)
+        .withColumn("part", (col("id") % 2).cast("string")),
+      root, Seq("part"))
+    val cfg = CheckpointRunner.Config(
+      inputPath = root, partitionCol = "part",
+      outputPath = s"$base/out", violationsPath = s"$base/viol",
+      manifestPath = s"$base/manifest", rowIdCol = Some("id"))
+    val r1 = CheckpointRunner.run(spark, CodeFiles.checklist, cfg)
+    assert(r1.size === 2 && r1.forall(!_.skipped))
+    assert(r1.map(_.nRows).sum === 300)
+    // resume: all partitions already committed for this checklist
+    val r2 = CheckpointRunner.run(spark, CodeFiles.checklist, cfg)
+    assert(r2.forall(_.skipped))
+    // a new table snapshot does NOT invalidate lineage by itself (the
+    // checklist fingerprint does); partitions stay skipped
+    graft.sources.SnapshotTable.commit(
+      CodeFiles.generate(spark, 10)
+        .withColumn("part", lit("0")).filter(col("id") < 5),
+      root, Seq("part"))
+    val r3 = CheckpointRunner.run(spark, CodeFiles.checklist, cfg)
+    assert(r3.forall(_.skipped))
+  }
+
   test("partition discovery is metadata-only on hive layouts (no data scan)") {
     val base = Files.createTempDirectory("graft_disc").toString
     val input = s"$base/input"

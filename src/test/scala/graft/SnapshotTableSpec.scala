@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** Snapshot-manifest table behavior: metadata-driven scans, manifest-side
+ * partition pruning, snapshot isolation / time travel, dynamic partition
+ * overwrite and append — the Iceberg access pattern without Iceberg. */
+class SnapshotTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("snaptab").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def corpus(tag: String) = Seq(
+    (1L, "src0", s"a-$tag"), (2L, "src0", s"b-$tag"),
+    (3L, "src1", s"c-$tag"), (4L, "src1", s"d-$tag"))
+    .toDF("id", "source", "payload")
+
+  test("commit v1 + read: manifest-planned scan, files only from the snapshot tree") {
+    val root = freshRoot()
+    val s1 = SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    assert(s1.version === 1 && s1.files.nonEmpty)
+    val df = SnapshotTable.read(spark, root)
+    assert(df.count() === 4)
+    assert(df.select("id", "source", "payload").orderBy("id").collect().map(_.getString(2)).toSeq
+      === Seq("a-v1", "b-v1", "c-v1", "d-v1"))
+    // every planned file comes from the manifest, all under data/s1
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("/data/s1/")))
+  }
+
+  test("manifest-side partition pruning shrinks the planned file set") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    val all = SnapshotTable.read(spark, root)
+    val pruned = SnapshotTable.read(spark, root,
+      partitionFilter = Map("source" -> "src0"))
+    assert(pruned.count() === 2)
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      "partition predicate must prune files before Spark plans the scan")
+    assert(pruned.inputFiles.forall(_.contains("source=src0")))
+    // a filter matching nothing still yields the table schema, zero rows
+    val none = SnapshotTable.read(spark, root,
+      partitionFilter = Map("source" -> "nope"))
+    assert(none.count() === 0)
+    assert(none.columns.toSet === Set("id", "source", "payload"))
+  }
+
+  test("snapshot isolation: dynamic partition overwrite + time travel") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    // overwrite ONLY src0; src1 files are carried over from snapshot 1
+    val patch = Seq((9L, "src0", "a-v2")).toDF("id", "source", "payload")
+    val s2 = SnapshotTable.commit(patch, root, Seq("source"))
+    assert(s2.version === 2)
+    assert(SnapshotTable.currentVersion(spark, root) === Some(2))
+
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() === 3) // 1 new src0 row + 2 carried src1 rows
+    assert(cur.filter($"source" === "src0").select("payload")
+      .collect().map(_.getString(0)).toSeq === Seq("a-v2"))
+    // the carried src1 files still point into data/s1 (no rewrite)
+    assert(cur.inputFiles.exists(_.contains("/data/s1/")) &&
+      cur.inputFiles.exists(_.contains("/data/s2/")))
+
+    // time travel: v1 remains byte-complete
+    val old = SnapshotTable.read(spark, root, version = Some(1))
+    assert(old.count() === 4)
+    assert(old.filter($"source" === "src0").count() === 2)
+  }
+
+  test("append mode adds files without dropping existing partition data") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    val extra = Seq((10L, "src0", "e-v2")).toDF("id", "source", "payload")
+    SnapshotTable.commit(extra, root, Seq("source"), overwritePartitions = false)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() === 5)
+    assert(cur.filter($"source" === "src0").count() === 3)
+  }
+
+  test("partition discovery is pure metadata (no listing, no scan)") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    assert(SnapshotTable.partitions(spark, root)
+      === Seq(Map("source" -> "src0"), Map("source" -> "src1")))
+    // partition-spec mismatch fails fast
+    val bad = Seq((1L, "x", "y")).toDF("id", "source", "payload")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(bad, root, Seq("id"))
+    }
+  }
+}
