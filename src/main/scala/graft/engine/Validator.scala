@@ -73,8 +73,15 @@ object Validator {
     }
 
     val violations = compiled.violations
+    // per-row identity via the Sha256Hex kernel: value-identical to
+    // sha2(.., 256) but without the per-row MessageDigest.getInstance —
+    // sha runs on EVERY validated row, so its allocations set the
+    // 32-thread ceiling just like RLike's Matcher did (round 2)
     val shaCols: Seq[Column] = opts.contentCol.toSeq.map(c =>
-      sha2(col(c).cast(StringType), 256).as(ShaCol))
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Sha256Hex(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col(c).cast(StringType)))).as(ShaCol))
 
     withId.select(
       (withId.columns.map(col).toSeq :+

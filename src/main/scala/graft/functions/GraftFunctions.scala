@@ -81,6 +81,11 @@ object GraftFunctions {
       TopKByScore(Cast(args(0), DoubleType), Cast(args(1), LongType),
         intArg(args(2), "k"))
     },
+    fn("sha256_hex", "_FUNC_(str) - lowercase-hex sha256, value-identical to " +
+      "sha2(str, 256) but with a per-thread digest (no per-row getInstance)") { args =>
+      require(args.size == 1, "sha256_hex(str)")
+      Sha256Hex(Cast(args.head, org.apache.spark.sql.types.StringType))
+    },
     fn("is_blank", "_FUNC_(str) - true iff str is empty or whitespace-only " +
       "([ \\t\\n\\r\\f])") { args =>
       require(args.size == 1, "is_blank(str)")

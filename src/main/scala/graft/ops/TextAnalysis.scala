@@ -98,9 +98,14 @@ object TextAnalysis {
   }
 
   /** Normalized-content fingerprint: sha256 over lowercased,
-   * whitespace-collapsed text — the exact-dup key for [[Dedup.exact]]. */
+   * whitespace-collapsed text — the exact-dup key for [[Dedup.exact]].
+   * Uses the [[graft.functions.Sha256Hex]] kernel (thread-local digest),
+   * value-identical to sha2(.., 256) / DuckDB sha256. */
   def fingerprint(text: Column): Column =
-    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Sha256Hex(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          regexp_replace(lower(trim(text)), "\\s+", " "))))
 
   /**
    * Polynomial rolling hash over the normalized text: base 31 modulo the

@@ -345,6 +345,26 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("Sha256Hex kernel == sha2(s, 256) on randomized strings incl. unicode and nulls") {
+    val rnd = new scala.util.Random(7)
+    val strs: Seq[String] = Seq("", "a", "hello world", "héllo wörld 中文",
+      "x" * 1000, "line1\nline2\r\n\ttab") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(120)).mkString) ++
+      (1 to 50).map(_ => (1 to rnd.nextInt(40)).map(_ =>
+        (0x20 + rnd.nextInt(0x2500)).toChar).mkString)
+    val df = (strs.map(Option(_)) :+ None).toDF("s")
+    val both = df.select(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Sha256Hex(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"s"))).as("k"),
+      sha2($"s", 256).as("r")).collect()
+    both.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT sha256_hex('abc') = sha2('abc', 256)").head().getBoolean(0)
+    assert(sql)
+  }
+
   test("MinHashSig.coefficients(32, 42) is the pinned sequence the DuckDB oracle inlines") {
     // Oracles.ddMinhash embeds these (a, b) pairs in its generated SQL; if
     // the derivation (scala.util.Random(42) interleaved draws) ever drifts,
