@@ -88,29 +88,59 @@ object Similarity {
    * (k×dim doubles — broadcast scale), like every dimension table here.
    * Empty clusters keep their previous centroid.
    */
+  /**
+   * Coarse IVF centroids by Lloyd's algorithm over a BOUNDED
+   * hash-ordered sample. One distributed pass total: the sample is a
+   * deterministic pseudo-random top-`maxSample` by `xxhash64(id, seed)`
+   * (TakeOrderedAndProject — partition-local top-N, no full shuffle),
+   * and every Lloyd iteration then runs driver-side on that sample.
+   * The previous formulation ran `iters` FULL-corpus passes, each
+   * exploding every vector into per-dimension rows for the mean
+   * aggregation — rows x dim shuffle volume per iteration, which is
+   * exactly what cannot run at 100 TB. Centroid quality needs a
+   * representative sample, not the corpus: this is how IVF indexes are
+   * trained at scale.
+   */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = df
+      iters: Int = 3, seed: Long = 42L, maxSample: Int = 4096): Array[Array[Double]] = {
+    require(maxSample >= k, s"maxSample=$maxSample must be >= k=$k")
+    val sample: Array[Array[Double]] = df
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)))
-      .limit(k)
+      .limit(maxSample)
       .collect()
       .map(_.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
+    // seeds = first k of the hash order (identical to the old seeding)
+    var cents = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val means = df
-        .select(nearestCentroid(col(vecCol), cents).as("c"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("c", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      val dims = cents(0).length
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          val cent = cents(c)
+          val n = math.min(v.length, cent.length)
+          var i = 0
+          while (i < n) { val t = v(i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        val n = math.min(v.length, dims)
+        while (i < n) { s(i) += v(i); i += 1 }
+        counts(best) += 1
       }
-      cents = next
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
     }
     cents
   }
