@@ -72,7 +72,6 @@ object SparkEntry {
     "q_taxtree" -> Oracles.qTaxtree,
     "q_tax_desc" -> Oracles.qTaxDesc,
     "ev_window" -> Oracles.evWindow,
-    "ann_lsh" -> Oracles.annLsh,
     "mm_features" -> Oracles.mmFeatures,
     "mm_frames" -> Oracles.mmFrames,
     // dd_minhash / dd_simhash gained full-value oracles in round 3:
@@ -83,7 +82,9 @@ object SparkEntry {
     "dd_simhash" -> Oracles.ddSimhash
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
-    // so it exists only after the query ran (Verify runs queries first,
-    // then dumps oracleSql — the ordering this depends on).
-    Catalog.lastIvfCentroids.map(c => "ann_ivf" -> Oracles.annIvf(c)).toMap
+    // and ann_lsh's regenerates the seeded planes at the fixture's actual
+    // embedding dim — both exist only after the query ran (Verify runs
+    // queries first, then dumps oracleSql — the ordering this depends on).
+    Catalog.lastIvfCentroids.map(c => "ann_ivf" -> Oracles.annIvf(c)).toMap ++
+    Map("ann_lsh" -> Oracles.annLsh(Catalog.lastLshDim.getOrElse(64)))
 }

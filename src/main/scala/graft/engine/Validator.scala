@@ -78,10 +78,7 @@ object Validator {
     // sha runs on EVERY validated row, so its allocations set the
     // 32-thread ceiling just like RLike's Matcher did (round 2)
     val shaCols: Seq[Column] = opts.contentCol.toSeq.map(c =>
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.Sha256Hex(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-            col(c).cast(StringType)))).as(ShaCol))
+      graft.functions.Sha256Hex.column(col(c).cast(StringType)).as(ShaCol))
 
     withId.select(
       (withId.columns.map(col).toSeq :+

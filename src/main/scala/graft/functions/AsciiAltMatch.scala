@@ -49,10 +49,14 @@ object AsciiAltMatch {
           if (i + 1 >= body.length) return None
           val c = body.charAt(i + 1)
           // escaped ASCII punctuation is a literal; letter/digit escapes
-          // (\d \s \1 ...) are regex constructs - out of scope
-          if (c < 128 && !c.isLetterOrDigit) { cur += c.toByte; i += 2 }
+          // (\d \s \1 ...) are regex constructs - out of scope. Control
+          // chars (esp. \n/\r) are rejected: the matcher strips the
+          // input's final line terminator, so a literal that can MATCH a
+          // terminator would diverge from rlike at end-of-input.
+          if (c < 128 && c >= 0x20 && !c.isLetterOrDigit) { cur += c.toByte; i += 2 }
           else return None
         case c if "()[]{}^$.|?*+".contains(c) => return None // metachar
+        case c if c < 0x20 => return None // raw control char: see above
         case c if c < 128 =>
           cur += (if (fold && c >= 'A' && c <= 'Z') (c + 32) else c.toInt).toByte
           i += 1

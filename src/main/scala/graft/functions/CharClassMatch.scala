@@ -96,6 +96,11 @@ object CharClassMatch {
           } else { bit(bits, lo); i = ni }
       }
     }
+    // A class able to match \n or \r (raw char, escaped control, or a
+    // range spanning them) would diverge from rlike: the matcher strips
+    // the input's FINAL line terminator before scanning, so such a
+    // pattern must keep the real regex engine.
+    if ((bits(0) & ((1L << '\n') | (1L << '\r'))) != 0) return None
     Some(bits)
   }
 
@@ -171,7 +176,7 @@ object CharClassMatch {
               case None => return None
               case Some(ni) => i = ni
             }
-            case c if c < 128 && !c.isLetterOrDigit => // escaped punctuation
+            case c if c < 128 && c >= 0x20 && !c.isLetterOrDigit => // escaped punctuation
               i = quantifiedLiteral(body, c, i + 2, toks, lit, flushLit _)
                 .getOrElse(return None)
             case _ => return None // \s \b \1 ...: out of scope
@@ -180,6 +185,9 @@ object CharClassMatch {
         // stripped) — compiling them as literal bytes would silently match
         // "a$b" against `^a$b$`; reject so the caller keeps rlike.
         case c if "+*?{}()|.^$".contains(c) => return None
+        // raw control chars (esp. \n/\r) as literals would diverge from
+        // rlike at end-of-input (final-terminator strip) — keep rlike
+        case c if c < 0x20 => return None
         case c if c < 128 =>
           i = quantifiedLiteral(body, c, i + 1, toks, lit, flushLit _)
             .getOrElse(return None)

@@ -45,6 +45,14 @@ case class Sha256Hex(child: Expression) extends UnaryExpression {
 
 object Sha256Hex {
 
+  /** Column-level entry point (the codebase convention — see
+   * AsciiAltMatch.columnIfSupported): wraps the kernel without every
+   * call site repeating the ColumnBridge plumbing. */
+  def column(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Sha256Hex(ColumnBridge.expression(c)))
+  }
+
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
   private val digestBuf: ThreadLocal[Array[Byte]] =

@@ -346,8 +346,9 @@ object Multimodal {
 
     /** Real rescale: decode, Graphics2D bilinear draw into the target
      * canvas, re-encode PNG. */
-    def resizePng(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
-      val src = decode(payload)
+    def resizePng(payload: Array[Byte], width: Int, height: Int,
+        dec: PngReader): Array[Byte] = {
+      val src = dec.decode(payload)
       val dst = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -514,12 +515,13 @@ object Multimodal {
     require(width > 0 && height > 0, "resize dims must be positive")
     val outLen = math.max(16, (width.toLong * height / 64).toInt)
     assets.mapPartitions { it =>
-      // a native scaler would be initialized ONCE per partition, here —
-      // like the digest instance below, never per row
+      // per-partition handles, never per row: the digest AND the PNG
+      // reader (ImageIO.read would pay registry/stream setup per image)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val dec = new Codec.PngReader
       it.map { a =>
         val out =
-          if (a.mime == "image/png") Codec.resizePng(a.payload, width, height)
+          if (a.mime == "image/png") Codec.resizePng(a.payload, width, height, dec)
           else {
             // --- stub scale step (audio/video): FNV-1a byte stream ---
             var h = a.payload.foldLeft(1469598103934665603L)((acc, b) =>

@@ -113,16 +113,19 @@ object Similarity {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
-    // seeds = first k of the hash order (identical to the old seeding)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    // seeds = first k of the hash order (identical to the old seeding);
+    // a corpus smaller than k simply yields fewer centroids, as before
     var cents = sample.take(k).map(_.clone())
+    val kEff = cents.length
     for (_ <- 1 to iters) {
       val dims = cents(0).length
-      val sums = Array.fill(k)(new Array[Double](dims))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](dims))
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           var d = 0.0
           val cent = cents(c)
           val n = math.min(v.length, cent.length)
@@ -137,7 +140,7 @@ object Similarity {
         while (i < n) { s(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
         else sums(c).map(_ / counts(c))
       }

@@ -102,10 +102,8 @@ object TextAnalysis {
    * Uses the [[graft.functions.Sha256Hex]] kernel (thread-local digest),
    * value-identical to sha2(.., 256) / DuckDB sha256. */
   def fingerprint(text: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.Sha256Hex(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          regexp_replace(lower(trim(text)), "\\s+", " "))))
+    graft.functions.Sha256Hex.column(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /**
    * Polynomial rolling hash over the normalized text: base 31 modulo the

@@ -240,12 +240,18 @@ object Catalog {
       .orderBy("probe_id", "rank")
   }
 
-  /** LSH-bucketed ANN top-10 for the same query (scale path; rows-only —
-   * the bucketing is seed-dependent and not SQL-expressible). */
+  /** Embedding dim used by the most recent [[annLsh]] run — the oracle
+   * regenerates the same seeded hyperplanes, so its dim must track the
+   * fixture's actual embedding length, not a hardcoded 64. */
+  @volatile var lastLshDim: Option[Int] = None
+
+  /** LSH-bucketed ANN top-10 for the same query (scale path; oracle
+   * regenerates the seeded planes at the recorded dim). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
+    lastLshDim = Some(q.length)
     val planes = Similarity.hyperplanes(dim = q.length, bits = 4)
     Similarity.annTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       q, 10, planes)

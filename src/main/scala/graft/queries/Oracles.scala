@@ -139,8 +139,8 @@ object Oracles {
     val markers = graft.ops.TextAnalysis.LangMarkers.map { case (l, ms) => l -> inList(ms) }.toMap
     s"""WITH t AS (
        |  SELECT doc_id, text,
-       |    regexp_split_to_array(trim(text), '\\s+') AS toks,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks_l
+       |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
+       |    regexp_split_to_array(lower(trim(text)), '[\\s\\x0b]+') AS toks_l
        |  FROM documents
        |), f AS (
        |  SELECT doc_id,
@@ -155,7 +155,7 @@ object Oracles {
        |    len(list_filter(toks_l, x -> x IN ${markers("de")})) AS s_de,
        |    len(list_filter(toks_l, x -> x IN ${markers("fr")})) AS s_fr,
        |    len(list_filter(toks_l, x -> x IN ${markers("es")})) AS s_es,
-       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       |    sha256(regexp_replace(lower(trim(text)), '[\\s\\x0b]+', ' ', 'g')) AS fingerprint
        |  FROM t
        |)
        |SELECT doc_id,
@@ -186,7 +186,7 @@ object Oracles {
       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0),
       |f AS (
       |  SELECT doc_id,
-      |         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |         sha256(regexp_replace(lower(trim(text)), '[\s\x0b]+', ' ', 'g')) AS fingerprint
       |  FROM corpus)
       |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
       |FROM f GROUP BY fingerprint HAVING count(*) > 1
@@ -195,7 +195,7 @@ object Oracles {
   val taExtras: String =
     """WITH t AS (
       |  SELECT doc_id, text,
-      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |    regexp_replace(lower(trim(text)), '[\s\x0b]+', ' ', 'g') AS norm
       |  FROM documents)
       |SELECT doc_id,
       |  -- alnum runs + non-alnum non-space chars (the lookaround-split
@@ -213,7 +213,7 @@ object Oracles {
   val ddNgram: String =
     """WITH tok AS (
       |  SELECT doc_id, lang, n_chars,
-      |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
       |  FROM documents),
       |s AS (
       |  SELECT doc_id, lang, n_chars,
@@ -248,7 +248,7 @@ object Oracles {
       .map { case (a, b) => s"[$a, $b]" }.mkString(", ")
     s"""WITH RECURSIVE
 corp AS (
-  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS toks
   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
 dsh AS (
   SELECT id, list_distinct(list_transform(
@@ -314,7 +314,7 @@ ORDER BY id_a, id_b"""
     s"""WITH RECURSIVE
 corp AS (
   SELECT doc_id AS id,
-         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         list_distinct(string_split_regex(lower(trim(text)), '[\\s\\x0b]+')) AS toks
   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
 ts AS (SELECT DISTINCT unnest(toks) AS s FROM corp),
 tid AS (SELECT row_number() OVER (ORDER BY s) AS sid, s FROM ts),
@@ -415,8 +415,8 @@ ORDER BY id_a, id_b"""
    * Bucket bit b is sign(dot(v, plane_b)); both engines evaluate the dot
    * in double precision, so the sign agrees bit-for-bit.
    */
-  val annLsh: String = {
-    val planes = graft.ops.Similarity.hyperplanes(dim = 64, bits = 4)
+  def annLsh(dim: Int = 64): String = {
+    val planes = graft.ops.Similarity.hyperplanes(dim = dim, bits = 4)
     val bucketOf = (v: String) => planes.zipWithIndex.map { case (p, b) =>
       s"(CASE WHEN list_dot_product($v, ${listLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", "\n      + ", ")")

@@ -100,9 +100,16 @@ object CheckpointRunner {
       graft.sources.SnapshotTable.currentVersion(spark, cfg.inputPath).isDefined
     lazy val input = spark.read.parquet(cfg.inputPath)
     val partitions =
-      if (isSnapshotTable)
+      if (isSnapshotTable) {
+        val specCols = graft.sources.SnapshotTable
+          .snapshot(spark, cfg.inputPath).partitionCols
+        require(specCols.contains(cfg.partitionCol),
+          s"partitionCol '${cfg.partitionCol}' is not a partition column of " +
+            s"the snapshot table (spec: $specCols) — a typo here would " +
+            "otherwise yield zero partitions and a silent no-op run")
         graft.sources.SnapshotTable.partitions(spark, cfg.inputPath)
           .flatMap(_.get(cfg.partitionCol)).distinct.sorted
+      }
       else discoverPartitions(spark, cfg.inputPath, cfg.partitionCol)
         .getOrElse(input.select(cfg.partitionCol).distinct()
           .collect().map(_.get(0).toString).sorted.toSeq)

@@ -49,6 +49,25 @@ object SnapshotTable {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Inverse of Hive-style partition-path escaping: pure %XX unescape.
+   * NOT URLDecoder — that would also turn '+' into a space, corrupting
+   * values like "c++" that Hive never escapes on the way out. */
+  private[sources] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // --- manifest I/O --------------------------------------------------------
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -73,14 +92,21 @@ object SnapshotTable {
     val tmp = new Path(dir, s".v${s.version}.json.tmp")
     val out = f.create(tmp, true)
     out.write(mapper.writeValueAsBytes(node)); out.close()
-    f.rename(tmp, new Path(dir, s"v${s.version}.json"))
-    // atomic pointer flip: write-then-rename
+    val manifest = new Path(dir, s"v${s.version}.json")
+    require(f.rename(tmp, manifest),
+      s"manifest rename failed: $tmp -> $manifest (stale file from a crashed commit? remove it first)")
+    // atomic pointer flip: write-then-rename with OVERWRITE via
+    // FileContext — FileSystem.rename returns false when the target
+    // exists, and delete-then-rename would expose a window where a
+    // concurrent reader sees NO hint at all (violating the isolation
+    // contract this layer exists to provide)
     val hintTmp = new Path(dir, ".version-hint.tmp")
     val ho = f.create(hintTmp, true)
     ho.write(s.version.toString.getBytes("UTF-8")); ho.close()
     val hint = new Path(dir, "version-hint.text")
-    f.delete(hint, false)
-    f.rename(hintTmp, hint)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(hintTmp, hint, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
@@ -154,8 +180,7 @@ object SnapshotTable {
         if (st.isDirectory) {
           val kv = name.split("=", 2)
           val nextPart =
-            if (kv.length == 2)
-              part + (kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8"))
+            if (kv.length == 2) part + (kv(0) -> unescapePathName(kv(1)))
             else part
           walk(st.getPath, nextPart)
         } else if (name.endsWith(".parquet")) {

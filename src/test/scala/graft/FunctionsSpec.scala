@@ -214,8 +214,16 @@ class FunctionsSpec extends SparkSuite {
     // answers); they must return None so the caller keeps rlike
     Seq("^[\\s]$", "^[\\n]+$", "^[\\t]$", "^[\\S]$", "^[\\D]$", "^[\\W]$",
       "^[a\\s]+$", "^[\\w\\s]+$", "^[\\b]$", "^[\\1]$", "^[a-\\d]$",
-      "^a$b$", "^a^b$", "^$a$")
+      "^a$b$", "^a^b$", "^$a$",
+      // terminator-capable patterns: raw \n/\r literals or classes/ranges
+      // spanning them would diverge from rlike at end-of-input (the
+      // matcher strips the input's final line terminator) — reject
+      "^a\n$", "^a\r$", "^[a\n]$", "^[\t- ]+$")
       .foreach(p => assert(CharClassMatch.compile(p).isEmpty, p))
+    // AsciiAltMatch: same terminator rule for alternation literals
+    Seq("^(a\n|b)$", "^(a|b\r)$")
+      .foreach(p => assert(graft.functions.AsciiAltMatch.compile(p).isEmpty, p))
+    assert(graft.functions.AsciiAltMatch.compile("^(a|b)$").isDefined)
     // escaped punctuation inside classes stays supported and correct
     val p = "^[\\-\\.a-f]+$"
     val prog = CharClassMatch.compile(p).get

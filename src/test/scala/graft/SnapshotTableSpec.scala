@@ -83,6 +83,19 @@ class SnapshotTableSpec extends SparkSuite {
     assert(cur.filter($"source" === "src0").count() === 3)
   }
 
+  test("partition values with '+' and escaped chars round-trip (no URLDecoder corruption)") {
+    val root = freshRoot()
+    val df = Seq((1L, "c++", "x"), (2L, "f#", "y"), (3L, "a b", "z"))
+      .toDF("id", "lang", "payload")
+    SnapshotTable.commit(df, root, Seq("lang"))
+    // URLDecoder would turn 'c++' into 'c  '; the Hive %XX unescape must not
+    assert(SnapshotTable.partitions(spark, root).map(_("lang")).toSet
+      === Set("c++", "f#", "a b"))
+    val got = SnapshotTable.read(spark, root,
+      partitionFilter = Map("lang" -> "c++"))
+    assert(got.count() === 1 && got.head().getLong(0) === 1L)
+  }
+
   test("partition discovery is pure metadata (no listing, no scan)") {
     val root = freshRoot()
     SnapshotTable.commit(corpus("v1"), root, Seq("source"))
