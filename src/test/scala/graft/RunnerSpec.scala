@@ -85,6 +85,31 @@ class RunnerSpec extends SparkSuite {
     assert(r4.forall(!_.skipped))
   }
 
+  test("CheckpointMain: spark-submit arg surface drives a resumable run end-to-end") {
+    import graft.run.CheckpointMain
+    val base = Files.createTempDirectory("graft_ckpt_cli").toString
+    CodeFiles.generate(spark, 200)
+      .withColumn("part", (col("id") % 2).cast("string"))
+      .write.partitionBy("part").parquet(s"$base/input")
+    val argv = List(
+      "--input", s"$base/input", "--partition-col", "part",
+      "--output", s"$base/out", "--violations", s"$base/viol",
+      "--manifest", s"$base/manifest",
+      "--builtin", "code_files", "--row-id", "id")
+    val args = CheckpointMain.parseArgs(argv, CheckpointMain.Args())
+    val r1 = CheckpointMain.run(spark, args)
+    assert(r1.size === 2 && r1.forall(!_.skipped) && r1.map(_.nRows).sum === 200)
+    // same command again: resumes (all partitions skipped)
+    assert(CheckpointMain.run(spark, args).forall(_.skipped))
+    // bad args fail fast with a named flag
+    intercept[IllegalArgumentException] {
+      CheckpointMain.parseArgs(List("--bogus", "x"), CheckpointMain.Args())
+    }
+    intercept[IllegalArgumentException] {
+      CheckpointMain.run(spark, args.copy(builtin = Some("nope"), config = None))
+    }
+  }
+
   test("checkpoint runner over a snapshot-manifest table: metadata planning + resume") {
     val base = Files.createTempDirectory("graft_snap_ckpt").toString
     val root = s"$base/table"
