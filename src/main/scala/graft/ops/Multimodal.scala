@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
  * `binary` columns with a typed metadata struct; decode / feature-extract /
  * resize / frame-sample run as per-partition batch transforms.
  *
- * The IMAGE modality uses a REAL codec: JDK 17's `javax.imageio` decodes,
- * scales and re-encodes PNG with no external dependency ([[Codec]]) —
- * `mm_features` width/height are true pixel dimensions and the resize path
- * really rescales pixels. The AUDIO modality is real too: WAV/RIFF PCM16 is
+ * The IMAGE modality uses a REAL codec with no external dependency
+ * ([[Codec]]): a hand-rolled PNG encoder AND decoder ([[PngDecode]],
+ * pinned pixel-equal to `ImageIO.read` cross-implementation in
+ * PngDecodeSpec, with `javax.imageio` as the runtime fallback for PNG
+ * variants outside the fast subset) — `mm_features` width/height are true
+ * pixel dimensions and the resize path really rescales pixels. The AUDIO modality is real too: WAV/RIFF PCM16 is
  * a public byte format the JDK needs no library for — [[Codec.encodeWav]] /
  * [[Codec.wavMeta]] write and chunk-walk real RIFF containers. VIDEO has no
  * in-container codec (ffmpeg-class), so it rides a minimal documented frame
@@ -87,8 +89,10 @@ object Multimodal {
      * IHDR/IDAT/IEND, filter-0 scanlines, zlib via java.util.zip.Deflater
      * level 1) rather than ImageIO: ~10x faster on the tiny-image corpus
      * (ImageIO's writer cost ~3 ms per frame and dominated the multimodal
-     * bench queries), and decode stays on `javax.imageio` — so every
-     * round trip is CROSS-IMPLEMENTATION: our encoder, the JDK's decoder. */
+     * bench queries). The hot decode path is hand-rolled too
+     * ([[PngDecode]]); the CROSS-IMPLEMENTATION round trip (our encoder ↔
+     * the JDK's decoder, and vice versa on ImageIO-written PNGs) is pinned
+     * in PngDecodeSpec rather than paid per row at runtime. */
     def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
       // filter-0 RGB scanlines
       val stride = 1 + width * 3
@@ -107,6 +111,42 @@ object Multimodal {
         }
         y += 1
       }
+      wrapPng(width, height, colorType = 2, raw)
+    }
+
+    /** Packed-RGB variant of [[encodePng]]: same filter-0 + zlib + chunk
+     * tail, pixels supplied as 0xRRGGBB ints (the [[PngDecode.RawImage]]
+     * layout) — lets resize re-encode without `ImageIO.write` (~3 ms per
+     * call) on the loop. */
+    def encodePngPixels(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == width * height, "pixel array does not match dims")
+      val stride = 1 + width * 3
+      val raw = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        var src = y * width
+        var o = y * stride + 1
+        val end = src + width
+        while (src < end) {
+          val v = rgb(src)
+          raw(o) = ((v >> 16) & 0xff).toByte
+          raw(o + 1) = ((v >> 8) & 0xff).toByte
+          raw(o + 2) = (v & 0xff).toByte
+          src += 1; o += 3
+        }
+        y += 1
+      }
+      wrapPng(width, height, colorType = 2, raw)
+    }
+
+    /** Deflate pre-filtered scanlines and wrap them in signature +
+     * IHDR/IDAT/IEND. `raw` is the PNG "filtered" byte stream (one filter
+     * byte then `width * channels` data bytes per scanline); `colorType`
+     * is written into IHDR verbatim (2 = RGB for the public encoders;
+     * the test suite crafts 0/4/6 and per-filter variants through this
+     * same tail to pin [[PngDecode]] against `ImageIO.read`). */
+    private[graft] def wrapPng(width: Int, height: Int, colorType: Int,
+        raw: Array[Byte]): Array[Byte] = {
       val defl = new java.util.zip.Deflater(1)
       defl.setInput(raw); defl.finish()
       val comp = new Array[Byte](raw.length + (raw.length >> 3) + 64)
@@ -127,8 +167,8 @@ object Multimodal {
       }
       val ihdr = java.nio.ByteBuffer.allocate(13)
         .putInt(width).putInt(height)
-        .put(8.toByte)  // bit depth
-        .put(2.toByte)  // color type: truecolor RGB
+        .put(8.toByte)         // bit depth
+        .put(colorType.toByte) // 2 = truecolor RGB on the encode paths
         .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
         .array()
       chunk("IHDR", ihdr, 13)
@@ -163,15 +203,42 @@ object Multimodal {
       def dispose(): Unit = reader.dispose()
     }
 
+    /**
+     * THE per-partition image decode handle: the hand-rolled
+     * [[PngDecode.PngDecoder]] fast path (tens of microseconds on the
+     * tiny-frame corpus vs ~1 ms of per-image `ImageIO` plumbing even
+     * with a reused reader), with a lazily-built [[PngReader]] fallback
+     * for PNG variants outside its subset (palette, 16-bit, interlaced)
+     * and for any other format `ImageIO` claims. Both paths return the
+     * same packed-0xRRGGBB [[PngDecode.RawImage]]; PngDecodeSpec pins
+     * them pixel-equal cross-implementation. NOT thread-safe — one per
+     * partition iterator.
+     */
+    final class ImageDecoder {
+      private val fast = new PngDecode.PngDecoder
+      private lazy val fallback = new PngReader
+      def decode(payload: Array[Byte]): PngDecode.RawImage =
+        try fast.decode(payload)
+        catch {
+          case _: PngDecode.UnsupportedPng =>
+            val img = fallback.decode(payload)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+            PngDecode.RawImage(w, h, px)
+        }
+    }
+
     /** Real decode + feature extraction: true pixel dimensions and a small
      * luminance-profile embedding (mean luminance of FeatureDim horizontal
      * strips, 0..1) — the deterministic stand-in for a vision encoder.
      * Pixels are read in ONE bulk getRGB call: the per-pixel accessor does
      * a color-model conversion per call and measured ~5x slower. */
-    def imageFeatures(a: Asset, dec: PngReader): AssetFeatures = {
+    def imageFeatures(a: Asset, dec: ImageDecoder): AssetFeatures = {
       val img = dec.decode(a.payload)
-      val (w, h) = (img.getWidth, img.getHeight)
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val (w, h) = (img.width, img.height)
+      val px = img.rgb
       val feature = new Array[Float](FeatureDim)
       var strip = 0
       while (strip < FeatureDim) {
@@ -318,7 +385,7 @@ object Multimodal {
     /** Real container parse + real first-frame pixel decode: width/height
      * are true PNG dims; the embedding is mean luminance of up to
      * FeatureDim evenly-spaced frames, each REALLY decoded. */
-    def videoFeatures(a: Asset, dec: PngReader): AssetFeatures = {
+    def videoFeatures(a: Asset, dec: ImageDecoder): AssetFeatures = {
       val idx = videoIndex(a.payload)
       val first = dec.decode(idx.frame(a.payload, 0))
       val picks = math.min(FeatureDim, idx.nFrames)
@@ -327,8 +394,7 @@ object Multimodal {
       while (p < picks) {
         val k = idx.nFrames.toLong * p / picks
         val img = if (k == 0) first else dec.decode(idx.frame(a.payload, k.toInt))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val px = img.rgb
         var sum = 0L
         var i = 0
         while (i < px.length) {
@@ -340,15 +406,19 @@ object Multimodal {
         p += 1
       }
       AssetFeatures(a.asset_id, a.modality, a.n_bytes,
-        width = first.getWidth, height = first.getHeight,
+        width = first.width, height = first.height,
         duration_ms = idx.durationMs, feature = feature)
     }
 
     /** Real rescale: decode, Graphics2D bilinear draw into the target
-     * canvas, re-encode PNG. */
+     * canvas, re-encode with the hand-rolled writer (`ImageIO.write` cost
+     * ~3 ms per call; [[encodePngPixels]] shares [[encodePng]]'s tail). */
     def resizePng(payload: Array[Byte], width: Int, height: Int,
-        dec: PngReader): Array[Byte] = {
-      val src = dec.decode(payload)
+        dec: ImageDecoder): Array[Byte] = {
+      val raw = dec.decode(payload)
+      val src = new java.awt.image.BufferedImage(
+        raw.width, raw.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      src.setRGB(0, 0, raw.width, raw.height, raw.rgb, 0, raw.width)
       val dst = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -357,9 +427,8 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(src, 0, 0, width, height, null)
       } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(dst, "png", bos)
-      bos.toByteArray
+      encodePngPixels(width, height,
+        dst.getRGB(0, 0, width, height, null, 0, width).map(_ & 0xffffff))
     }
   }
 
@@ -441,12 +510,12 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.modality == "video").mapPartitions { it =>
-      val dec = new Codec.PngReader // per-partition codec handle
+      val dec = new Codec.ImageDecoder // per-partition codec handle
       it.flatMap { a =>
         val idx = Codec.videoIndex(a.payload)
         (0 until idx.nFrames by stride).iterator.map { k =>
           val img = dec.decode(idx.frame(a.payload, k))
-          (a.asset_id, k, img.getWidth, img.getHeight)
+          (a.asset_id, k, img.width, img.height)
         }
       }
     }.toDF("asset_id", "frame_idx", "width", "height")
@@ -475,9 +544,9 @@ object Multimodal {
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // the per-partition codec handle: ONE reusable PNG reader amortizes
-      // ImageIO's per-call registry/stream setup across the whole batch
-      val dec = new Codec.PngReader
+      // the per-partition codec handle: hand-rolled PNG fast path with
+      // one reusable Inflater; ImageIO fallback for exotic variants
+      val dec = new Codec.ImageDecoder
       it.map { a =>
         a.mime match {
           case "image/png"    => Codec.imageFeatures(a, dec)
@@ -515,10 +584,10 @@ object Multimodal {
     require(width > 0 && height > 0, "resize dims must be positive")
     val outLen = math.max(16, (width.toLong * height / 64).toInt)
     assets.mapPartitions { it =>
-      // per-partition handles, never per row: the digest AND the PNG
-      // reader (ImageIO.read would pay registry/stream setup per image)
+      // per-partition handles, never per row: the digest AND the image
+      // decoder (ImageIO.read would pay registry/stream setup per image)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-      val dec = new Codec.PngReader
+      val dec = new Codec.ImageDecoder
       it.map { a =>
         val out =
           if (a.mime == "image/png") Codec.resizePng(a.payload, width, height, dec)
