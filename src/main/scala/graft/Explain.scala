@@ -32,6 +32,17 @@ object Explain {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[explain] pass=$pass rows=$n sec=$sec%.2f")
     }
+    // With AQE the interesting plan is the FINAL one: exchange/stage reuse
+    // only materializes at runtime, so re-run the query and print the
+    // adaptive plan after execution (ReusedExchange / table-cache hits show
+    // up here, not in the static explain above).
+    // collect() (not count(): that builds a NEW query execution over an
+    // added aggregate, leaving this one un-finalized) so the printed
+    // AdaptiveSparkPlan is isFinalPlan=true.
+    val ran = fn(spark, sfDir)
+    println(s"[explain] final-plan run rows=${ran.collect().length}")
+    println("=== final adaptive plan ===")
+    println(ran.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

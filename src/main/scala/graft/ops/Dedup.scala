@@ -157,9 +157,12 @@ object Dedup {
     val oversized = d.groupBy(bc: _*).agg(count(lit(1)).as("__block_n"))
       .filter(col("__block_n") > maxBlockSize).select(bc: _*)
     val kept = d.join(broadcast(oversized), blockCols, "left_anti")
+    // Shuffle-merge pinned like [[simhashPairs]]: identical exchanges on the
+    // block key let the b-side reuse the a-side's shuffle — one scan and one
+    // shingle computation feed both sides (AQE's broadcast pick re-scans).
     val a = kept.select(bc :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
     val b = kept.select(bc :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
-    a.join(b, blockCols)
+    a.hint("shuffle_merge").join(b.hint("shuffle_merge"), blockCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -228,9 +231,16 @@ object Dedup {
     // the codegen'd join filters hamming pair-by-pair without ever
     // materializing a block's full O(m^2) pair array (measured 1.8x faster
     // than the collect+transform shape at sf0.1 block sizes).
+    // The join is PINNED shuffle-merge: the two sides are the same subplan,
+    // so with identical hashpartitioning(block) exchanges the b-side becomes
+    // a ReusedExchange — the corpus is scanned (and simhashed) ONCE for both
+    // sides. Left to AQE, the small side broadcasts at test scale and each
+    // side re-scans the corpus (plan audit measured 4 scans end-to-end).
+    // The exchange is skew-safe: degenerate blocks were dropped map-side by
+    // the broadcast anti-join above, so every shuffled block is <= maxBlockSize.
     val a = kept.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = kept.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    a.hint("shuffle_merge").join(b.hint("shuffle_merge"), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -255,9 +265,11 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("vec"))
+    // Shuffle-merge pinned like [[simhashPairs]]: the b-side reuses the
+    // a-side's block exchange, so the embedding table is scanned once.
     val a = v.select(col("block"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = v.select(col("block"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("block"))
+    a.hint("shuffle_merge").join(b.hint("shuffle_merge"), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))

@@ -140,6 +140,31 @@ class PlanSpec extends SparkSuite {
     assert(sh.contains("BroadcastHashJoin"), "oversized-block anti-join must broadcast")
   }
 
+  test("pinned shuffle-merge self-joins reuse the a-side exchange (one scan per pair path)") {
+    // The pair-generation self-joins in simhashPairs / blockedNgramPairs /
+    // cosineNearDups are hinted shuffle-merge so both sides share ONE
+    // exchange: left to AQE's broadcast pick, each side re-scans the corpus
+    // and recomputes the signature pipeline (dd_simhash measured 4 full
+    // scans end-to-end). Exchange reuse only materializes at runtime under
+    // AQE, so execute and assert on the FINAL adaptive plan.
+    def finalPlan(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val sh = finalPlan(graft.ops.Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(sh.contains("ReusedExchange"), s"simhash b-side must reuse:\n$sh")
+    assert("FileScan".r.findAllIn(sh).length <= 2, // main + skew-safe guard count
+      s"simhash must scan at most twice (join sides share one scan):\n$sh")
+    val ng = finalPlan(graft.ops.Dedup.blockedNgramPairs(
+      docs, "doc_id", "text", Seq("lang")))
+    assert(ng.contains("ReusedExchange"), s"ngram b-side must reuse:\n$ng")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("block", col("vec_id") % 7)
+    val cp = finalPlan(graft.ops.Dedup.cosineNearDups(emb, "vec_id", "embedding",
+      "block", 0.5))
+    assert(cp.contains("ReusedExchange"), s"cosine b-side must reuse:\n$cp")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
