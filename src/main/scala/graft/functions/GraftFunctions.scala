@@ -81,6 +81,12 @@ object GraftFunctions {
       TopKByScore(Cast(args(0), DoubleType), Cast(args(1), LongType),
         intArg(args(2), "k"))
     },
+    fn("collect_sigs_capped", "_FUNC_(id, sig, cap) - aggregate: " +
+      "array<struct<id,sig>> of the group sorted by id, NULL once the group " +
+      "exceeds cap members (fused oversized-bucket guard, capped partials)") { args =>
+      require(args.size == 3, "collect_sigs_capped(id, sig, cap)")
+      CollectSigsCapped(Cast(args(0), LongType), args(1), intArg(args(2), "cap"))
+    },
     fn("sha256_hex", "_FUNC_(str) - lowercase-hex sha256, value-identical to " +
       "sha2(str, 256) but with a per-thread digest (no per-row getInstance)") { args =>
       require(args.size == 1, "sha256_hex(str)")

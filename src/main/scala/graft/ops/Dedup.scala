@@ -102,23 +102,22 @@ object Dedup {
       .filter(col("sig").isNotNull)
     val banded0 = sigs.select(col("id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
-    // Drop oversized buckets: a bucket shared by >maxBucketSize docs is
-    // non-discriminative (degenerate band) and would go quadratic in the
-    // self-join. The oversized-bucket list is tiny by construction, so it
-    // broadcasts into an anti-join — the standard LSH-at-scale guard.
-    val oversized = banded0.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucketSize).select("bucket")
-    val kept = banded0.join(broadcast(oversized), Seq("bucket"), "left_anti")
-    // Pair generation: ONE shuffle on the bucket key gathers each bucket's
-    // members (bounded <= maxBucketSize by the guard above, so the
-    // aggregation buffer cannot blow up), then pairs expand INSIDE the
-    // bucket row via nested array transforms. The previous a-join-b
-    // self-join shuffled the banded set twice more and re-evaluated the
-    // whole signature pipeline per side; this shape is PlanSpec-pinned
-    // join-free past the broadcast guard.
-    kept.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")) >= 2)
+    // ONE scan, ONE shuffle: the oversized-bucket guard is FUSED into the
+    // collect via [[graft.functions.CollectSigsCapped]] — a bucket shared
+    // by >maxBucketSize docs is non-discriminative (degenerate band) and
+    // would go quadratic in pair expansion, so it aggregates to NULL and is
+    // filtered. The previous two-pass shape (count + broadcast anti-join,
+    // then collect_list) scanned the corpus — and recomputed the signature
+    // pipeline, the dominant per-row cost — twice. The capped aggregate
+    // partial-aggregates map-side, so a degenerate bucket ships at most
+    // (#partitions x maxBucketSize) entries, and merges short-circuit to a
+    // bare count once the exact total crosses the cap. Pairs then expand
+    // INSIDE the bucket row via nested array transforms (bounded <=
+    // maxBucketSize members); this shape is PlanSpec-pinned join-free.
+    banded0.groupBy("bucket")
+      .agg(graft.functions.CollectSigsCapped.collect(
+        col("id"), col("sig"), maxBucketSize).as("members"))
+      .filter(col("members").isNotNull && size(col("members")) >= 2)
       .select(explode(bucketPairs(col("members"), (a, b) =>
         (graft.functions.VectorKernels.sigAgreement(a("sig"), b("sig"))
           .cast("double") / lit(numHashes)).as("est_jaccard"))).as("p"))

@@ -184,6 +184,55 @@ class OpsSpec extends SparkSuite {
     assert(small.sortedDesc.toSeq === Seq((0.8, 2L), (0.3, 1L)))
   }
 
+  test("CollectSigsCapped buffer: cap, exact totals across merges, serde round trip") {
+    import graft.functions.CollectSigsCapped
+    def buf(cap: Int, entries: (Long, Array[Long])*): CollectSigsCapped.Buffer = {
+      val b = new CollectSigsCapped.Buffer(cap)
+      entries.foreach { case (id, s) => b.add(id, s) }
+      b
+    }
+    val sig = Array(1L, 2L)
+    // under cap: all retained, sorted by id at output
+    val under = buf(3, 5L -> sig, 2L -> sig, 9L -> sig)
+    assert(!under.overflowed && under.sortedById._1.toSeq === Seq(2L, 5L, 9L))
+    // crossing the cap frees retained entries and keeps counting
+    val over = buf(3, 1L -> sig, 2L -> sig, 3L -> sig, 4L -> sig)
+    assert(over.overflowed && over.size === 0 && over.total === 4)
+    // merge of two under-cap partials that TOGETHER exceed the cap drops
+    val a = buf(3, 1L -> sig, 2L -> sig)
+    a.mergeFrom(buf(3, 3L -> sig, 4L -> sig))
+    assert(a.overflowed && a.total === 4)
+    // merge staying under the cap retains everything with the exact total
+    val c = buf(4, 1L -> sig, 2L -> sig)
+    c.mergeFrom(buf(4, 3L -> sig))
+    assert(!c.overflowed && c.total === 3 && c.sortedById._1.toSeq === Seq(1L, 2L, 3L))
+    // merging an overflowed partial (count-only on the wire) poisons the target
+    val d = buf(3, 1L -> sig)
+    d.mergeFrom(over)
+    assert(d.overflowed && d.total === 5)
+  }
+
+  test("minhashCandidates fused guard == two-pass guard semantics") {
+    // 8 docs share a degenerate text (one hot bucket per band), 4 docs form
+    // two distinct near-dup pairs; cap sits below the hot-bucket size
+    val hot = (0 until 8).map(i => (i.toLong, "the same exact text every time"))
+    // exact clones: every band matches, so the pair is deterministic (a
+    // near-dup's band match is probabilistic — wrong thing to pin a
+    // guard-semantics test on)
+    val pairsRows = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "one two three four five six seven"),
+      (201L, "one two three four five six seven"))
+    val df = (hot ++ pairsRows).toDF("doc_id", "text")
+    val got = Dedup.minhashCandidates(df, "doc_id", "text", maxBucketSize = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every hot-doc bucket exceeds the cap -> no pairs among ids 0-7
+    assert(got.forall { case (x, y) => x >= 100L && y >= 100L },
+      s"degenerate bucket must be dropped, got $got")
+    assert(got.contains((100L, 101L)) && got.contains((200L, 201L)))
+  }
+
   test("blockedNgramPairs drops oversized blocks, keeps small ones") {
     // hot block: 12 rows sharing (lang=en, n=1); cold block: 3 similar rows
     val hot = (0 until 12).map(i => (100L + i, "en", 1, "common shared text body"))

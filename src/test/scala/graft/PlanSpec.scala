@@ -130,9 +130,12 @@ class PlanSpec extends SparkSuite {
     // banded set with itself (a SortMergeJoin/ShuffledHashJoin there means
     // the plan re-shuffles and re-computes the signature pipeline twice).
     val mh = physical(graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text"))
-    assert(!mh.contains("SortMergeJoin") && !mh.contains("ShuffledHashJoin"),
-      s"minhash pairs must not self-join:\n$mh")
-    assert(mh.contains("BroadcastHashJoin"), "oversized-bucket anti-join must broadcast")
+    assert(!mh.contains("Join"), s"minhash must be join-free:\n$mh")
+    // guard fused into the capped collect: one scan, one shuffle
+    assert(mh.contains("collect_sigs_capped"), "guard must be fused into the collect")
+    assert("Scan parquet|FileScan".r.findAllIn(mh).length == 1,
+      s"minhash must scan the corpus exactly once:\n$mh")
+    assert(mh.contains("ObjectHashAggregate"), "capped collect must run in ObjectHashAggregate")
     // SimHash: quarter blocks collide broadly, so the pair path is a
     // streaming join BY DESIGN (see Dedup.simhashPairs) — but the
     // degenerate-block guard must still be a broadcast anti-join.
