@@ -26,6 +26,7 @@ object SparkEntry {
     "dd_minhash" -> (Catalog.ddMinhash _),
     "dd_ngram" -> (Catalog.ddNgram _),
     "dd_simhash" -> (Catalog.ddSimhash _),
+    "dd_clusters" -> (Catalog.ddClusters _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "ann_topk" -> (Catalog.annTopK _),
     "ann_lsh" -> (Catalog.annLsh _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "ta_extras" -> Oracles.taExtras,
     "dd_exact" -> Oracles.ddExact,
     "dd_ngram" -> Oracles.ddNgram,
+    "dd_clusters" -> Oracles.ddClusters,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,
     "ann_knn_join" -> Oracles.annKnnJoin,

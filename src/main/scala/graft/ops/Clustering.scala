@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an undirected edge list — the CLUSTERING step
+ * of a dedup pipeline. Near-dup detection (MinHash, SimHash, n-gram
+ * Jaccard, embedding cosine — see [[Dedup]]) emits PAIRS; to keep one
+ * canonical document per duplicate group the pairs must be closed into
+ * components, transitively: A~B and B~C put A and C in the same cluster
+ * even when no direct A~C pair was found. Every member is labeled with the
+ * smallest id reachable from it — the conventional canonical-id choice.
+ *
+ * Spark-first formulation: iterative min-label propagation with POINTER
+ * DOUBLING. Each round a node's label becomes
+ *
+ *   min(label(node), min over neighbors of label(neighbor), label(label(node)))
+ *
+ * The third term (a self-join of the label table on `comp = id`) is what
+ * makes this O(log n) rounds instead of O(diameter): once u points at v
+ * and v points at w, u points at w next round, so label-paths halve every
+ * iteration — the DataFrame rendition of pointer-jumping / hash-to-min
+ * (cf. Rastogi et al., "Finding Connected Components in Map-Reduce").
+ * Each round is two equi-joins plus one min-aggregate, all keyed on the
+ * node id; convergence is detected by the exact label-sum (labels only
+ * ever decrease, so the DECIMAL(38,0) sum is a fixpoint witness), and
+ * lineage is cut per round with `localCheckpoint` — without it the
+ * iterated join plan grows without bound and analysis time dominates.
+ *
+ * Scale shape: label and edge tables shuffle on their keys; no step ever
+ * materializes a component's membership in one place (the min-aggregate
+ * partial-aggregates map-side), so a 10^9-member component costs the same
+ * shuffle volume as 10^9 singletons. Input edges are symmetrized and
+ * dedup'd once up front. Nodes with no edges are absent from the output
+ * (a dedup pipeline joins components back onto the corpus and treats
+ * missing as singleton).
+ */
+object Clustering {
+
+  /**
+   * Label every node of the pair graph with the minimum id in its
+   * connected component. Returns (id BIGINT, component BIGINT), one row
+   * per distinct endpoint of `edges`.
+   *
+   * @param maxIter hard cap on propagation rounds; with pointer doubling
+   *                the round count is logarithmic (30 covers any graph
+   *                with < 2^30-hop min-paths), so hitting the cap means
+   *                the input is pathological — fail loudly, never return
+   *                half-merged clusters.
+   */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged) {
+      val viaEdge = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val viaDouble = labels.select(col("id"), col("comp").as("hop"))
+        .join(labels.withColumnRenamed("id", "hop")
+          .withColumnRenamed("comp", "comp2"), "hop")
+        .select(col("id"), col("comp2").as("comp"))
+      labels = labels.unionByName(viaEdge).unionByName(viaDouble)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+      if (!converged && it >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
+    }
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Canonical-per-cluster selection: one row per component — the member
+   * with the smallest id (the component label itself, by construction).
+   * The rest of the cluster is the drop set of a dedup pass. */
+  def canonicalIds(components: DataFrame): DataFrame =
+    components.filter(col("id") === col("component")).select(col("id"))
+}

@@ -146,7 +146,7 @@ object Catalog {
 
   // --- training-data pipeline ops ------------------------------------------
 
-  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal}
+  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal, Clustering}
 
   /** Text-analysis feature extraction: one codegen'd projection per doc. */
   def taFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -194,6 +194,34 @@ object Catalog {
     Dedup.blockedNgramPairs(docs(spark, dir), "doc_id", "text",
       Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
       .orderBy("id_a", "id_b")
+
+  /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard blocked
+   * ngram pair graph, each member labeled with its component's min id (the
+   * canonical-doc choice of a dedup pass). The raw corpus has no organic
+   * >=0.5 pairs (its max blocked Jaccard is ~0.01), so near-dup clones are
+   * planted the way [[ddExact]] plants exact ones: each doc_id % 50 == 0
+   * gains a first-token-swapped clone (+100000) and a trailing-token clone
+   * (+200000) — a high-Jaccard triple whose component label is the original
+   * id. The clone expressions (`substring`/`instr`/`||`) evaluate
+   * identically in Spark and DuckDB, so the oracle ([[Oracles.ddClusters]])
+   * rebuilds the same corpus and closes the same pair graph with a
+   * recursive CTE. */
+  def ddClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.filter(col("doc_id") % 50 === 0)
+    val swapped = base
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(lit("zzzswap "),
+        expr("substring(text, instr(text, ' ') + 1)")))
+    val tailed = base
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(col("text"), lit(" qqqtail")))
+    val edges = Dedup.blockedNgramPairs(
+      d.unionByName(swapped).unionByName(tailed), "doc_id", "text",
+      Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
+      .filter(col("jaccard") >= 0.5)
+    Clustering.connectedComponents(edges, "id_a", "id_b").orderBy("id")
+  }
 
   /** SimHash near-dup pairs within Hamming distance 3 (pigeonhole-blocked
    * on 16-bit quarters). Full-value DuckDB oracle: [[Oracles.ddSimhash]]

@@ -232,6 +232,53 @@ object Oracles {
       |ORDER BY id_a, id_b""".stripMargin
 
   /**
+   * Oracle for [[Catalog.ddClusters]]: rebuilds the same planted-clone
+   * corpus (the clone expressions are engine-portable by construction),
+   * re-derives the >=0.5-Jaccard blocked pair graph exactly like
+   * [[ddNgram]], then closes it into connected components with a
+   * recursive CTE — min-label propagation as SQL: seed every endpoint
+   * with itself, flow labels across symmetrized edges until the UNION
+   * fixpoint, then take the min reachable id per node.
+   */
+  val ddClusters: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, lang, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, n_chars,
+      |         'zzzswap ' || substring(text, instr(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, lang, n_chars, text || ' qqqtail'
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |tok AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
+      |  FROM corpus),
+      |s AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+      |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+      |  FROM tok),
+      |keep AS (
+      |  SELECT lang, n_chars FROM corpus
+      |  GROUP BY lang, n_chars HAVING count(*) <= 1000),
+      |sk AS (SELECT s.* FROM s JOIN keep USING (lang, n_chars)),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sk a JOIN sk b
+      |    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+      |        UNION ALL SELECT id_b, id_a FROM edges),
+      |cc AS (
+      |  SELECT DISTINCT src AS id, src AS comp FROM sym
+      |  UNION
+      |  SELECT sym.src AS id, cc.comp FROM cc JOIN sym ON cc.id = sym.dst
+      |)
+      |SELECT id, min(comp) AS component FROM cc GROUP BY id ORDER BY id""".stripMargin
+
+  /**
    * Full-value oracle for [[Catalog.ddMinhash]] (previously `no_oracle`):
    * recomputes the ENTIRE MinHash-LSH pipeline in DuckDB — word 3-shingles,
    * xxhash64 via [[SqlXxh64]], the 32 seeded affine permutations (the same

@@ -233,6 +233,35 @@ class OpsSpec extends SparkSuite {
     assert(got.contains((100L, 101L)) && got.contains((200L, 201L)))
   }
 
+  test("connectedComponents: transitivity, multi-component, dup/self edges, canonical ids") {
+    import graft.ops.Clustering
+    // two components: a 4-chain (transitive closure without direct edges)
+    // and a 2-clique, plus duplicate and self edges that must be ignored
+    val edges = Seq(
+      (10L, 7L), (7L, 22L), (22L, 31L), // chain: {7, 10, 22, 31}
+      (100L, 90L), (90L, 100L), (100L, 100L) // clique {90, 100} + noise
+    ).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(7L -> 7L, 10L -> 7L, 22L -> 7L, 31L -> 7L,
+      90L -> 90L, 100L -> 90L))
+    val canon = Clustering.canonicalIds(
+      Clustering.connectedComponents(edges, "id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(canon === Set(7L, 90L))
+  }
+
+  test("connectedComponents: pointer doubling converges a 64-chain in O(log n) rounds") {
+    import graft.ops.Clustering
+    // worst case for plain min-propagation: a descending chain where the
+    // min sits at the far end — 63 rounds without doubling. maxIter = 10
+    // only passes because label-paths halve each round.
+    val chain = (1 until 64).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(chain, "id_a", "id_b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64 && got.values.forall(_ === 1L))
+  }
+
   test("blockedNgramPairs drops oversized blocks, keeps small ones") {
     // hot block: 12 rows sharing (lang=en, n=1); cold block: 3 similar rows
     val hot = (0 until 12).map(i => (100L + i, "en", 1, "common shared text body"))
