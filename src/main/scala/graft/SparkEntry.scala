@@ -27,6 +27,8 @@ object SparkEntry {
     "dd_ngram" -> (Catalog.ddNgram _),
     "dd_simhash" -> (Catalog.ddSimhash _),
     "dd_clusters" -> (Catalog.ddClusters _),
+    "q_split" -> (Catalog.qSplit _),
+    "q_quota" -> (Catalog.qQuota _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "ann_topk" -> (Catalog.annTopK _),
     "ann_lsh" -> (Catalog.annLsh _),
@@ -62,6 +64,8 @@ object SparkEntry {
     "dd_exact" -> Oracles.ddExact,
     "dd_ngram" -> Oracles.ddNgram,
     "dd_clusters" -> Oracles.ddClusters,
+    "q_split" -> Oracles.qSplit,
+    "q_quota" -> Oracles.qQuota,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,
     "ann_knn_join" -> Oracles.annKnnJoin,

@@ -146,7 +146,7 @@ object Catalog {
 
   // --- training-data pipeline ops ------------------------------------------
 
-  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal, Clustering}
+  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal, Clustering, Sampling}
 
   /** Text-analysis feature extraction: one codegen'd projection per doc. */
   def taFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -194,6 +194,27 @@ object Catalog {
     Dedup.blockedNgramPairs(docs(spark, dir), "doc_id", "text",
       Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
       .orderBy("id_a", "id_b")
+
+  /** Deterministic train/val/test assignment (80/10/10) by hashed doc id —
+   * stable across runs, partitionings and appends, unlike randomSplit.
+   * Oracle: [[Oracles.qSplit]] recomputes Spark's xxhash64 long path as
+   * pure SQL arithmetic and applies the same bucket thresholds. */
+  def qSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(docs(spark, dir), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").orderBy("doc_id")
+
+  /** Per-language quota sampling: the 5 best docs per lang by quality
+   * score (ties to the smaller id) via the bounded TopKByScore aggregate —
+   * the scale-safe "cap per domain" curation step. Oracle: the equivalent
+   * row_number() window in DuckDB ([[Oracles.qQuota]]). */
+  def qQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = d.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    Sampling.quotaSample(scored, Seq("lang"), "doc_id", "quality_score", 5)
+      .orderBy("lang", "doc_id")
+  }
 
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard blocked
    * ngram pair graph, each member labeled with its component's min id (the

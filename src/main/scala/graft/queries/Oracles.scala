@@ -232,6 +232,63 @@ object Oracles {
       |ORDER BY id_a, id_b""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qSplit]]: recomputes Spark's `xxhash64(bigint)`
+   * (XXH64.hashLong, seed 42) as staged pure-SQL 64-bit arithmetic
+   * ([[SqlXxh64.hashLongStages]]), folds to the signed value Spark
+   * returns, and applies the identical pmod-bucket thresholds
+   * (80/10/10 over 10000 buckets).
+   */
+  def qSplit: String = {
+    val hashed = SqlXxh64.stagesSql(
+      SqlXxh64.hashLongStages("doc_id", 42L), "documents", Seq("doc_id"))
+    val s = SqlXxh64.signed("lb4")
+    s"""WITH h AS (
+       |  $hashed
+       |), b AS (
+       |  SELECT doc_id, ((($s) % 10000) + 10000) % 10000 AS bucket FROM h
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN bucket < 8000 THEN 'train'
+       |       WHEN bucket < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /**
+   * Oracle for [[Catalog.qQuota]]: the quality-score formula of
+   * [[taFeatures]] fed into the window formulation the bounded aggregate
+   * replaces — row_number() over (lang, score DESC, doc_id ASC) <= 5.
+   */
+  val qQuota: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |    regexp_split_to_array(trim(text), '[\s\x0b]+') AS toks
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, lang,
+      |    len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct_tokens,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+      |      / length(text) AS punct_raw
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, lang,
+      |    round(
+      |      (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0
+      |            WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+      |      + (n_distinct_tokens * 1.0 / n_tokens) * 0.4
+      |      + (1.0 - LEAST(1.0, punct_raw * 5)) * 0.2, 6) AS quality_score
+      |  FROM f
+      |), r AS (
+      |  SELECT doc_id, lang, quality_score,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY quality_score DESC, doc_id ASC) AS rn
+      |  FROM q
+      |)
+      |SELECT lang, doc_id, quality_score FROM r WHERE rn <= 5
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /**
    * Oracle for [[Catalog.ddClusters]]: rebuilds the same planted-clone
    * corpus (the clone expressions are engine-portable by construction),
    * re-derives the >=0.5-Jaccard blocked pair graph exactly like

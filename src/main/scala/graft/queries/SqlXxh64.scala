@@ -204,6 +204,26 @@ object SqlXxh64 {
     Seq(prep, rec, tail, done).mkString(",\n")
   }
 
+  /** Spark XXH64.hashLong(l, seed) — the 8-byte path — as stages ending in
+   * alias `lb4`. `lExpr` must be a NON-NEGATIVE bigint expression (it is
+   * cast to UBIGINT directly; a negative id would need the two's-complement
+   * fold first). Spark's `xxhash64(bigint_col)` is exactly this with
+   * seed 42. Validated bit-equal to the reference xxh64 over the 8 LE
+   * bytes before landing (tools/xxh64_ref.py). */
+  def hashLongStages(lExpr: String, seed: Long): Seq[(String, String)] = Seq(
+    ("lk1", mul64(s"($lExpr)::UBIGINT", P2)),
+    ("lk2", rot("lk1", 31)),
+    ("lk3", mul64("lk2", P1)),
+    ("lh1", xor64(s"${(BigInt(seed) + P5 + 8) & Mask}::UBIGINT", "lk3")),
+    ("lh2", rot("lh1", 27)),
+    ("lh3", mul64("lh2", P1)),
+    ("lh4", add64("lh3", P4)),
+    ("la5", xor64("lh4", "lh4 >> 33")),
+    ("la6", mul64("la5", P2)),
+    ("la7", xor64("la6", "la6 >> 29")),
+    ("la8", mul64("la7", P3)),
+    ("lb4", xor64("la8", "la8 >> 32")))
+
   /** Spark XXH64.hashInt(i, seed) — the 4-byte path — as stages ending in
    * alias `ib4`. Mirrors the integer-seed fold Spark's xxhash64(str, int)
    * applies after the string hash. */

@@ -233,6 +233,46 @@ class OpsSpec extends SparkSuite {
     assert(got.contains((100L, 101L)) && got.contains((200L, 201L)))
   }
 
+  test("hashSplit: deterministic, append-stable, fractions near weights") {
+    import graft.ops.Sampling
+    val ids = (0L until 10000L).toDF("id")
+    val split = Sampling.hashSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    // hash buckets approximate the weights (binomial spread ~ +-3 sigma)
+    assert(math.abs(counts("train") - 8000L) < 150, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 120, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 120, s"test=${counts("test")}")
+    // append-stable: the first 1000 ids get the same label regardless of
+    // what else is in the DataFrame or how it is partitioned
+    val sub = Sampling.hashSplit(
+      (0L until 1000L).toDF("id").repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.filter(col("id") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub === full)
+  }
+
+  test("quotaSample == the window formulation it replaces") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"g${i % 7}", math.floor(rnd.nextDouble() * 100) / 100)
+    }
+    val df = rows.toDF("id", "grp", "score")
+    val got = Sampling.quotaSample(df, Seq("grp"), "id", "score", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val expect = df.withColumn("rn", row_number().over(
+      Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rn") <= 3).select("grp", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+  }
+
   test("connectedComponents: transitivity, multi-component, dup/self edges, canonical ids") {
     import graft.ops.Clustering
     // two components: a 4-chain (transitive closure without direct edges)

@@ -168,6 +168,21 @@ class PlanSpec extends SparkSuite {
     assert(cp.contains("ReusedExchange"), s"cosine b-side must reuse:\n$cp")
   }
 
+  test("sampling plans: hashSplit is shuffle-free; quotaSample aggregates, no Window") {
+    val split = graft.ops.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val sp = physical(split)
+    assert(!sp.contains("Exchange"), s"hashSplit must not shuffle:\n$sp")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      graft.ops.TextAnalysis.qualityScore(col("text")).as("s"))
+    val qp = physical(graft.ops.Sampling.quotaSample(
+      scored, Seq("lang"), "doc_id", "s", 5))
+    // the whole point: bounded aggregate, not a per-group full shuffle
+    assert(!qp.contains("Window"), s"quotaSample must not use a window:\n$qp")
+    assert(qp.contains("ObjectHashAggregate") && qp.contains("partial_top_k_by_score"),
+      s"quotaSample must partial-aggregate map-side:\n$qp")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
