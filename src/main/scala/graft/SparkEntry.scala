@@ -30,6 +30,7 @@ object SparkEntry {
     "q_split" -> (Catalog.qSplit _),
     "q_quota" -> (Catalog.qQuota _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
+    "dd_cos_lsh" -> (Catalog.ddCosLsh _),
     "ann_topk" -> (Catalog.annTopK _),
     "ann_lsh" -> (Catalog.annLsh _),
     "ann_ivf" -> (Catalog.annIvf _),
@@ -92,5 +93,6 @@ object SparkEntry {
     // embedding dim — both exist only after the query ran (Verify runs
     // queries first, then dumps oracleSql — the ordering this depends on).
     Catalog.lastIvfCentroids.map(c => "ann_ivf" -> Oracles.annIvf(c)).toMap ++
-    Map("ann_lsh" -> Oracles.annLsh(Catalog.lastLshDim.getOrElse(64)))
+    Map("ann_lsh" -> Oracles.annLsh(Catalog.lastLshDim.getOrElse(64)),
+      "dd_cos_lsh" -> Oracles.ddCosLsh(Catalog.lastCosLshDim.getOrElse(64)))
 }

@@ -260,6 +260,32 @@ object Dedup {
    * block-local, never a global cross join. At cluster scale the blocking
    * key comes from an ANN index pass (see [[Similarity.lshBuckets]]).
    */
+  /**
+   * Embedding near-dup pairs WITHOUT a natural blocking column — the
+   * corpus-scale path [[cosineNearDups]]'s doc promises: block = seeded
+   * sign-of-projection hyperplane bucket (2^bits buckets, the fused
+   * [[graft.functions.HyperplaneLshBucket]] kernel), exact cosine only
+   * INSIDE buckets. A pair at angle theta shares the bucket with
+   * probability (1 - theta/pi)^bits (~0.96 for cos >= 0.99 at bits = 4);
+   * for higher recall run with several seeds and union the pair sets.
+   * The planes derive from (dim, bits, seed) alone, so the blocking is
+   * reproducible and oracle-recomputable. The vector dimension is probed
+   * from one row (a driver-side head(), dimension-scale not data-scale).
+   */
+  def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4, seed: Long = 42L): DataFrame = {
+    val probe = df.select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "cosineNearDupsLsh needs a non-empty corpus with non-null vectors " +
+        "to probe the embedding dimension")
+    val dim = probe(0).getInt(0)
+    val planes = graft.ops.Similarity.hyperplanes(dim, bits, seed)
+    cosineNearDups(
+      df.withColumn("__lsh_block",
+        graft.ops.Similarity.lshBucket(col(vecCol), planes)),
+      idCol, vecCol, "__lsh_block", threshold)
+  }
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),

@@ -273,6 +273,32 @@ object Catalog {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding dim used by the most recent [[ddCosLsh]] run — the oracle
+   * regenerates the same seeded hyperplanes at this dim. */
+  @volatile var lastCosLshDim: Option[Int] = None
+
+  /** Embedding near-dup pairs with NO blocking column: seeded hyperplane
+   * LSH buckets as blocks ([[graft.ops.Dedup.cosineNearDupsLsh]]) over the
+   * same planted corpus as [[ddCosPairs]]. Exact clones (angle 0) always
+   * share a bucket; the zeroed-element clones land per the planes —
+   * deterministically, so the oracle ([[Oracles.ddCosLsh]]) recomputes the
+   * identical bucket assignment in SQL and matches exactly. */
+  def ddCosLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    lastCosLshDim = Some(
+      e.select(size(col("embedding"))).head().getInt(0))
+    val clones = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val zeroed = e.filter(col("vec_id") % 40 === 0)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("embedding", concat(array(lit(0.0f)),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+    Dedup.cosineNearDupsLsh(e.unionByName(clones).unionByName(zeroed),
+      "vec_id", "embedding", threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

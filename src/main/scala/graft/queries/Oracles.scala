@@ -470,6 +470,40 @@ ORDER BY id_a, id_b"""
       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /**
+   * Oracle for [[Catalog.ddCosLsh]]: the [[ddCosPairs]] planted corpus,
+   * blocked by the seeded hyperplane bucket instead of the label — the
+   * planes regenerate from (dim, bits, seed) exactly as in [[annLsh]],
+   * so DuckDB recomputes the identical bucket per vector and the block
+   * self-join matches the engine pair-for-pair.
+   */
+  def ddCosLsh(dim: Int = 64): String = {
+    val planes = graft.ops.Similarity.hyperplanes(dim = dim, bits = 4)
+    val bucketOf = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_dot_product($v, ${listLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000,
+       |         list_concat([CAST(0 AS DOUBLE)], v[2:]) FROM base WHERE vec_id % 40 = 0),
+       |b AS (
+       |  SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    round(list_dot_product(a.v, b2.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val annTopK: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

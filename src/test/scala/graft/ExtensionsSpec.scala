@@ -68,6 +68,20 @@ class ExtensionsSpec extends SparkSuite {
     assert(got === Seq((9.0, 4L), (7.0, 1L)))
   }
 
+  test("collect_sigs_capped from SQL: capped group NULLs out, kept group sorted by id") {
+    val got = spark.sql(
+      """SELECT g, collect_sigs_capped(id, sig, 2) AS m
+        |FROM VALUES (1, 5L, array(1L, 2L)), (1, 3L, array(9L)),
+        |            (2, 1L, array(0L)), (2, 2L, array(0L)), (2, 3L, array(0L))
+        |     AS t(g, id, sig)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    // group 1 (2 members, sorted by id) kept; group 2 (3 > cap) is NULL
+    val m1 = got(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getLong(0), x.getSeq[Long](1)))
+    assert(m1 === Seq((3L, Seq(9L)), (5L, Seq(1L, 2L))))
+    assert(got(1).isNullAt(1))
+  }
+
   test("is_blank + char_class_match from SQL") {
     val r = spark.sql(
       """SELECT is_blank(''), is_blank(' \t'), is_blank('x'),

@@ -233,6 +233,29 @@ class OpsSpec extends SparkSuite {
     assert(got.contains((100L, 101L)) && got.contains((200L, 201L)))
   }
 
+  test("cosineNearDupsLsh: exact clones always found; pairs subset of unblocked truth") {
+    val rnd = new scala.util.Random(23)
+    def unit(d: Int): Array[Float] = {
+      val v = Array.fill(d)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, unit(16)))
+    val clones = base.filter(_._1 % 10 == 0).map { case (i, v) => (i + 1000, v) }
+    val df = (base ++ clones).toDF("id", "vec")
+    val got = Dedup.cosineNearDupsLsh(df, "id", "vec", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact clones are at angle 0 -> always same bucket -> always found
+    val planted = base.filter(_._1 % 10 == 0).map(p => (p._1, p._1 + 1000)).toSet
+    assert(planted.subsetOf(got), s"missing planted clones: ${planted -- got}")
+    // LSH blocking can only MISS pairs relative to the all-pairs truth,
+    // never invent them
+    val truth = Dedup.cosineNearDups(
+      df.withColumn("one", lit(1)), "id", "vec", "one", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth))
+  }
+
   test("hashSplit: deterministic, append-stable, fractions near weights") {
     import graft.ops.Sampling
     val ids = (0L until 10000L).toDF("id")
@@ -289,6 +312,12 @@ class OpsSpec extends SparkSuite {
       Clustering.connectedComponents(edges, "id_a", "id_b"))
       .collect().map(_.getLong(0)).toSet
     assert(canon === Set(7L, 90L))
+    // applying the dedup keeps canonical members AND untouched singletons
+    val corpus = Seq(7L, 10L, 22L, 31L, 90L, 100L, 555L).toDF("doc_id")
+    val kept = Clustering.dropDuplicateMembers(corpus, "doc_id",
+      Clustering.connectedComponents(edges, "id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(7L, 90L, 555L))
   }
 
   test("connectedComponents: pointer doubling converges a 64-chain in O(log n) rounds") {
