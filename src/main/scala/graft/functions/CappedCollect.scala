@@ -79,17 +79,22 @@ case class CollectSigsCapped(
 
   override def serialize(b: CollectSigsCapped.Buffer): Array[Byte] = {
     // overflowed partials ship as a bare count — the retained entries were
-    // already discarded the moment the cap was crossed
+    // already discarded the moment the cap was crossed. Each entry carries
+    // its OWN signature length: the SQL surface accepts arbitrary arrays,
+    // so a group may hold ragged sig widths (a uniform-width header either
+    // crashed or silently truncated such groups).
     val retained = if (b.overflowed) 0 else b.size
-    val sigLen = if (retained == 0) 0 else b.sigs(0).length
-    val buf = ByteBuffer.allocate(8 + 8 + (8 + 8L * sigLen).toInt * retained)
-    buf.putLong(b.total).putInt(retained).putInt(sigLen)
+    var bytes = 8 + 4
     var i = 0
+    while (i < retained) { bytes += 4 + 8 + 8 * b.sigs(i).length; i += 1 }
+    val buf = ByteBuffer.allocate(bytes)
+    buf.putLong(b.total).putInt(retained)
+    i = 0
     while (i < retained) {
-      buf.putLong(b.ids(i))
       val s = b.sigs(i)
+      buf.putInt(s.length).putLong(b.ids(i))
       var j = 0
-      while (j < sigLen) { buf.putLong(s(j)); j += 1 }
+      while (j < s.length) { buf.putLong(s(j)); j += 1 }
       i += 1
     }
     buf.array()
@@ -100,9 +105,9 @@ case class CollectSigsCapped(
     val b = new CollectSigsCapped.Buffer(cap)
     val total = buf.getLong
     val retained = buf.getInt
-    val sigLen = buf.getInt
     var i = 0
     while (i < retained) {
+      val sigLen = buf.getInt
       val id = buf.getLong
       val s = new Array[Long](sigLen)
       var j = 0

@@ -85,7 +85,11 @@ object GraftFunctions {
       "array<struct<id,sig>> of the group sorted by id, NULL once the group " +
       "exceeds cap members (fused oversized-bucket guard, capped partials)") { args =>
       require(args.size == 3, "collect_sigs_capped(id, sig, cap)")
-      CollectSigsCapped(Cast(args(0), LongType), args(1), intArg(args(2), "cap"))
+      // cast BOTH args like the Column API would: a raw array<int> sig
+      // would hit toLongArray's 8-byte loads on 4-byte slots at runtime
+      CollectSigsCapped(Cast(args(0), LongType),
+        Cast(args(1), org.apache.spark.sql.types.ArrayType(LongType)),
+        intArg(args(2), "cap"))
     },
     fn("sha256_hex", "_FUNC_(str) - lowercase-hex sha256, value-identical to " +
       "sha2(str, 256) but with a per-thread digest (no per-row getInstance)") { args =>

@@ -65,6 +65,11 @@ object Clustering {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    // No edges (or only self-loops/nulls) -> no endpoints: return the empty
+    // frame instead of iterating (sum over zero rows is NULL and would NPE
+    // the fixpoint comparison).
+    if (labels.isEmpty)
+      return labels.select(col("id"), col("comp").as("component"))
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

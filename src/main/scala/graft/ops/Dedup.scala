@@ -270,30 +270,50 @@ object Dedup {
    * for higher recall run with several seeds and union the pair sets.
    * The planes derive from (dim, bits, seed) alone, so the blocking is
    * reproducible and oracle-recomputable. The vector dimension is probed
-   * from one row (a driver-side head(), dimension-scale not data-scale).
+   * from one row (a driver-side head(), dimension-scale not data-scale)
+   * unless passed via `dim`.
+   *
+   * SIZE `bits` TO THE CORPUS: expected bucket occupancy is n / 2^bits,
+   * and buckets over `maxBlockSize` are DROPPED by the guard (quadratic
+   * in-block pairing must stay bounded — same contract as every other
+   * pair path). Pick bits ~ log2(2n / maxBlockSize) so typical buckets
+   * sit near half the cap; the default bits = 4 suits ~10^4 vectors, not
+   * 10^9 — at corpus scale use bits 20+ (and more seeds for recall).
    */
   def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4, seed: Long = 42L): DataFrame = {
-    val probe = df.select(size(col(vecCol))).limit(1).collect()
-    require(probe.nonEmpty && !probe(0).isNullAt(0),
-      "cosineNearDupsLsh needs a non-empty corpus with non-null vectors " +
-        "to probe the embedding dimension")
-    val dim = probe(0).getInt(0)
-    val planes = graft.ops.Similarity.hyperplanes(dim, bits, seed)
+      threshold: Double, bits: Int = 4, seed: Long = 42L,
+      dim: Option[Int] = None, maxBlockSize: Int = 1000): DataFrame = {
+    val d = dim.getOrElse {
+      val probe = df.select(size(col(vecCol))).limit(1).collect()
+      require(probe.nonEmpty && !probe(0).isNullAt(0),
+        "cosineNearDupsLsh needs a non-empty corpus with non-null vectors " +
+          "to probe the embedding dimension (or pass dim explicitly)")
+      probe(0).getInt(0)
+    }
+    val planes = graft.ops.Similarity.hyperplanes(d, bits, seed)
     cosineNearDups(
       df.withColumn("__lsh_block",
         graft.ops.Similarity.lshBucket(col(vecCol), planes)),
-      idCol, vecCol, "__lsh_block", threshold)
+      idCol, vecCol, "__lsh_block", threshold, maxBlockSize)
   }
 
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      maxBlockSize: Int = 1000): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("vec"))
+    // The same degenerate-block guard every other pair path carries: an
+    // in-block pairing is inherently quadratic, so blocks larger than
+    // maxBlockSize are dropped via the skew-safe count + broadcast
+    // anti-join (the count pass prunes to the block column — cheap).
+    val oversized = v.groupBy("block").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockSize).select("block")
+    val kept = v.join(broadcast(oversized), Seq("block"), "left_anti")
     // Shuffle-merge pinned like [[simhashPairs]]: the b-side reuses the
-    // a-side's block exchange, so the embedding table is scanned once.
-    val a = v.select(col("block"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("block"), col("id").as("id_b"), col("vec").as("vec_b"))
+    // a-side's block exchange, so the embedding table is scanned once for
+    // both join sides.
+    val a = kept.select(col("block"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = kept.select(col("block"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.hint("shuffle_merge").join(b.hint("shuffle_merge"), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -79,7 +79,7 @@ object PngDecode {
       var ihdrSeen = false
       // IDAT segment spans (PNG allows many; our writer emits one)
       var segOff = new Array[Int](4); var segLen = new Array[Int](4)
-      var nSeg = 0; var idatTotal = 0L
+      var nSeg = 0
       var pos = 8
       var done = false
       while (!done) {
@@ -117,7 +117,6 @@ object PngDecode {
             segLen = java.util.Arrays.copyOf(segLen, nSeg * 2)
           }
           segOff(nSeg) = body; segLen(nSeg) = len; nSeg += 1
-          idatTotal += len
         } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
           done = true
         }
@@ -141,8 +140,16 @@ object PngDecode {
             inflater.setInput(payload, segOff(seg), segLen(seg)); seg += 1
           }
           val n = inflater.inflate(raw, rawOff, rawLen - rawOff)
-          if (n == 0 && inflater.finished() && rawOff < rawLen)
-            unsupported("IDAT ended early")
+          if (n == 0) {
+            if (inflater.finished() && rawOff < rawLen)
+              unsupported("IDAT ended early")
+            // inflate() also returns 0 for needsDictionary (zlib FDICT —
+            // forbidden by the PNG spec but representable) and any other
+            // no-progress state; without this the loop would spin forever
+            // on such a stream instead of falling back to ImageIO.
+            if (!inflater.needsInput || inflater.needsDictionary)
+              unsupported("zlib stream made no progress")
+          }
           rawOff += n
         }
       } catch {

@@ -286,8 +286,8 @@ object Catalog {
   def ddCosLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
-    lastCosLshDim = Some(
-      e.select(size(col("embedding"))).head().getInt(0))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    lastCosLshDim = Some(dim)
     val clones = e.filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + 100000)
     val zeroed = e.filter(col("vec_id") % 40 === 0)
@@ -295,7 +295,7 @@ object Catalog {
       .withColumn("embedding", concat(array(lit(0.0f)),
         slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
     Dedup.cosineNearDupsLsh(e.unionByName(clones).unionByName(zeroed),
-      "vec_id", "embedding", threshold = 0.9)
+      "vec_id", "embedding", threshold = 0.9, dim = Some(dim))
       .orderBy("id_a", "id_b")
   }
 

@@ -462,11 +462,13 @@ ORDER BY id_a, id_b"""
       |  UNION ALL
       |  SELECT vec_id + 200000, label,
       |         list_concat([CAST(0 AS DOUBLE)], v[2:]) FROM base WHERE vec_id % 40 = 0),
+      |k AS (SELECT label FROM e GROUP BY label HAVING count(*) <= 1000),
+      |ek AS (SELECT e.* FROM e JOIN k USING (label)),
       |p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round(list_dot_product(a.v, b.v)
       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |  FROM ek a JOIN ek b ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
@@ -495,11 +497,13 @@ ORDER BY id_a, id_b"""
        |         list_concat([CAST(0 AS DOUBLE)], v[2:]) FROM base WHERE vec_id % 40 = 0),
        |b AS (
        |  SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e),
+       |k AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+       |bk AS (SELECT b.* FROM b JOIN k USING (bucket)),
        |p AS (
        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        |    round(list_dot_product(a.v, b2.v)
        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
   }

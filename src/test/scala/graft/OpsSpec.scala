@@ -210,6 +210,19 @@ class OpsSpec extends SparkSuite {
     val d = buf(3, 1L -> sig)
     d.mergeFrom(over)
     assert(d.overflowed && d.total === 5)
+    // RAGGED sig widths survive the wire in both insertion orders (the
+    // uniform-width header either crashed or silently truncated)
+    val agg = CollectSigsCapped(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(0L)),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(0L)), 5)
+    for (entries <- Seq(
+        Seq(5L -> Array(1L, 2L), 3L -> Array(9L)),
+        Seq(3L -> Array(9L), 5L -> Array(1L, 2L)))) {
+      val rt = agg.deserialize(agg.serialize(buf(5, entries: _*)))
+      val (ids, sigs) = rt.sortedById
+      assert(ids.toSeq === Seq(3L, 5L) && rt.total === 2)
+      assert(sigs.map(_.toSeq).toSeq === Seq(Seq(9L), Seq(1L, 2L)))
+    }
   }
 
   test("minhashCandidates fused guard == two-pass guard semantics") {
@@ -254,6 +267,12 @@ class OpsSpec extends SparkSuite {
       df.withColumn("one", lit(1)), "id", "vec", "one", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(truth))
+    // the degenerate-block guard all pair paths share: a block over the
+    // cap is dropped entirely instead of pairing quadratically
+    val capped = Dedup.cosineNearDups(
+      df.withColumn("one", lit(1)), "id", "vec", "one", 0.95,
+      maxBlockSize = 10)
+    assert(capped.count() === 0)
   }
 
   test("hashSplit: deterministic, append-stable, fractions near weights") {
@@ -318,6 +337,11 @@ class OpsSpec extends SparkSuite {
       Clustering.connectedComponents(edges, "id_a", "id_b"))
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(7L, 90L, 555L))
+    // empty pair graph (and self-loop-only input) -> empty components, no NPE
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clustering.connectedComponents(none, "id_a", "id_b").count() === 0)
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("id_a", "id_b")
+    assert(Clustering.connectedComponents(selfOnly, "id_a", "id_b").count() === 0)
   }
 
   test("connectedComponents: pointer doubling converges a 64-chain in O(log n) rounds") {

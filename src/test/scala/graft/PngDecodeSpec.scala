@@ -164,6 +164,23 @@ class PngDecodeSpec extends AnyFunSuite {
     // truncated payload must not loop or crash with an index error
     val whole = Codec.encodePng(16, 16, 5L)
     intercept[UnsupportedPng](dec.decode(java.util.Arrays.copyOf(whole, whole.length / 2)))
+    // a zlib stream demanding a preset dictionary (FDICT — forbidden by
+    // the PNG spec but representable) must throw, not spin forever
+    val fdict = whole.clone()
+    var pos = 8
+    var idat = -1
+    while (idat < 0) {
+      val len = ((fdict(pos) & 0xff) << 24) | ((fdict(pos + 1) & 0xff) << 16) |
+        ((fdict(pos + 2) & 0xff) << 8) | (fdict(pos + 3) & 0xff)
+      if (fdict(pos + 4) == 'I' && fdict(pos + 5) == 'D' &&
+        fdict(pos + 6) == 'A' && fdict(pos + 7) == 'T') idat = pos + 8
+      else pos += 12 + len
+    }
+    val cmf = fdict(idat) & 0xff
+    var flg = (fdict(idat + 1) & 0xff) | 0x20 // set FDICT
+    flg = (flg & ~0x1f) | (31 - (cmf * 256 + (flg & ~0x1f)) % 31) % 31 // fix FCHECK
+    fdict(idat + 1) = flg.toByte
+    intercept[UnsupportedPng](dec.decode(fdict))
     // the wrapper resolves the palette PNG through ImageIO identically
     val wrapped = new Codec.ImageDecoder
     val RawImage(w, h, got) = wrapped.decode(palette)
