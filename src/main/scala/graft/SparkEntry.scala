@@ -29,6 +29,8 @@ object SparkEntry {
     "dd_clusters" -> (Catalog.ddClusters _),
     "q_split" -> (Catalog.qSplit _),
     "q_quota" -> (Catalog.qQuota _),
+    "ta_repetition" -> (Catalog.taRepetition _),
+    "q_contam" -> (Catalog.qContam _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "dd_cos_lsh" -> (Catalog.ddCosLsh _),
     "ann_topk" -> (Catalog.annTopK _),
@@ -67,6 +69,8 @@ object SparkEntry {
     "dd_clusters" -> Oracles.ddClusters,
     "q_split" -> Oracles.qSplit,
     "q_quota" -> Oracles.qQuota,
+    "ta_repetition" -> Oracles.taRepetition,
+    "q_contam" -> Oracles.qContam,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,
     "ann_knn_join" -> Oracles.annKnnJoin,

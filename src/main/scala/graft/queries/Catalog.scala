@@ -146,7 +146,7 @@ object Catalog {
 
   // --- training-data pipeline ops ------------------------------------------
 
-  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal, Clustering, Sampling}
+  import graft.ops.{TextAnalysis, Dedup, Similarity, Multimodal, Clustering, Sampling, Curation}
 
   /** Text-analysis feature extraction: one codegen'd projection per doc. */
   def taFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -214,6 +214,36 @@ object Catalog {
       TextAnalysis.qualityScore(col("text")).as("quality_score"))
     Sampling.quotaSample(scored, Seq("lang"), "doc_id", "quality_score", 5)
       .orderBy("lang", "doc_id")
+  }
+
+  /** Gopher-style repetition profile ([[graft.ops.Curation]]) over a
+   * corpus with PLANTED repetitive docs — the raw corpus has no duplicate
+   * lines and few duplicate n-grams, so doubled-text clones (+300000) and
+   * duplicated-line clones (+400000) make every metric non-vacuous. The
+   * clone expressions are engine-portable; [[Oracles.taRepetition]]
+   * restates the metric formulas verbatim. */
+  def taRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val doubled = d.filter(col("doc_id") % 60 === 0)
+      .withColumn("doc_id", col("doc_id") + 300000)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val multiline = d.filter(col("doc_id") % 75 === 0)
+      .withColumn("doc_id", col("doc_id") + 400000)
+      .withColumn("text", concat(col("text"), lit("\n"), col("text")))
+    Curation.repetitionMetrics(
+      d.unionByName(doubled).unionByName(multiline), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: docs with doc_id % 100 == 0 serve as the
+   * planted "benchmark" set — they must score contam_frac = 1.0 (their
+   * shingles ARE the benchmark) and organic 3-gram overlap is quantified
+   * for every other doc. Oracle: [[Oracles.qContam]]. */
+  def qContam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bench = Curation.benchmarkShingles(
+      d.filter(col("doc_id") % 100 === 0), "text", 3)
+    Curation.contamination(d, "doc_id", "text", bench, 3).orderBy("doc_id")
   }
 
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard blocked

@@ -232,6 +232,90 @@ object Oracles {
       |ORDER BY id_a, id_b""".stripMargin
 
   /**
+   * Oracle for [[Catalog.taRepetition]]: rebuilds the planted corpus and
+   * restates each repetition metric verbatim — line splits on chr(10),
+   * word n-grams as space-joined strings (empty list under n tokens, the
+   * same convention as [[graft.ops.Curation.wordNgrams]]), top-bigram
+   * coverage as max multiplicity over slots, dup fractions as
+   * 1 - distinct/total.
+   */
+  val taRepetition: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text || ' ' || text
+      |  FROM documents WHERE doc_id % 60 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text || chr(10) || text
+      |  FROM documents WHERE doc_id % 75 = 0),
+      |t AS (
+      |  SELECT doc_id, text,
+      |    string_split(text, chr(10)) AS l,
+      |    regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
+      |  FROM corpus),
+      |g AS (
+      |  SELECT doc_id, l,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i+1], toks[i+2]))
+      |      ELSE [] END AS bg,
+      |    CASE WHEN len(toks) >= 5
+      |      THEN list_transform(range(len(toks) - 4),
+      |        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))
+      |      ELSE [] END AS g5
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(l) AS INT) AS n_lines,
+      |  CASE WHEN len(l) <= 1 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6)
+      |       END AS dup_line_frac,
+      |  CASE WHEN list_sum(list_transform(l, x -> length(x))) <= 0 THEN 0.0
+      |       ELSE round(1.0 - list_sum(list_transform(list_distinct(l), x -> length(x))) * 1.0
+      |            / list_sum(list_transform(l, x -> length(x))), 6)
+      |       END AS dup_line_char_frac,
+      |  CASE WHEN len(bg) <= 0 THEN 0.0
+      |       ELSE round(list_max(list_transform(list_distinct(bg),
+      |              x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6)
+      |       END AS top_bigram_frac,
+      |  CASE WHEN len(g5) <= 0 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(g5)) * 1.0 / len(g5), 6)
+      |       END AS dup_5gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qContam]]: the benchmark CTE collects the
+   * distinct 3-grams of the doc_id % 100 == 0 docs; each doc's distinct
+   * 3-gram set is joined against it and the hit fraction restated.
+   */
+  val qContam: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_distinct(list_transform(range(len(toks) - 2),
+      |        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))
+      |      ELSE [] END AS shs
+      |  FROM t),
+      |bench AS (
+      |  SELECT DISTINCT unnest(shs) AS sh FROM s WHERE doc_id % 100 = 0),
+      |hits AS (
+      |  SELECT e.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(shs) AS sh FROM s) e
+      |  JOIN bench USING (sh)
+      |  GROUP BY e.doc_id)
+      |SELECT s.doc_id,
+      |  CAST(len(s.shs) AS INT) AS n_shingles,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  CASE WHEN len(s.shs) <= 0 THEN 0.0
+      |       ELSE round(COALESCE(h.n_hits, 0) * 1.0 / len(s.shs), 6)
+      |       END AS contam_frac
+      |FROM s LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qSplit]]: recomputes Spark's `xxhash64(bigint)`
    * (XXH64.hashLong, seed 42) as staged pure-SQL 64-bit arithmetic
    * ([[SqlXxh64.hashLongStages]]), folds to the signed value Spark

@@ -246,6 +246,47 @@ class OpsSpec extends SparkSuite {
     assert(got.contains((100L, 101L)) && got.contains((200L, 201L)))
   }
 
+  test("repetitionMetrics: exact values on crafted docs") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "a b a b a c"),          // bigrams: ab,ba,ab,ba,ac -> top 2/5
+      (2L, "x y\nx y\nz"),          // 3 lines, 1 dup; chars 3+3+1, dup 3
+      (3L, "one two three four five one two three four five"), // doubled
+      (4L, "single"),               // 1 token: no bigrams, no 5-grams
+      (5L, "")                      // empty text
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m(1L) === ((1, 0.0, 0.0, 0.4, 0.0)))
+    assert(m(2L)._1 === 3)
+    assert(m(2L)._2 === 0.333333) // 1 of 3 lines is a repeat
+    assert(m(2L)._3 === 0.428571) // 3 of 7 line-chars sit in the repeat
+    // doc 3: 10 tokens doubled; 9 bigram slots, "five one" unique, rest dup;
+    // 6 5-gram slots, 5 distinct -> dup 1/6
+    assert(m(3L)._4 === 0.222222) // each of the 4 repeated bigrams hits 2/9
+    assert(m(3L)._5 === 0.166667)
+    assert(m(4L) === ((1, 0.0, 0.0, 0.0, 0.0)))
+    assert(m(5L) === ((1, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("contamination: benchmark docs score 1.0, disjoint docs 0, partial overlap exact") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // the "benchmark" doc
+      (2L, "alpha beta gamma something else"), // shares 1 of its 3 shingles
+      (3L, "totally different words here"),  // disjoint
+      (4L, "xy")                             // too short: no shingles
+    ).toDF("doc_id", "text")
+    val bench = Curation.benchmarkShingles(docs.filter($"doc_id" === 1L), "text")
+    val got = Curation.contamination(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((2, 2L, 1.0)))
+    assert(got(2L) === ((3, 1L, 0.333333)))
+    assert(got(3L) === ((2, 0L, 0.0)))
+    assert(got(4L) === ((0, 0L, 0.0)))
+  }
+
   test("cosineNearDupsLsh: exact clones always found; pairs subset of unblocked truth") {
     val rnd = new scala.util.Random(23)
     def unit(d: Int): Array[Float] = {

@@ -183,6 +183,16 @@ class PlanSpec extends SparkSuite {
       s"quotaSample must partial-aggregate map-side:\n$qp")
   }
 
+  test("curation plans: repetition metrics shuffle-free; contamination broadcasts the benchmark") {
+    val rep = physical(graft.ops.Curation.repetitionMetrics(docs, "doc_id", "text"))
+    assert(!rep.contains("Exchange"), s"repetition metrics must not shuffle:\n$rep")
+    val bench = graft.ops.Curation.benchmarkShingles(
+      docs.filter(col("doc_id") % 100 === 0), "text")
+    val con = physical(graft.ops.Curation.contamination(docs, "doc_id", "text", bench))
+    assert(con.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (corpus side stays shuffle-light):\n$con")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
