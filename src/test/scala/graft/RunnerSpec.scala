@@ -174,6 +174,24 @@ class RunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curation metrics run unchanged on a stream (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val metrics = graft.ops.Curation.repetitionMetrics(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = metrics.writeStream.format("memory").queryName("scm")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b a b a c"), (2L, "x y\nx y\nz"))
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, top_bigram_frac, dup_line_frac from scm")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // identical values to the batch spec (OpsSpec repetitionMetrics)
+      assert(got === Map(1L -> ((0.4, 0.0)), 2L -> ((0.5, 0.333333))))
+    } finally q.stop()
+  }
+
   test("streaming first-seen dedup keeps one row per key across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
