@@ -62,8 +62,12 @@ object Clustering {
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Initial labels fold the first propagation round into one
+    // aggregation: comp0(u) = min(u, min N(u)). Starting from the identity
+    // labeling instead costs a full union + two-join round whose doubling
+    // term is a no-op (comp(comp(id)) == comp(id) on identity labels).
+    var labels = sym.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .localCheckpoint()
     // No edges (or only self-loops/nulls) -> no endpoints: return the empty
     // frame instead of iterating (sum over zero rows is NULL and would NPE
