@@ -31,6 +31,7 @@ object SparkEntry {
     "q_quota" -> (Catalog.qQuota _),
     "ta_repetition" -> (Catalog.taRepetition _),
     "q_contam" -> (Catalog.qContam _),
+    "q_mixture" -> (Catalog.qMixture _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "dd_cos_lsh" -> (Catalog.ddCosLsh _),
     "ann_topk" -> (Catalog.annTopK _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_quota" -> Oracles.qQuota,
     "ta_repetition" -> Oracles.taRepetition,
     "q_contam" -> Oracles.qContam,
+    "q_mixture" -> Oracles.qMixture,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,
     "ann_knn_join" -> Oracles.annKnnJoin,

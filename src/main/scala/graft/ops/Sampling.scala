@@ -46,6 +46,43 @@ object Sampling {
     df.withColumn("split", splitLabel(col(idCol), weights, granularity))
 
   /**
+   * Deterministic mixture resampling — the "source x weight" step of a
+   * training-mix recipe: every row of a source with weight w appears
+   * floor(w) times, plus once more for a hash-selected frac(w) fraction
+   * of its rows (w = 2.3 -> every row twice, 30% of rows a third time;
+   * w = 0.25 -> 25% of rows once; w = 0 -> source dropped). Sources
+   * absent from `weights` default to 1.0.
+   *
+   * Assignment is a pure function of the id — reproducible across runs,
+   * partitionings and cluster sizes, and stable under append, exactly
+   * like [[splitLabel]]. The selection hash is `xxhash64(~id)` (the
+   * bitwise complement), DECORRELATED from splitLabel's `xxhash64(id)`
+   * so mixture membership never biases split assignment. The fractional
+   * threshold is computed as `floor(w * granularity) - floor(w) *
+   * granularity` — floor, not cast/round, so the engine and the DuckDB
+   * oracle truncate identical IEEE doubles identically.
+   *
+   * Output: `df`'s columns plus `copy` (0..k-1), one row per emitted
+   * copy; a plain projection + generator, no shuffle.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], granularity: Int = 10000): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
+      "mixture weights must be finite and non-negative")
+    val wCol = weights.foldRight(lit(1.0): Column) {
+      case ((s, w), els) => when(col(sourceCol) === s, lit(w)).otherwise(els)
+    }
+    val base = floor(wCol).cast("int")
+    val thresh = floor(wCol * granularity) - floor(wCol) * granularity
+    val bucket = pmod(
+      xxhash64(bitwise_not(col(idCol).cast("long"))), lit(granularity))
+    val copies = base + when(bucket < thresh, 1).otherwise(0)
+    df.withColumn("copy",
+      explode(when(copies <= 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), copies - 1))))
+  }
+
+  /**
    * Per-group quota: keep at most `quota` rows per group — the best by
    * (score DESC, id ASC) — the "cap documents per domain/source" step of
    * web-scale curation. Runs as the bounded [[graft.functions.TopKByScore]]

@@ -216,6 +216,17 @@ object Catalog {
       .orderBy("lang", "doc_id")
   }
 
+  /** Deterministic training-mix resampling: en weighted 2.3 (every doc
+   * twice + a hash-selected 30% a third time), fr 0.5, es dropped,
+   * everything else 1.0. Oracle ([[Oracles.qMixture]]) recomputes the
+   * selection hash (xxhash64 of ~doc_id) in SQL and unnests the same
+   * copy counts. */
+  def qMixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(
+      docs(spark, dir).select("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 2.3, "fr" -> 0.5, "es" -> 0.0))
+      .orderBy("doc_id", "copy")
+
   /** Gopher-style repetition profile ([[graft.ops.Curation]]) over a
    * corpus with PLANTED repetitive docs — the raw corpus has no duplicate
    * lines and few duplicate n-grams, so doubled-text clones (+300000) and

@@ -316,6 +316,39 @@ object Oracles {
       |ORDER BY doc_id""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qMixture]]: the copy-selection hash is Spark's
+   * `xxhash64(~doc_id)` — the complement's unsigned value is
+   * 2^64-1-doc_id, which feeds the same staged hashLong arithmetic as
+   * [[qSplit]] — and the copy count unnests via range(). The fractional
+   * threshold uses floor() exactly as the engine does, so both sides
+   * truncate identical IEEE doubles identically.
+   */
+  def qMixture: String = {
+    val hashed = SqlXxh64.stagesSql(
+      SqlXxh64.hashLongStages("18446744073709551615 - doc_id", 42L),
+      "documents", Seq("doc_id", "lang"))
+    val s = SqlXxh64.signed("lb4")
+    s"""WITH h AS (
+       |  $hashed
+       |), k AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN lang = 'en' THEN 2.3::DOUBLE
+       |         WHEN lang = 'fr' THEN 0.5::DOUBLE
+       |         WHEN lang = 'es' THEN 0.0::DOUBLE
+       |         ELSE 1.0::DOUBLE END AS wt,
+       |    ((($s) % 10000) + 10000) % 10000 AS bucket
+       |  FROM h
+       |), c AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(wt) AS INT) +
+       |    CASE WHEN bucket < floor(wt * 10000) - floor(wt) * 10000
+       |         THEN 1 ELSE 0 END AS copies
+       |  FROM k)
+       |SELECT doc_id, lang, CAST(unnest(range(copies)) AS INT) AS copy
+       |FROM c ORDER BY doc_id, copy""".stripMargin
+  }
+
+  /**
    * Oracle for [[Catalog.qSplit]]: recomputes Spark's `xxhash64(bigint)`
    * (XXH64.hashLong, seed 42) as staged pure-SQL 64-bit arithmetic
    * ([[SqlXxh64.hashLongStages]]), folds to the signed value Spark

@@ -339,6 +339,38 @@ class OpsSpec extends SparkSuite {
     assert(sub === full)
   }
 
+  test("mixtureSample: copy counts, drop, default weight, determinism, split decorrelation") {
+    import graft.ops.Sampling
+    val df = (0L until 3000L).map(i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt))).toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "id", "src",
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0)) // d defaults to 1.0
+    val byS = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("a") === 1500L) // integer weight: exactly 2 copies each
+    assert(byS.get("c").isEmpty) // weight 0: dropped entirely
+    assert(byS("d") === 750L) // default 1.0: pass-through
+    assert(math.abs(byS("b") - 375L) < 60) // ~50% of 750, hash spread
+    // copy indices are dense 0..k-1
+    val aCopies = out.filter($"src" === "a").groupBy("id")
+      .agg(collect_list("copy")).collect()
+    assert(aCopies.forall(_.getSeq[Int](1).sorted == Seq(0, 1)))
+    // deterministic and partition-independent
+    val again = Sampling.mixtureSample(df.repartition(13), "id", "src",
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0))
+      .select("id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again === out.select("id", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // decorrelated from the split hash: the fractionally-kept 'b' rows
+    // must not concentrate inside one split label
+    val bKept = out.filter($"src" === "b").select("id")
+    val splits = Sampling.hashSplit(bKept, "id",
+      Seq("train" -> 0.8, "val" -> 0.2)).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = splits("train").toDouble / (splits("train") + splits("val"))
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac drifted")
+  }
+
   test("quotaSample == the window formulation it replaces") {
     import graft.ops.Sampling
     val rnd = new scala.util.Random(3)
