@@ -41,7 +41,7 @@ object Dedup {
    * shingle lambda would re-run the regex split once per shingle (non-lambda
    * subexpressions inside HOF lambda bodies are re-evaluated per element). */
   def shingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = TextAnalysis.tokensLower(text)
     when(text.isNull || trim(text) === "", array().cast("array<string>"))
       .otherwise(flatten(transform(array(toks), ts =>
         array_distinct(transform(sequence(lit(0), greatest(size(ts) - k, lit(0))),
@@ -54,7 +54,7 @@ object Dedup {
    * shingles to 64-bit ints immediately keeps the rest of the pipeline
    * fixed-width — no string arrays shuffling around. */
   def shingleHashes(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = TextAnalysis.tokensLower(text)
     when(text.isNull || trim(text) === "", array().cast("array<bigint>"))
       .otherwise(graft.functions.VectorKernels.shingleHash64(toks, k))
   }
@@ -194,7 +194,7 @@ object Dedup {
    */
   def simhash(text: Column): Column = {
     val hashes = transform(
-      array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t))
+      array_distinct(TextAnalysis.tokensLower(text)), t => xxhash64(t))
     when(text.isNull || trim(text) === "", lit(null).cast("long"))
       .otherwise(graft.functions.VectorKernels.simhashPack(hashes))
   }

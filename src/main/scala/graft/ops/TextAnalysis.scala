@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** THE shared lowercased whitespace tokenizer — every text operator
+   * (dedup shingles, lang-ID, stopwords, curation n-grams) must split
+   * identically, and the DuckDB oracles restate this exact expression as
+   * `regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')` (Java `\s`
+   * includes \x0b, RE2's does not — the round-2 drift lesson). Change it
+   * HERE or nowhere. */
+  def tokensLower(text: Column): Column = split(lower(trim(text)), "\\s+")
+
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(text: Column): Column =
     when(text.isNull || trim(text) === "", lit(0))
@@ -42,7 +50,7 @@ object TextAnalysis {
 
   /** Fraction of whitespace tokens that are (lowercased) English stopwords. */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = tokensLower(text)
     val hits = size(filter(toks, t => t.isin(Stopwords: _*)))
     when(text.isNull || trim(text) === "", lit(0.0))
       .otherwise(hits.cast("double") / size(toks))
@@ -85,7 +93,7 @@ object TextAnalysis {
    * the token array per language — still a single projection.
    */
   def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = tokensLower(text)
     val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers: _*)))
     }

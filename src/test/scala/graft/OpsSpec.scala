@@ -253,7 +253,8 @@ class OpsSpec extends SparkSuite {
       (2L, "x y\nx y\nz"),          // 3 lines, 1 dup; chars 3+3+1, dup 3
       (3L, "one two three four five one two three four five"), // doubled
       (4L, "single"),               // 1 token: no bigrams, no 5-grams
-      (5L, "")                      // empty text
+      (5L, ""),                     // empty text
+      (6L, null.asInstanceOf[String]) // NULL text: all metrics 0, not NULL
     ).toDF("doc_id", "text")
     val m = Curation.repetitionMetrics(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -268,6 +269,8 @@ class OpsSpec extends SparkSuite {
     assert(m(3L)._5 === 0.166667)
     assert(m(4L) === ((1, 0.0, 0.0, 0.0, 0.0)))
     assert(m(5L) === ((1, 0.0, 0.0, 0.0, 0.0)))
+    // a NULL metric would silently pass `metric > threshold` drop gates
+    assert(m(6L) === ((0, 0.0, 0.0, 0.0, 0.0)))
   }
 
   test("contamination: benchmark docs score 1.0, disjoint docs 0, partial overlap exact") {
