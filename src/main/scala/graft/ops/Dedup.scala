@@ -32,6 +32,35 @@ object Dedup {
     fp.groupBy("fingerprint").agg(min(idCol).as(idCol)).drop("fingerprint")
   }
 
+  /**
+   * One-call corpus dedup — the composition a pipeline author actually
+   * wants: (1) exact fingerprint dedup collapses byte-identical clones
+   * without any signature work; (2) MinHash-LSH candidate pairs at
+   * `estJaccard` or above over the survivors; (3) pairs close into
+   * clusters ([[Clustering.connectedComponents]] — transitive, so A~B~C
+   * collapses even without a direct A~C pair); (4) each cluster keeps its
+   * smallest id. Returns the deduplicated corpus with original columns.
+   *
+   * Scale shape: every stage is the bounded form documented on its
+   * operator — fingerprint groupBy (32-byte keys), capped LSH buckets,
+   * O(log n) clustering rounds, anti-join application. Nothing here is
+   * more than the sum of its audited parts.
+   */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      estJaccard: Double = 0.8, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, maxBucketSize: Int = 200): DataFrame = {
+    val exactDrops = exactGroups(df, idCol, textCol)
+      .select(col("keep_id"), explode(col("member_ids")).as("__m"))
+      .filter(col("__m") =!= col("keep_id"))
+      .select(col("__m").as(idCol))
+    val afterExact = df.join(exactDrops, Seq(idCol), "left_anti")
+    val pairs = minhashCandidates(afterExact, idCol, textCol,
+      k, numHashes, bands, maxBucketSize)
+      .filter(col("est_jaccard") >= estJaccard)
+    Clustering.dropDuplicateMembers(afterExact, idCol,
+      Clustering.connectedComponents(pairs, "id_a", "id_b"))
+  }
+
   // --- shingling + MinHash + LSH ------------------------------------------
 
   /** Word k-shingles of the lowercased text as distinct strings (the

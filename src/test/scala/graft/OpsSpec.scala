@@ -225,6 +225,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupCorpus end-to-end: exact clones, transitive near-dups, unique docs") {
+    val uniq = Seq(
+      (1L, "completely distinct sentence about penguins in antarctica today"),
+      (2L, "another unrelated document describing volcanic rock formations"))
+    val exactPair = Seq( // byte-identical after normalization -> exact pass
+      (10L, "shared exact duplicate text body one two three four five"),
+      (11L, "shared exact duplicate text body one two three four five"))
+    // NOT byte-identical (the exact pass must not see them): appended
+    // tokens keep 3-shingle jaccard ~0.9-0.95, well over the 0.8 default
+    val base20 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "mu nu xi omicron pi rho sigma tau upsilon phi")
+    val nearTriple = Seq(
+      (20L, base20),
+      (21L, base20 + " lambda"),
+      (22L, base20 + " lambda chi"))
+    val df = (uniq ++ exactPair ++ nearTriple).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 10L, 20L))
+  }
+
   test("minhashCandidates fused guard == two-pass guard semantics") {
     // 8 docs share a degenerate text (one hot bucket per band), 4 docs form
     // two distinct near-dup pairs; cap sits below the hot-bucket size
