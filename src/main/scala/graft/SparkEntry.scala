@@ -31,6 +31,10 @@ object SparkEntry {
     "q_quota" -> (Catalog.qQuota _),
     "ta_repetition" -> (Catalog.taRepetition _),
     "q_contam" -> (Catalog.qContam _),
+    "dd_lines" -> (Catalog.ddLines _),
+    "ta_pii" -> (Catalog.taPii _),
+    "ta_urls" -> (Catalog.taUrls _),
+    "ta_vocab" -> (Catalog.taVocab _),
     "q_mixture" -> (Catalog.qMixture _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "dd_cos_lsh" -> (Catalog.ddCosLsh _),
@@ -72,6 +76,10 @@ object SparkEntry {
     "q_quota" -> Oracles.qQuota,
     "ta_repetition" -> Oracles.taRepetition,
     "q_contam" -> Oracles.qContam,
+    "dd_lines" -> Oracles.ddLines,
+    "ta_pii" -> Oracles.taPii,
+    "ta_urls" -> Oracles.taUrls,
+    "ta_vocab" -> Oracles.taVocab,
     "q_mixture" -> Oracles.qMixture,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,

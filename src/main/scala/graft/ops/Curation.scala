@@ -164,4 +164,93 @@ object Curation {
       k: Int = 3): DataFrame =
     bench.select(explode(array_distinct(
       wordNgrams(col(textCol), k))).as("sh")).distinct()
+
+  /**
+   * Corpus-wide line-level exact dedup (the CCNet/RefinedWeb paragraph
+   * step, Wenzek et al. 2019 §3.1): every line keeps only its FIRST
+   * occurrence across the whole corpus — first by (doc id, line index) —
+   * and each document is reassembled from its surviving lines. Returns
+   * (idCol, n_lines, n_kept, text_dedup); a document whose every line
+   * appeared earlier elsewhere dedups to the empty string. Documents with
+   * NULL text have no lines and are absent from the output.
+   *
+   * Scale shape: one explode, one partial-aggregated min per distinct
+   * line (hot lines — blank lines, boilerplate headers — collapse
+   * map-side, no skew funnel), one equi-join of the exploded lines
+   * against the winner table on the line key, one per-document
+   * re-aggregation. Nothing is ever quadratic and no window function
+   * funnels a hot line through a single partition; at extreme scale the
+   * join key can be banded by line-hash, which changes nothing here
+   * because the join is already a plain shuffle hash join on `line`.
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__p", "__line")))
+      .select(col(idCol), (col("__p") + 1).as("__idx"), col("__line"))
+    val winners = lines.groupBy("__line")
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+    lines.join(winners, "__line")
+      .withColumn("__keep", struct(col(idCol), col("__idx")) === col("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("__keep"), 1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("text_dedup"))
+  }
+
+  /** PII patterns shared verbatim (same source-of-truth string) between the
+   * Spark expressions and the DuckDB oracles. Deliberately lookaround-free
+   * and `\p`-free so Java regex and RE2 match identically; `\d`/`\b` are
+   * ASCII in both. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /**
+   * PII scrub (the BigCode/StarCoder-style redaction step): counts of
+   * email / IPv4 / phone matches on the RAW text, plus the text with all
+   * three replaced by `<EMAIL>`/`<IP>`/`<PHONE>` — applied in that fixed
+   * order, so an address inside an email's domain is counted once as an
+   * email and never double-redacted. One shuffle-free projection; the
+   * regexes are deterministic pattern machines, not a learned NER pass —
+   * the shape a 100 TB pre-tokenization scrub takes.
+   */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("int").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("int").as("n_ipv4"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("int").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** URL regex: scheme + maximal non-whitespace run. Java `\s` includes
+   * \x0B where RE2's does not — the oracle restates the class as
+   * `[^\s\x0b]` (the round-2 tokenizer lesson, [[TextAnalysis.tokensLower]]). */
+  val UrlRe = "https?://[^\\s]+"
+
+  /**
+   * URL audit + domain blocklist filter: per document, how many URLs it
+   * contains, how many of their domains are blocklisted, the first domain
+   * (NULL when URL-free) and the keep verdict (no blocklisted domain).
+   * The blocklist is a literal IN-set (broadcast-as-constant, like the
+   * Enum validator); domains bind once at a projection boundary so the
+   * extract-all runs once per row, not once per output column.
+   */
+  def urlAudit(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "urlAudit needs a non-empty blocklist")
+    df.select(col(idCol),
+      transform(regexp_extract_all(col(textCol), lit(UrlRe), lit(0)),
+        u => regexp_extract(u, "https?://([^/]+)", 1)).as("__d"))
+      .select(col(idCol),
+        size(col("__d")).cast("int").as("n_urls"),
+        size(filter(col("__d"), d => d.isin(blocklist: _*)))
+          .cast("int").as("n_blocked"),
+        get(col("__d"), lit(0)).as("first_domain"))
+      .withColumn("keep", col("n_blocked") === 0)
+  }
 }

@@ -130,6 +130,31 @@ object TextAnalysis {
         (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P))))
   }
 
+  /**
+   * Corpus-level vocabulary with document frequencies — the token-stats
+   * step of a tokenizer/training-mix build: one row per distinct
+   * (lowercased whitespace) token with its total count `tf`, document
+   * frequency `doc_freq` and `idf = round(ln(n_docs / doc_freq), 6)`.
+   * Tokens below `minCount` total occurrences are dropped.
+   *
+   * Scale shape: the canonical word-count — explode + hash aggregate with
+   * map-side partial aggregation on the token key; the distinct-doc count
+   * rides the same shuffle (Spark plans count(distinct) as a two-level
+   * aggregate on (token, doc)). `nDocs` defaults to a count of the
+   * non-NULL-text rows (one extra metadata-cheap pass); at warehouse
+   * scale pass it in from table stats so the corpus is scanned once.
+   */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L, nDocs: Option[Long] = None): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val n = nDocs.getOrElse(base.count())
+    base.select(col(idCol), explode(tokensLower(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("tf") >= minCount)
+      .withColumn("idf", round(log(lit(n.toDouble) / col("doc_freq")), 6))
+  }
+
   /** All text features in one projection over (idCol, textCol). */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

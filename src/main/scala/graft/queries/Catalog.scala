@@ -257,6 +257,66 @@ object Catalog {
     Curation.contamination(d, "doc_id", "text", bench, 3).orderBy("doc_id")
   }
 
+  /** Corpus-wide line-level first-wins dedup ([[graft.ops.Curation.dedupLines]],
+   * the CCNet paragraph step). The raw docs are single-line, so the corpus
+   * plants structure the usual way: exact-clone docs (+10000, every line a
+   * cross-document repeat — they dedup to empty) and self-doubled docs
+   * (+400000, text||'\n'||text — the intra-document repeat case). Oracle:
+   * [[Oracles.ddLines]] closes the same first-occurrence choice with a
+   * row_number window over (doc_id, idx). */
+  def ddLines(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val clones = d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val doubled = d.filter(col("doc_id") % 75 === 0)
+      .withColumn("doc_id", col("doc_id") + 400000)
+      .withColumn("text", concat(col("text"), lit("\n"), col("text")))
+    Curation.dedupLines(
+      d.select("doc_id", "text").unionByName(clones.select("doc_id", "text"))
+        .unionByName(doubled.select("doc_id", "text")), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction counts + scrubbed text over a corpus with planted
+   * addresses (doc_id % 30 gains an email, % 45 an IPv4 + phone — both at
+   * % 90); the raw word-stream docs are digit-free, so every count is
+   * attributable. Oracle: [[Oracles.taPii]] applies the same three
+   * patterns (shared constants, Java-regex/RE2-identical) in the same
+   * order. */
+  def taPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 30 === 0,
+        lit(" contact bob123@mail-example.org now")).otherwise(lit("")),
+      when(col("doc_id") % 45 === 0,
+        lit(" from 192.168.1.42 call +1-555-867-5309")).otherwise(lit("")))
+      .as("text"))
+    Curation.redactPii(planted, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** URL extraction + domain-blocklist audit over planted URLs (doc_id %
+   * 35 gains a blocklisted + a clean URL, % 55 a docs link). Oracle:
+   * [[Oracles.taUrls]]. */
+  def taUrls(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 35 === 0,
+        lit(" see https://spam.example.com/p/123 and http://ok-site.org/index.html"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 55 === 0,
+        lit(" ref https://docs.example.io/guide")).otherwise(lit("")))
+      .as("text"))
+    Curation.urlAudit(planted, "doc_id", "text",
+      Seq("spam.example.com", "malware.example.net"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary with tf/doc-frequency/idf
+   * ([[graft.ops.TextAnalysis.vocabulary]]) — one row per distinct token.
+   * Oracle: [[Oracles.taVocab]] restates the shared tokenizer and the
+   * ln(n_docs/df) formula. */
+  def taVocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(docs(spark, dir), "doc_id", "text")
+      .orderBy("token")
+
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard blocked
    * ngram pair graph, each member labeled with its component's min id (the
    * canonical-doc choice of a dedup pass). The raw corpus has no organic

@@ -316,6 +316,109 @@ object Oracles {
       |ORDER BY doc_id""".stripMargin
 
   /**
+   * Oracle for [[Catalog.ddLines]]: the same planted corpus, the same
+   * first-occurrence choice — a row_number window over (doc_id, idx) per
+   * line — and the same surviving-line reassembly (string_agg ordered by
+   * idx). The `unnest(range(..)) , unnest(list)` pair zips positionally,
+   * giving each line its 1-based index like Spark's posexplode + 1.
+   */
+  val ddLines: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text || chr(10) || text
+      |  FROM documents WHERE doc_id % 75 = 0),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM corpus),
+      |k AS (
+      |  SELECT doc_id, idx, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1 AS keep
+      |  FROM l)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS n_lines,
+      |  CAST(count(CASE WHEN keep THEN 1 END) AS INT) AS n_kept,
+      |  coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '')
+      |    AS text_dedup
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.taPii]]: the pattern strings interpolate from the
+   * SAME Scala constants the Spark query compiles
+   * ([[graft.ops.Curation.EmailRe]] etc. — lookaround-free, `\p`-free, so
+   * Java regex and RE2 agree), applied in the same email→IP→phone order.
+   * DuckDB regular strings keep backslashes literal, so the interpolated
+   * `\b`/`\d` arrive intact.
+   */
+  val taPii: String = {
+    import graft.ops.Curation.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    text
+       |      || CASE WHEN doc_id % 30 = 0 THEN ' contact bob123@mail-example.org now' ELSE '' END
+       |      || CASE WHEN doc_id % 45 = 0 THEN ' from 192.168.1.42 call +1-555-867-5309' ELSE '' END
+       |    AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM corpus ORDER BY doc_id""".stripMargin
+  }
+
+  /**
+   * Oracle for [[Catalog.taUrls]]. The URL class is stated as
+   * `[^\s\x0b]+` because Java's `\s` includes \x0B and RE2's does not
+   * (the tokenizer-parity rule); the domain extract and the blocklist
+   * IN-set restate [[graft.ops.Curation.urlAudit]] verbatim.
+   */
+  val taUrls: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    text
+      |      || CASE WHEN doc_id % 35 = 0 THEN ' see https://spam.example.com/p/123 and http://ok-site.org/index.html' ELSE '' END
+      |      || CASE WHEN doc_id % 55 = 0 THEN ' ref https://docs.example.io/guide' ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(text, 'https?://[^\s\x0b]+'),
+      |                   x -> regexp_extract(x, 'https?://([^/]+)', 1)) AS domains
+      |  FROM corpus)
+      |SELECT doc_id,
+      |  CAST(len(domains) AS INT) AS n_urls,
+      |  CAST(len(list_filter(domains,
+      |    d -> d IN ('spam.example.com', 'malware.example.net'))) AS INT) AS n_blocked,
+      |  CASE WHEN len(domains) > 0 THEN domains[1] ELSE NULL END AS first_domain,
+      |  len(list_filter(domains,
+      |    d -> d IN ('spam.example.com', 'malware.example.net'))) = 0 AS keep
+      |FROM u ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.taVocab]]: the shared tokenizer
+   * (`regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')` ==
+   * [[graft.ops.TextAnalysis.tokensLower]]) unnested, grouped per token
+   * with exact tf / distinct-doc df and `idf = round(ln(n_docs/df), 6)`.
+   */
+  val taVocab: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
+      |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq,
+      |       round(ln(n_docs * 1.0 / count(DISTINCT doc_id)), 6) AS idf
+      |FROM t, n GROUP BY token, n_docs ORDER BY token""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qMixture]]: the copy-selection hash is Spark's
    * `xxhash64(~doc_id)` — the complement's unsigned value is
    * 2^64-1-doc_id, which feeds the same staged hashLong arithmetic as

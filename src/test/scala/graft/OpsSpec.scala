@@ -311,6 +311,82 @@ class OpsSpec extends SparkSuite {
     assert(got(4L) === ((0, 0L, 0.0)))
   }
 
+  test("dedupLines: first occurrence wins across and within docs; survivors reassemble in order") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "a\nb\na"), // 'a' repeats within the doc
+      (2L, "b\nc"),    // 'b' already seen in doc 1
+      (3L, "a"),       // fully duplicate doc -> dedups to empty
+      (4L, "d")        // untouched
+    ).toDF("doc_id", "text")
+    val got = Curation.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) === ((3, 2, "a\nb")))
+    assert(got(2L) === ((2, 1, "c")))
+    assert(got(3L) === ((1, 0, "")))
+    assert(got(4L) === ((1, 1, "d")))
+    // NULL text has no lines: absent from the output by contract
+    val withNull = df.union(Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(Curation.dedupLines(withNull, "doc_id", "text").count() === 4)
+  }
+
+  test("redactPii: counts on raw text, fixed email->ip->phone order, clean text untouched") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "write to a.b+c@ex-1.org or 10.0.0.1 call +44-201-555-0199"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.co plus 1.2.3.4 and 10.20.30.40")
+    ).toDF("doc_id", "text")
+    val got = Curation.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) === ((1, 1, 1, "write to <EMAIL> or <IP> call <PHONE>")))
+    assert(got(2L) === ((0, 0, 0, "no pii here at all")))
+    assert(got(3L) === ((2, 2, 0, "two mails <EMAIL> and <EMAIL> plus <IP> and <IP>")))
+  }
+
+  test("urlAudit: extraction, blocklist verdicts, URL-free docs keep NULL first_domain") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "x https://spam.example.com/a?q=1 y http://good.org/b"),
+      (2L, "plain text"),
+      (3L, "ref https://docs.example.io/guide end")
+    ).toDF("doc_id", "text")
+    val got = Curation.urlAudit(df, "doc_id", "text", Seq("spam.example.com"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), Option(r.getString(3)), r.getBoolean(4))).toMap
+    assert(got(1L) === ((2, 1, Some("spam.example.com"), false)))
+    assert(got(2L) === ((0, 0, None, true)))
+    assert(got(3L) === ((1, 0, Some("docs.example.io"), true)))
+    intercept[IllegalArgumentException] {
+      Curation.urlAudit(df, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("vocabulary: exact tf/df/idf, minCount filter, nDocs override, NULL text excluded") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "a b a"),
+      (2L, "b c"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // n_docs = 2: the NULL-text doc is no vocabulary evidence
+    assert(got === Map(
+      "a" -> ((2L, 1L, 0.693147)),
+      "b" -> ((2L, 2L, 0.0)),
+      "c" -> ((1L, 1L, 0.693147))))
+    assert(TextAnalysis.vocabulary(df, "doc_id", "text", minCount = 2)
+      .collect().map(_.getString(0)).toSet === Set("a", "b"))
+    // table-stats path: caller-supplied corpus size skips the count pass
+    val over = TextAnalysis.vocabulary(df, "doc_id", "text", nDocs = Some(4))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(over("b") === 0.693147) // ln(4/2)
+  }
+
   test("cosineNearDupsLsh: exact clones always found; pairs subset of unblocked truth") {
     val rnd = new scala.util.Random(23)
     def unit(d: Int): Array[Float] = {

@@ -193,6 +193,24 @@ class PlanSpec extends SparkSuite {
       s"benchmark side must broadcast (corpus side stays shuffle-light):\n$con")
   }
 
+  test("line dedup and vocabulary: no Window funnel, map-side partial aggregation") {
+    // dedupLines: hot lines must collapse map-side (partial_min on the line
+    // key), and the first-wins choice must NOT be a row_number window —
+    // a window partitioned by line funnels every copy of a hot line
+    // (blank lines, boilerplate) through one task.
+    val dl = physical(graft.ops.Curation.dedupLines(docs, "doc_id", "text"))
+    assert(!dl.contains("Window"), s"line dedup must not use a window:\n$dl")
+    assert(dl.contains("partial_min"),
+      s"winner selection must partial-aggregate map-side:\n$dl")
+    // vocabulary: the canonical word-count — partial counts shuffle on the
+    // token key, never raw token rows via a window.
+    val v = physical(graft.ops.TextAnalysis.vocabulary(
+      docs, "doc_id", "text", nDocs = Some(1)))
+    assert(!v.contains("Window"), s"vocabulary must not use a window:\n$v")
+    assert(v.contains("partial_count"),
+      s"token counts must partial-aggregate map-side:\n$v")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
