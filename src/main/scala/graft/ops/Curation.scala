@@ -223,9 +223,14 @@ object Curation {
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("int").as("n_emails"),
       size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("int").as("n_ipv4"),
       size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("int").as("n_phones"),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"))
+      piiRedact(t).as("redacted"))
   }
+
+  /** The redaction expression [[redactPii]] projects — exposed as a Column
+   * so pipeline compositions can scrub in-place inside a wider projection. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
   /** URL regex: scheme + maximal non-whitespace run. Java `\s` includes
    * \x0B where RE2's does not — the oracle restates the class as
@@ -252,5 +257,60 @@ object Curation {
           .cast("int").as("n_blocked"),
         get(col("__d"), lit(0)).as("first_domain"))
       .withColumn("keep", col("n_blocked") === 0)
+  }
+
+  /** True when `text` contains no URL whose domain is in `blocklist` —
+   * the [[urlAudit]] keep verdict as a standalone predicate Column. */
+  def urlKeep(text: Column, blocklist: Seq[String]): Column =
+    size(filter(
+      transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+        u => regexp_extract(u, "https?://([^/]+)", 1)),
+      d => d.isin(blocklist: _*))) === 0
+
+  /**
+   * The one-call curation pipeline — the corpus-hygiene counterpart of
+   * [[Dedup.dedupCorpus]], composing this module's gates in the order a
+   * 100 TB pass wants them:
+   *
+   *  1. shuffle-free row gates FIRST (quality floor, repetition ceilings,
+   *     URL blocklist) — one codegen'd filter over the scan, shrinking the
+   *     corpus before anything that shuffles;
+   *  2. PII scrub (in-place projection on the survivors);
+   *  3. benchmark decontamination (broadcast-join gate) when a benchmark
+   *     shingle set is supplied;
+   *  4. corpus-wide line-level dedup LAST (the only big shuffle), with the
+   *     surviving text replacing `textCol`.
+   *
+   * All other columns of `df` pass through. Each stage's semantics (and
+   * its oracle) live with the underlying operator; this is deliberately
+   * just the composition.
+   */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3,
+      maxDupLineFrac: Double = 0.3,
+      maxDup5gramFrac: Double = 0.3,
+      blocklist: Seq[String] = Nil,
+      bench: Option[DataFrame] = None,
+      maxContam: Double = 0.8,
+      lineDedup: Boolean = true): DataFrame = {
+    val t = col(textCol)
+    var cur = df.filter(
+      TextAnalysis.qualityScore(t) >= minQuality &&
+        dupLineFrac(t) <= maxDupLineFrac &&
+        dupNgramFrac(t, 5) <= maxDup5gramFrac)
+    if (blocklist.nonEmpty) cur = cur.filter(urlKeep(t, blocklist))
+    cur = cur.withColumn(textCol, piiRedact(t))
+    bench.foreach { b =>
+      val dirty = contamination(cur, idCol, textCol, b)
+        .filter(col("contam_frac") > maxContam).select(col(idCol))
+      cur = cur.join(dirty, Seq(idCol), "left_anti")
+    }
+    if (lineDedup) {
+      val survivors = dedupLines(cur, idCol, textCol)
+        .select(col(idCol), col("text_dedup"))
+      cur = cur.drop(textCol).join(survivors, Seq(idCol))
+        .withColumnRenamed("text_dedup", textCol)
+    }
+    cur
   }
 }

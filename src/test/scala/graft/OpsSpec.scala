@@ -387,6 +387,30 @@ class OpsSpec extends SparkSuite {
     assert(over("b") === 0.693147) // ln(4/2)
   }
 
+  test("curateCorpus: quality/repetition/blocklist/contam gates, PII scrub, line dedup compose") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "alpha beta gamma delta\ncontact bob@x.io for more details"),
+      (2L, "!!!! !!!! !!!! !!!! !!!!"),  // punctuation soup, no diversity -> quality gate
+      (3L, "x\nx\nx"),                   // dup_line_frac 2/3 -> repetition gate
+      (4L, "go to https://spam.example.com/offer now please friend"), // blocklist gate
+      (5L, "the quick brown fox jumps over the lazy dog again"),      // = the benchmark
+      (6L, "alpha beta gamma delta\na unique tail line here")         // line 1 loses to doc 1
+    ).toDF("doc_id", "text")
+    val bench = Curation.benchmarkShingles(
+      Seq("the quick brown fox jumps over the lazy dog again").toDF("text"), "text")
+    val got = Curation.curateCorpus(df, "doc_id", "text",
+      blocklist = Seq("spam.example.com"), bench = Some(bench))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.keySet === Set(1L, 6L))
+    assert(got(1L) === "alpha beta gamma delta\ncontact <EMAIL> for more details")
+    assert(got(6L) === "a unique tail line here")
+    // stages are individually optional
+    val noDedup = Curation.curateCorpus(df, "doc_id", "text", lineDedup = false)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(noDedup === Set(1L, 4L, 5L, 6L)) // no blocklist/bench -> 4 and 5 survive
+  }
+
   test("cosineNearDupsLsh: exact clones always found; pairs subset of unblocked truth") {
     val rnd = new scala.util.Random(23)
     def unit(d: Int): Array[Float] = {
