@@ -69,12 +69,13 @@ object Clustering {
     var labels = sym.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .localCheckpoint()
-    // No edges (or only self-loops/nulls) -> no endpoints: return the empty
-    // frame instead of iterating (sum over zero rows is NULL and would NPE
-    // the fixpoint comparison).
-    if (labels.isEmpty)
+    // No edges (or only self-loops/nulls) -> no endpoints: the sum over
+    // zero rows is NULL — that IS the emptiness probe, so the check rides
+    // the first fixpoint sum instead of costing a separate isEmpty job.
+    val firstSum = labelSum(labels)
+    if (firstSum == null)
       return labels.select(col("id"), col("comp").as("component"))
-    var prevSum = labelSum(labels)
+    var prevSum = firstSum
     var converged = false
     var it = 0
     while (!converged) {

@@ -330,16 +330,23 @@ object Catalog {
    * recursive CTE. */
   def ddClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val base = d.filter(col("doc_id") % 50 === 0)
-    val swapped = base
-      .withColumn("doc_id", col("doc_id") + 100000)
-      .withColumn("text", concat(lit("zzzswap "),
-        expr("substring(text, instr(text, ' ') + 1)")))
-    val tailed = base
-      .withColumn("doc_id", col("doc_id") + 200000)
-      .withColumn("text", concat(col("text"), lit(" qqqtail")))
-    val edges = Dedup.blockedNgramPairs(
-      d.unionByName(swapped).unionByName(tailed), "doc_id", "text",
+    // Clone planting as ONE scan: each %50 row explodes into its triple,
+    // everything else passes through — a 3-branch union would read and
+    // decode the text column three times for the same corpus.
+    def row(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
+      struct(id.as("doc_id"),
+      text.as("text"), col("lang").as("lang"), col("n_chars").as("n_chars"))
+    val self = row(col("doc_id"), col("text"))
+    val swapped = row(col("doc_id") + 100000, concat(lit("zzzswap "),
+      expr("substring(text, instr(text, ' ') + 1)")))
+    val tailed = row(col("doc_id") + 200000,
+      concat(col("text"), lit(" qqqtail")))
+    val corpus = d.select(explode(
+      when(col("doc_id") % 50 === 0, array(self, swapped, tailed))
+        .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.lang").as("lang"), col("r.n_chars").as("n_chars"))
+    val edges = Dedup.blockedNgramPairs(corpus, "doc_id", "text",
       Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
       .filter(col("jaccard") >= 0.5)
     Clustering.connectedComponents(edges, "id_a", "id_b").orderBy("id")
