@@ -35,6 +35,7 @@ object SparkEntry {
     "ta_pii" -> (Catalog.taPii _),
     "ta_urls" -> (Catalog.taUrls _),
     "ta_vocab" -> (Catalog.taVocab _),
+    "ta_keywords" -> (Catalog.taKeywords _),
     "q_mixture" -> (Catalog.qMixture _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "dd_cos_lsh" -> (Catalog.ddCosLsh _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "ta_pii" -> Oracles.taPii,
     "ta_urls" -> Oracles.taUrls,
     "ta_vocab" -> Oracles.taVocab,
+    "ta_keywords" -> Oracles.taKeywords,
     "q_mixture" -> Oracles.qMixture,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,

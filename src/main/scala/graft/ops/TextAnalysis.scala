@@ -155,6 +155,43 @@ object TextAnalysis {
       .withColumn("idf", round(log(lit(n.toDouble) / col("doc_freq")), 6))
   }
 
+  /**
+   * Per-document TF-IDF keyword extraction: the top `k` tokens of each
+   * document by `tf_in_doc × ln(n_docs / doc_freq)`, ties broken by token
+   * order — the domain-tagging / topic-sketch step of a corpus pipeline.
+   * Returns (idCol, rank 1..k, token, score).
+   *
+   * Scale shape: ONE explode feeds a (doc, token) count whose output then
+   * feeds BOTH sides — the per-doc term frequencies and (re-aggregated by
+   * token, one row per doc-token pair) the document frequencies — so the
+   * corpus is tokenized once. The vocabulary side is dimension-scale for
+   * natural-language token sets and broadcasts; the per-doc top-k is a
+   * bounded sort of that document's distinct tokens (no Window exchange,
+   * no corpus-wide rank shuffle).
+   */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nDocs: Option[Long] = None): DataFrame = {
+    require(k >= 1, "keyword count must be >= 1")
+    val base = df.filter(col(textCol).isNotNull)
+    val n = nDocs.getOrElse(base.count())
+    val tf = base
+      .select(col(idCol), explode(tokensLower(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token")
+      .agg(count(lit(1)).as("doc_freq")) // one tf row per (doc, token)
+      .select(col("token"), log(lit(n.toDouble) / col("doc_freq")).as("idf"))
+    tf.join(broadcast(vocab), "token")
+      .select(col(idCol), col("token"), (col("tf") * col("idf")).as("score"))
+      .groupBy(col(idCol))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("n"), col("token").as("token")))),
+        1, k).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__r", "__kw")))
+      .select(col(idCol), (col("__r") + 1).cast("int").as("rank"),
+        col("__kw.token").as("token"),
+        round(-col("__kw.n"), 6).as("score"))
+  }
+
   /** All text features in one projection over (idCol, textCol). */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

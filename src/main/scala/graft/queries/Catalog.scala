@@ -317,6 +317,14 @@ object Catalog {
     TextAnalysis.vocabulary(docs(spark, dir), "doc_id", "text")
       .orderBy("token")
 
+  /** Per-document top-3 TF-IDF keywords
+   * ([[graft.ops.TextAnalysis.tfidfKeywords]]). Oracle:
+   * [[Oracles.taKeywords]] — the equivalent row_number window with the
+   * same score-desc/token-asc tie order. */
+  def taKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard blocked
    * ngram pair graph, each member labeled with its component's min id (the
    * canonical-doc choice of a dedup pass). The raw corpus has no organic

@@ -419,6 +419,32 @@ object Oracles {
       |FROM t, n GROUP BY token, n_docs ORDER BY token""".stripMargin
 
   /**
+   * Oracle for [[Catalog.taKeywords]]: tf per (doc, token), idf from the
+   * per-token doc count, and the same top-3 selection as a row_number
+   * window ordered score DESC, token ASC — ties resolve identically to
+   * Spark's ascending sort on (-score, token). The sort runs on the
+   * UNROUNDED score in both engines; only the emitted value rounds.
+   */
+  val taKeywords: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+      |v AS (
+      |  SELECT token, ln(n_docs * 1.0 / count(*)) AS idf
+      |  FROM tf, n GROUP BY token, n_docs),
+      |s AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf * v.idf AS score,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf * v.idf DESC, tf.token) AS rank
+      |  FROM tf JOIN v USING (token))
+      |SELECT doc_id, CAST(rank AS INT) AS rank, token, round(score, 6) AS score
+      |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qMixture]]: the copy-selection hash is Spark's
    * `xxhash64(~doc_id)` — the complement's unsigned value is
    * 2^64-1-doc_id, which feeds the same staged hashLong arithmetic as

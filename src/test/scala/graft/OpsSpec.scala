@@ -387,6 +387,24 @@ class OpsSpec extends SparkSuite {
     assert(over("b") === 0.693147) // ln(4/2)
   }
 
+  test("tfidfKeywords: exact scores, score-desc/token-asc ties, short docs emit fewer rows") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "a a b c"), (2L, "b c d"), (3L, "d d d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    // n_docs=3; idf: a,e = ln 3, b,c,d = ln 1.5
+    assert(got((1L, 1)) === (("a", 2.197225))) // 2·ln3
+    assert(got((1L, 2)) === (("b", 0.405465))) // tie with c -> token asc
+    assert(got((1L, 3)) === (("c", 0.405465)))
+    assert(got((2L, 1)) === (("b", 0.405465))) // three-way tie -> b,c,d
+    assert(got((2L, 2)) === (("c", 0.405465)))
+    assert(got((2L, 3)) === (("d", 0.405465)))
+    assert(got((3L, 1)) === (("d", 1.216395))) // 3·ln1.5 beats ln3
+    assert(got((3L, 2)) === (("e", 1.098612)))
+    assert(got.size === 8) // doc 3 has only 2 distinct tokens
+  }
+
   test("curateCorpus: quality/repetition/blocklist/contam gates, PII scrub, line dedup compose") {
     import graft.ops.Curation
     val df = Seq(
