@@ -174,14 +174,20 @@ object Curation {
    * appeared earlier elsewhere dedups to the empty string. Documents with
    * NULL text have no lines and are absent from the output.
    *
-   * Scale shape: one explode, one partial-aggregated min per distinct
-   * line (hot lines — blank lines, boilerplate headers — collapse
-   * map-side, no skew funnel), one equi-join of the exploded lines
-   * against the winner table on the line key, one per-document
-   * re-aggregation. Nothing is ever quadratic and no window function
-   * funnels a hot line through a single partition; at extreme scale the
-   * join key can be banded by line-hash, which changes nothing here
-   * because the join is already a plain shuffle hash join on `line`.
+   * Scale shape: one logical explode, one partial-aggregated min per
+   * distinct line (hot lines — blank lines, boilerplate headers —
+   * collapse map-side on the WINNER side), one equi-join of the exploded
+   * lines against the winner table on the line key, one per-document
+   * re-aggregation. Nothing is ever quadratic. Honest skew note: the
+   * PROBE side of the join still shuffles every copy of a hot line to
+   * one partition — that funnel is smaller than a row_number window's
+   * (the window also sorts and carries (doc,idx) state) but it is not
+   * zero; AQE's skew-join split handles it at runtime, and at extreme
+   * scale the join key can additionally be salted by (line, doc-hash
+   * band) with the winner table replicated per band. The explode also
+   * evaluates on both join sides (two scans of `df`) — callers composing
+   * this after expensive lineage should checkpoint first, as
+   * [[curateCorpus]] does.
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df
@@ -210,12 +216,18 @@ object Curation {
 
   /**
    * PII scrub (the BigCode/StarCoder-style redaction step): counts of
-   * email / IPv4 / phone matches on the RAW text, plus the text with all
-   * three replaced by `<EMAIL>`/`<IP>`/`<PHONE>` — applied in that fixed
-   * order, so an address inside an email's domain is counted once as an
-   * email and never double-redacted. One shuffle-free projection; the
-   * regexes are deterministic pattern machines, not a learned NER pass —
-   * the shape a 100 TB pre-tokenization scrub takes.
+   * email / IPv4 / phone matches — each counted INDEPENDENTLY on the raw
+   * text — plus the text with all three replaced by
+   * `<EMAIL>`/`<IP>`/`<PHONE>`, applied sequentially in that fixed order.
+   * Contract notes: a string matching two patterns at once (an
+   * IPv4-shaped email domain like `bob@1.2.3.4.ab`) counts under BOTH
+   * counters, and the sequential redaction can expose a match the raw
+   * counts never saw (email replacement may create a word boundary) —
+   * both behaviors are deterministic and engine-symmetric with the
+   * oracle, which restates the same counts-on-raw / sequential-replace
+   * semantics. One shuffle-free projection; the regexes are
+   * deterministic pattern machines, not a learned NER pass — the shape a
+   * 100 TB pre-tokenization scrub takes.
    */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -245,12 +257,17 @@ object Curation {
    * Enum validator); domains bind once at a projection boundary so the
    * extract-all runs once per row, not once per output column.
    */
+  /** Domains of every URL in `text` — THE extraction expression; both
+   * [[urlAudit]] and [[urlKeep]] must stay on this single definition so
+   * the audit columns and the standalone keep predicate can't drift. */
+  private def urlDomains(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+      u => regexp_extract(u, "https?://([^/]+)", 1))
+
   def urlAudit(df: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "urlAudit needs a non-empty blocklist")
-    df.select(col(idCol),
-      transform(regexp_extract_all(col(textCol), lit(UrlRe), lit(0)),
-        u => regexp_extract(u, "https?://([^/]+)", 1)).as("__d"))
+    df.select(col(idCol), urlDomains(col(textCol)).as("__d"))
       .select(col(idCol),
         size(col("__d")).cast("int").as("n_urls"),
         size(filter(col("__d"), d => d.isin(blocklist: _*)))
@@ -262,10 +279,7 @@ object Curation {
   /** True when `text` contains no URL whose domain is in `blocklist` —
    * the [[urlAudit]] keep verdict as a standalone predicate Column. */
   def urlKeep(text: Column, blocklist: Seq[String]): Column =
-    size(filter(
-      transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
-        u => regexp_extract(u, "https?://([^/]+)", 1)),
-      d => d.isin(blocklist: _*))) === 0
+    size(filter(urlDomains(text), d => d.isin(blocklist: _*))) === 0
 
   /**
    * The one-call curation pipeline — the corpus-hygiene counterpart of
@@ -306,6 +320,13 @@ object Curation {
       cur = cur.join(dirty, Seq(idCol), "left_anti")
     }
     if (lineDedup) {
+      // Cut the gate/scrub/decontam lineage before the dedup stage: its
+      // result feeds THREE subplans (the exploded probe side, the winner
+      // aggregate, and the final join's left side) whose exchanges differ,
+      // so exchange reuse cannot dedupe them — without this checkpoint the
+      // regex-heavy gates would execute three times over the corpus. Lazy
+      // (eager=false): materializes on first action, reused thereafter.
+      cur = cur.localCheckpoint(false)
       val survivors = dedupLines(cur, idCol, textCol)
         .select(col(idCol), col("text_dedup"))
       cur = cur.drop(textCol).join(survivors, Seq(idCol))

@@ -163,13 +163,14 @@ object Catalog {
       .orderBy("doc_id")
 
   /** Exact-duplicate groups by normalized sha256 fingerprint. The corpus is
-   * documents plus deterministic clones (doc_id % 50 == 0, re-keyed +10000)
+   * documents plus deterministic clones (doc_id % 50 == 0, re-keyed +500000,
+   * clear of every organic id and of the other plants' key spaces)
    * so duplicate groups exist to find — the synthetic table itself is
    * dup-free. */
   def ddExact(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val clones = d.filter(col("doc_id") % 50 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", col("doc_id") + 500000)
     Dedup.exactGroups(d.unionByName(clones), "doc_id", "text")
       .select("fingerprint", "keep_id", "group_size")
       .orderBy("fingerprint")
@@ -259,7 +260,7 @@ object Catalog {
 
   /** Corpus-wide line-level first-wins dedup ([[graft.ops.Curation.dedupLines]],
    * the CCNet paragraph step). The raw docs are single-line, so the corpus
-   * plants structure the usual way: exact-clone docs (+10000, every line a
+   * plants structure the usual way: exact-clone docs (+500000, every line a
    * cross-document repeat — they dedup to empty) and self-doubled docs
    * (+400000, text||'\n'||text — the intra-document repeat case). Oracle:
    * [[Oracles.ddLines]] closes the same first-occurrence choice with a
@@ -267,7 +268,7 @@ object Catalog {
   def ddLines(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val clones = d.filter(col("doc_id") % 50 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", col("doc_id") + 500000)
     val doubled = d.filter(col("doc_id") % 75 === 0)
       .withColumn("doc_id", col("doc_id") + 400000)
       .withColumn("text", concat(col("text"), lit("\n"), col("text")))

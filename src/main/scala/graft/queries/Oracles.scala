@@ -183,7 +183,7 @@ object Oracles {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0),
+      |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 50 = 0),
       |f AS (
       |  SELECT doc_id,
       |         sha256(regexp_replace(lower(trim(text)), '[\s\x0b]+', ' ', 'g')) AS fingerprint
@@ -326,7 +326,7 @@ object Oracles {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+      |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 50 = 0
       |  UNION ALL
       |  SELECT doc_id + 400000, text || chr(10) || text
       |  FROM documents WHERE doc_id % 75 = 0),

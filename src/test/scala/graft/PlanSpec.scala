@@ -194,10 +194,12 @@ class PlanSpec extends SparkSuite {
   }
 
   test("line dedup and vocabulary: no Window funnel, map-side partial aggregation") {
-    // dedupLines: hot lines must collapse map-side (partial_min on the line
-    // key), and the first-wins choice must NOT be a row_number window —
-    // a window partitioned by line funnels every copy of a hot line
-    // (blank lines, boilerplate) through one task.
+    // dedupLines: the winner side must collapse map-side (partial_min on
+    // the line key), and the first-wins choice must NOT be a row_number
+    // window — a window partitioned by line both funnels AND sorts every
+    // copy of a hot line in one task; the join formulation still shuffles
+    // probe-side copies by line but AQE's skew split can break that up,
+    // which it cannot do for a window.
     val dl = physical(graft.ops.Curation.dedupLines(docs, "doc_id", "text"))
     assert(!dl.contains("Window"), s"line dedup must not use a window:\n$dl")
     assert(dl.contains("partial_min"),
