@@ -36,6 +36,8 @@ object SparkEntry {
     "ta_urls" -> (Catalog.taUrls _),
     "ta_vocab" -> (Catalog.taVocab _),
     "ta_keywords" -> (Catalog.taKeywords _),
+    "ta_heavy" -> (Catalog.taHeavy _),
+    "q_sample" -> (Catalog.qSample _),
     "q_mixture" -> (Catalog.qMixture _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "dd_cos_lsh" -> (Catalog.ddCosLsh _),
@@ -82,6 +84,8 @@ object SparkEntry {
     "ta_urls" -> Oracles.taUrls,
     "ta_vocab" -> Oracles.taVocab,
     "ta_keywords" -> Oracles.taKeywords,
+    "ta_heavy" -> Oracles.taHeavy,
+    "q_sample" -> Oracles.qSample,
     "q_mixture" -> Oracles.qMixture,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.FunctionBridge
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /**
  * SQL surface for the engine's custom Catalyst kernels, so `spark.sql`
@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
  *   shingle_hash64(arr<string>, k)          -> arr<bigint>
  *   minhash_sig(arr<bigint>, numHashes[, seed]) -> arr<bigint>
  *   top_k_by_score(score, id, k)            -> AGGREGATE: arr<struct<score,id>>
+ *   freq_items_sketch(token, capacity)      -> AGGREGATE: arr<struct<token,est_count>>
  *
  * Two registration paths:
  *  - config-time: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -80,6 +81,12 @@ object GraftFunctions {
       // int-typed score/id from SQL hits update()'s asInstanceOf mid-job
       TopKByScore(Cast(args(0), DoubleType), Cast(args(1), LongType),
         intArg(args(2), "k"))
+    },
+    fn("freq_items_sketch", "_FUNC_(token, capacity) - aggregate: bounded " +
+      "Misra-Gries frequent-items summary as arr<struct<token,est_count>> " +
+      "(count DESC, token ASC); exact when distinct <= capacity") { args =>
+      require(args.size == 2, "freq_items_sketch(token, capacity)")
+      FreqItemsSketch(Cast(args(0), StringType), intArg(args(1), "capacity"))
     },
     fn("collect_sigs_capped", "_FUNC_(id, sig, cap) - aggregate: " +
       "array<struct<id,sig>> of the group sorted by id, NULL once the group " +

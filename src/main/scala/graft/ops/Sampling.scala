@@ -104,4 +104,31 @@ object Sampling {
       .select(g :+ explode(col("kept")).as("e"): _*)
       .select(g :+ col("e.id").as(idCol) :+ col("e.score").as(scoreCol): _*)
   }
+
+  /**
+   * Deterministic uniform sample of exactly `k` rows: the k SMALLEST
+   * `xxhash64(id)` values win (bottom-k-by-hash — the classic mergeable
+   * uniform-sample construction: a hash-uniform order statistic selects a
+   * uniform subset, reproducibly). Runs on the bounded
+   * [[graft.functions.TopKByScore]] aggregate — each partition reduces to
+   * a k-entry heap before the single-row exchange, so sampling 1000 rows
+   * from 10^12 never sorts or shuffles the corpus (contrast
+   * `df.orderBy(hash).limit(k)`, whose global TakeOrdered still scans
+   * per-partition heaps the same way but is not composable as an
+   * aggregate, and `df.sample(fraction)`, which is neither exact-k nor
+   * reproducible across partitionings).
+   *
+   * The heap ranks by score DESC on `-toDouble(hash)` — the double cast
+   * loses low bits for |hash| > 2^53, so ties break by id ASC; the DuckDB
+   * oracle restates the same cast and tie order, keeping both engines'
+   * selections identical by construction. Returns (rank 1..k, idCol).
+   */
+  def uniformSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val score = xxhash64(col(idCol).cast("long")).cast("double") * -1
+    df.agg(graft.functions.TopKByScore.topK(score, col(idCol), k).as("kept"))
+      .select(posexplode(col("kept")).as(Seq("__r", "__e")))
+      .select((col("__r") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol))
+  }
 }

@@ -318,6 +318,27 @@ object Catalog {
     TextAnalysis.vocabulary(docs(spark, dir), "doc_id", "text")
       .orderBy("token")
 
+  /** Bounded-memory frequent-items sketch over the token stream
+   * ([[graft.functions.FreqItemsSketch]], Misra–Gries). Capacity 64
+   * exceeds the corpus's distinct-token count, so the sketch runs in its
+   * EXACT regime (no decrement ever fires, order-independent) and the
+   * oracle is the plain word count; the bounded-capacity error regime is
+   * property-spec'd in FunctionsSpec where no SQL oracle can exist. */
+  def taHeavy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokensLower(col("text"))).as("token"))
+      .agg(graft.functions.FreqItemsSketch.sketch(col("token"), 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.est_count").as("est_count"))
+      .orderBy("token")
+
+  /** Deterministic uniform 20-row sample by bottom-k-of-xxhash64
+   * ([[graft.ops.Sampling.uniformSample]]): the bounded TopKByScore
+   * aggregate, never a global sort. Oracle: [[Oracles.qSample]] restates
+   * the hash (SqlXxh64), the double cast and the id tie order. */
+  def qSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.uniformSample(docs(spark, dir), "doc_id", 20).orderBy("rank")
+
   /** Per-document top-3 TF-IDF keywords
    * ([[graft.ops.TextAnalysis.tfidfKeywords]]). Oracle:
    * [[Oracles.taKeywords]] — the equivalent row_number window with the

@@ -419,6 +419,40 @@ object Oracles {
       |FROM t, n GROUP BY token, n_docs ORDER BY token""".stripMargin
 
   /**
+   * Oracle for [[Catalog.taHeavy]]: with capacity > distinct tokens the
+   * Misra–Gries sketch never decrements, so its estimates ARE the exact
+   * token counts — the oracle is the plain word count over the shared
+   * tokenizer.
+   */
+  val taHeavy: String =
+    """WITH t AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')) AS token
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT token, count(*) AS est_count FROM t
+      |GROUP BY token ORDER BY token""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qSample]]: rank rows by the double-cast
+   * xxhash64(doc_id) ascending (the engine scores by its negation
+   * descending — identical order), ties by doc_id, keep the first 20.
+   * The hash recomputes via the staged pure-SQL XXH64 ([[SqlXxh64]]).
+   */
+  def qSample: String = {
+    val hashed = SqlXxh64.stagesSql(
+      SqlXxh64.hashLongStages("doc_id", 42L), "documents", Seq("doc_id"))
+    val s = SqlXxh64.signed("lb4")
+    s"""WITH h AS (
+       |  $hashed
+       |), r AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY CAST(($s) AS DOUBLE) ASC, doc_id ASC)
+       |      AS rank
+       |  FROM h)
+       |SELECT CAST(rank AS INT) AS rank, doc_id FROM r WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
+  /**
    * Oracle for [[Catalog.taKeywords]]: tf per (doc, token), idf from the
    * per-token doc count, and the same top-3 selection as a row_number
    * window ordered score DESC, token ASC — ties resolve identically to

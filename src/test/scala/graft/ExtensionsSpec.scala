@@ -59,6 +59,15 @@ class ExtensionsSpec extends SparkSuite {
       2 -> Seq((0.3, 9L), (0.1, 7L))))
   }
 
+  test("freq_items_sketch works as a SQL aggregate (exact regime)") {
+    val got = spark.sql(
+      """SELECT freq_items_sketch(t, 8) AS sk
+        |FROM VALUES ('a'), ('b'), ('a'), ('c'), ('a'), ('b') AS v(t)""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(got.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("top_k_by_score casts int score/id like the Column API (no runtime CCE)") {
     val got = spark.sql(
       """SELECT top_k_by_score(s, id, 2) AS tk

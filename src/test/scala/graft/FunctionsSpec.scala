@@ -392,6 +392,47 @@ class FunctionsSpec extends SparkSuite {
     assert(graft.queries.Oracles.ddSimhash.contains("WITH RECURSIVE"))
   }
 
+  test("FreqItemsSketch exact regime: capacity >= distinct == the plain word count, any partitioning") {
+    import graft.functions.FreqItemsSketch
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rows = Seq.fill(5000)(words(rnd.nextInt(words.length))).toDF("token")
+      .repartition(7) // partial buffers serialize across the exchange
+    val got = rows
+      .agg(FreqItemsSketch.sketch($"token", 16).as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.token", $"e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === truth)
+    // output array order: count DESC, token ASC
+    val ordered = rows.agg(FreqItemsSketch.sketch($"token", 16).as("sk"))
+      .select(explode($"sk").as("e")).select($"e.token", $"e.est_count")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ordered.toSeq === ordered.sortBy { case (t, c) => (-c, t) }.toSeq)
+  }
+
+  test("FreqItemsSketch bounded regime: Misra-Gries guarantees hold under merge") {
+    import graft.functions.FreqItemsSketch
+    // 600 a + 300 b + 200 distinct singletons; n = 1100, capacity 4
+    // -> every item with true count > n/(cap+1) = 220 MUST be present,
+    // and every estimate e satisfies true - 220 <= e <= true.
+    val items = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++
+      (1 to 200).map(i => s"one$i")
+    val rows = scala.util.Random.shuffle(items).toDF("token").repartition(5)
+    val got = rows.agg(FreqItemsSketch.sketch($"token", 4).as("sk"))
+      .select(explode($"sk").as("e")).select($"e.token", $"e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= 4)
+    assert(got.contains("a") && got.contains("b"), s"heavy hitters missing: $got")
+    val truth = Map("a" -> 600L, "b" -> 300L).withDefaultValue(1L)
+    got.foreach { case (t, e) =>
+      assert(e <= truth(t), s"$t overestimated: $e > ${truth(t)}")
+      assert(e >= truth(t) - 220, s"$t undershoots the MG bound: $got")
+    }
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))

@@ -481,6 +481,24 @@ class OpsSpec extends SparkSuite {
     assert(sub === full)
   }
 
+  test("uniformSample: exact k, matches the global-sort truth, partition-independent") {
+    import graft.ops.Sampling
+    val df = (0L until 500L).toDF("id")
+    val got = Sampling.uniformSample(df, "id", 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.size === 20)
+    // truth: the same hash-double ordering as a global sort
+    val truth = df
+      .withColumn("h", xxhash64($"id".cast("long")).cast("double"))
+      .orderBy($"h".asc, $"id".asc).limit(20)
+      .collect().map(_.getLong(0))
+    assert((1 to 20).map(got) === truth.toSeq)
+    // reproducible across partitionings (randomSplit is not)
+    val re = Sampling.uniformSample(df.repartition(13), "id", 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(re === got)
+  }
+
   test("mixtureSample: copy counts, drop, default weight, determinism, split decorrelation") {
     import graft.ops.Sampling
     val df = (0L until 3000L).map(i =>
