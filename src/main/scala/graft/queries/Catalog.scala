@@ -506,7 +506,12 @@ object Catalog {
    * encoder-specific and stay out of the checked projection). */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The id list comes off a single parquet file = ONE partition; the
+    // codec work is pure CPU, so spread the ids first or every encode
+    // runs on one core (measured 4-8x on the bench). Real asset tables
+    // arrive already partitioned — this is the fixture-synthesis path.
     val ids = docs(spark, dir).select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val assets = Multimodal.pngAssets(ids)
       .unionByName(Multimodal.wavAssets(ids.map(_ + 1000000L)))
       .unionByName(Multimodal.videoAssets(ids.map(_ + 2000000L)))
@@ -523,6 +528,7 @@ object Catalog {
   def mmFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = docs(spark, dir).select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see mmFeatures
     Multimodal.frameSample(Multimodal.videoAssets(ids), stride = 2)
       .orderBy("asset_id", "frame_idx")
   }

@@ -192,6 +192,30 @@ class RunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curation gates + PII scrub run unchanged on a stream (lineDedup off)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // without the line-dedup shuffle stage the pipeline is a pure
+    // filter+projection — legal on an unbounded stream as-is
+    val curated = graft.ops.Curation.curateCorpus(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      blocklist = Seq("spam.example.com"), lineDedup = false)
+    val q = curated.writeStream.format("memory").queryName("scg")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "good doc mailing bob@x.io about the project details"),
+        (2L, "!!!! !!!! !!!! !!!! !!!!"),
+        (3L, "visit https://spam.example.com/x for offers today"))
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, text from scg").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(
+        1L -> "good doc mailing <EMAIL> about the project details"))
+    } finally q.stop()
+  }
+
   test("streaming first-seen dedup keeps one row per key across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
