@@ -169,23 +169,63 @@ object TextAnalysis {
    * bounded sort of that document's distinct tokens (no Window exchange,
    * no corpus-wide rank shuffle).
    */
+  /** Evaluate `c` once and hand it to `f` as a lambda-bound variable —
+   * the array-of-one binding trick (see [[graft.ops.Dedup.shingles]]):
+   * a non-trivial expression referenced inside HOF lambdas is otherwise
+   * re-evaluated PER REFERENCE PER ELEMENT (the round-1 quadratic trap). */
+  private def bind1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
+  /** Per-document (token, tf) pairs as an array — run-length encoding of
+   * the SORTED token array, all codegen'd HOFs, no shuffle: run-end
+   * positions are the indices where the sorted array changes value, and
+   * each run's length is the gap to the previous run end. Both the sorted
+   * array and the run-end index array are lambda-bound (evaluated once).
+   * The `i === size` guard short-circuits the out-of-bounds peek at i+1
+   * (Catalyst `Or` evaluates its right side only when the left is not
+   * true, in both codegen and interpreted modes). */
+  def termFreqArray(toks: Column): Column =
+    bind1(array_sort(toks)) { srt =>
+      bind1(filter(sequence(lit(1), size(srt)), i =>
+        (i === size(srt)) || (element_at(srt, i) =!= element_at(srt, i + 1)))) { ends =>
+        transform(sequence(lit(1), size(ends)), j =>
+          struct(
+            element_at(srt, element_at(ends, j)).as("token"),
+            when(j === 1, element_at(ends, j))
+              .otherwise(element_at(ends, j) - element_at(ends, j - 1))
+              .cast("long").as("tf")))
+      }
+    }
+
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, nDocs: Option[Long] = None): DataFrame = {
     require(k >= 1, "keyword count must be >= 1")
+    val spark = df.sparkSession
     val base = df.filter(col(textCol).isNotNull)
     val n = nDocs.getOrElse(base.count())
-    val tf = base
-      .select(col(idCol), explode(tokensLower(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy("token")
-      .agg(count(lit(1)).as("doc_freq")) // one tf row per (doc, token)
-      .select(col("token"), log(lit(n.toDouble) / col("doc_freq")).as("idf"))
-    tf.join(broadcast(vocab), "token")
-      .select(col(idCol), col("token"), (col("tf") * col("idf")).as("score"))
-      .groupBy(col(idCol))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("score")).as("n"), col("token").as("token")))),
-        1, k).as("__top"))
+    // ONE corpus aggregation: per-token document frequency (the exploded
+    // side carries each doc's DISTINCT tokens, so count(*) == doc count);
+    // the resulting vocabulary is dimension-scale for natural-language
+    // token sets and ships as a broadcast map, exactly like a broadcast
+    // join would ship it — but resolvable inside array lambdas.
+    val vocab = base
+      .select(explode(array_distinct(tokensLower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .collect().map(r => r.getString(0) ->
+        math.log(n.toDouble / r.getLong(1))).toMap
+    val idfMap = graft.functions.BroadcastMapLookup.broadcastMap(spark, vocab)
+    // Everything else is doc-local in one shuffle-free projection:
+    // run-length tf, idf lookup per distinct token, score, sort, top-k.
+    // (The old formulation shuffled (doc, token) pairs twice — tf groupBy
+    // + final per-doc collect — and joined; this shuffles nothing.)
+    val scored = transform(termFreqArray(tokensLower(col(textCol))), s =>
+      struct(
+        (-(s.getField("tf") *
+          coalesce(graft.functions.BroadcastMapLookup.lookup(
+            s.getField("token"), idfMap), lit(0.0)))).as("n"),
+        s.getField("token").as("token")))
+    base
+      .select(col(idCol), slice(array_sort(scored), 1, k).as("__top"))
       .select(col(idCol), posexplode(col("__top")).as(Seq("__r", "__kw")))
       .select(col(idCol), (col("__r") + 1).cast("int").as("rank"),
         col("__kw.token").as("token"),

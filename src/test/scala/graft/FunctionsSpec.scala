@@ -392,6 +392,34 @@ class FunctionsSpec extends SparkSuite {
     assert(graft.queries.Oracles.ddSimhash.contains("WITH RECURSIVE"))
   }
 
+  test("BroadcastMapLookup: codegen path, inside-HOF interpreted path, absent key -> NULL") {
+    import graft.functions.BroadcastMapLookup
+    val m = BroadcastMapLookup.broadcastMap(spark, Map("a" -> 1.5, "b" -> -2.0))
+    val df = Seq(("a"), ("b"), ("zzz"), (null: String)).toDF("t")
+    // plain column reference: whole-stage-codegen path
+    val got = df.select(BroadcastMapLookup.lookup($"t", m).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(Some(1.5), Some(-2.0), None, None))
+    // inside a transform lambda: interpreted eval path
+    val arr = Seq(Seq("a", "b", "zzz")).toDF("xs")
+      .select(transform($"xs", x =>
+        coalesce(BroadcastMapLookup.lookup(x, m), lit(0.0))).as("vs"))
+      .collect().head.getSeq[Double](0)
+    assert(arr === Seq(1.5, -2.0, 0.0))
+  }
+
+  test("termFreqArray: run-length tf over the sorted tokens, single-token and empty-ish docs") {
+    import graft.ops.TextAnalysis
+    val df = Seq("b a c a b a", "solo", "x x x x").toDF("text")
+    val got = df.select(TextAnalysis.termFreqArray(
+      TextAnalysis.tokensLower($"text")).as("tf"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))))
+    assert(got(0) === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    assert(got(1) === Seq(("solo", 1L)))
+    assert(got(2) === Seq(("x", 4L)))
+  }
+
   test("FreqItemsSketch exact regime: capacity >= distinct == the plain word count, any partitioning") {
     import graft.functions.FreqItemsSketch
     val rnd = new scala.util.Random(7)

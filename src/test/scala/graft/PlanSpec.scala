@@ -211,6 +211,16 @@ class PlanSpec extends SparkSuite {
     assert(!v.contains("Window"), s"vocabulary must not use a window:\n$v")
     assert(v.contains("partial_count"),
       s"token counts must partial-aggregate map-side:\n$v")
+    // tfidfKeywords: after the one vocab aggregation the scoring + top-k
+    // is a single shuffle-free projection — the idf rides a broadcast map
+    // kernel, never a join, and per-doc top-k is array-local, never a
+    // window or a re-aggregation.
+    val kw = physical(graft.ops.TextAnalysis.tfidfKeywords(
+      docs, "doc_id", "text", k = 3, nDocs = Some(1)))
+    assert(!kw.contains("Join") && !kw.contains("Window"),
+      s"keyword scoring must not join or window:\n$kw")
+    assert(!kw.contains("Exchange"),
+      s"keyword scoring must be shuffle-free after the vocab pass:\n$kw")
   }
 
   test("partition filter prunes input partitions in the checkpoint slice") {
