@@ -69,9 +69,19 @@ object Sampling {
       weights: Map[String, Double], granularity: Int = 10000): DataFrame = {
     require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
       "mixture weights must be finite and non-negative")
-    val wCol = weights.foldRight(lit(1.0): Column) {
-      case ((s, w), els) => when(col(sourceCol) === s, lit(w)).otherwise(els)
-    }
+    // Small recipes inline as a when-chain (plan-readable, constant-folded);
+    // a large source taxonomy would embed thousands of literals in the plan
+    // (the `isin` pathology, see InBroadcastSet) — past 32 entries the map
+    // ships ONCE as a broadcast and the codegen'd lookup kernel probes it.
+    val wCol =
+      if (weights.size <= 32)
+        weights.foldRight(lit(1.0): Column) {
+          case ((s, w), els) => when(col(sourceCol) === s, lit(w)).otherwise(els)
+        }
+      else
+        coalesce(graft.functions.BroadcastMapLookup.lookup(col(sourceCol),
+          graft.functions.BroadcastMapLookup.broadcastMap(
+            df.sparkSession, weights)), lit(1.0))
     val base = floor(wCol).cast("int")
     val thresh = floor(wCol * granularity) - floor(wCol) * granularity
     val bucket = pmod(

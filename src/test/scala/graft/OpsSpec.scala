@@ -481,6 +481,20 @@ class OpsSpec extends SparkSuite {
     assert(sub === full)
   }
 
+  test("mixtureSample: >32-source weight maps take the broadcast-map path, same values") {
+    import graft.ops.Sampling
+    val df = (0L until 300L).map(i => (i, s"src${i % 40}")).toDF("id", "src")
+    // 40 sources: one real weight per source, rest of the map padding
+    val weights = (0 until 40).map(i => s"src$i" -> (if (i == 3) 2.0 else 1.0)).toMap
+    val big = Sampling.mixtureSample(df, "id", "src", weights)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // identical to the small-map when-chain on a trimmed-but-equivalent map
+    val small = Sampling.mixtureSample(df, "id", "src", Map("src3" -> 2.0))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(big === small)
+    assert(big("src3") === 16L) // 8 ids x 2 copies
+  }
+
   test("uniformSample: exact k, matches the global-sort truth, partition-independent") {
     import graft.ops.Sampling
     val df = (0L until 500L).toDF("id")
