@@ -331,6 +331,26 @@ class OpsSpec extends SparkSuite {
     assert(Curation.dedupLines(withNull, "doc_id", "text").count() === 4)
   }
 
+  test("dedupLines invariant: kept lines across the corpus = each distinct line exactly once") {
+    import graft.ops.Curation
+    val rnd = new scala.util.Random(11)
+    val lines = (1 to 30).map(i => s"line$i")
+    val docs = (1L to 40L).map { id =>
+      id -> (1 to (1 + rnd.nextInt(6))).map(_ => lines(rnd.nextInt(lines.length)))
+        .mkString("\n")
+    }.toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs, "doc_id", "text").collect()
+    val kept = out.flatMap(r => r.getString(3) match {
+      case "" => Nil
+      case t => t.split("\n").toSeq
+    })
+    val corpusDistinct = docs.collect()
+      .flatMap(_.getString(1).split("\n")).distinct.sorted
+    assert(kept.sorted.toSeq === corpusDistinct.toSeq) // once each, none lost
+    assert(out.map(r => r.getInt(1)).sum ===
+      docs.collect().map(_.getString(1).split("\n").length).sum)
+  }
+
   test("redactPii: counts on raw text, fixed email->ip->phone order, clean text untouched") {
     import graft.ops.Curation
     val df = Seq(
