@@ -226,6 +226,56 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: dedupLines == in-memory first-wins reference on random corpora") {
+    import graft.ops.Curation
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (1 to 12).map(i => s"l$i") ++ Seq("", " ", "l1") // dups + blanks
+      val docs = (1L to 60L).map { id =>
+        id -> (0 to rnd.nextInt(5)).map(_ => pool(rnd.nextInt(pool.length)))
+          .mkString("\n")
+      }
+      // reference: global first-wins by (doc order, line order)
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = docs.map { case (id, text) =>
+        val lines = text.split("\n", -1).toSeq
+        val kept = lines.filter(l => seen.add(l))
+        id -> ((id, lines.size, kept.size, kept.mkString("\n")))
+      }.toMap
+      val got = Curation.dedupLines(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got.size === expect.size, s"seed $seed row count")
+      expect.foreach { case (id, e) =>
+        assert(got(id) === e, s"seed $seed doc $id")
+      }
+    }
+  }
+
+  test("property: redactPii counts/redaction == java.util.regex reference on random text") {
+    import graft.ops.Curation
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val frag = Seq("plain words here", "a.b+c@ex-1.org", "bob@1.2.3.4.ab",
+      "10.0.0.1", "999.1.2.3", "+1-555-867-5309", "x@y.co1.2.3.4",
+      "no@tld", "trailing.dot@x.org.", "+123-45-678-9012", "1.2.3.4.5")
+    val docs = (1L to 80L).map { id =>
+      id -> (1 to (1 + rnd.nextInt(4))).map(_ => frag(rnd.nextInt(frag.length)))
+        .mkString(" ")
+    }
+    val eRe = Curation.EmailRe.r; val iRe = Curation.Ipv4Re.r; val pRe = Curation.PhoneRe.r
+    val expect = docs.map { case (id, t) =>
+      val red = pRe.replaceAllIn(
+        iRe.replaceAllIn(eRe.replaceAllIn(t, "<EMAIL>"), "<IP>"), "<PHONE>")
+      (id, (eRe.findAllIn(t).size, iRe.findAllIn(t).size, pRe.findAllIn(t).size, red))
+    }.toMap
+    val got = Curation.redactPii(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    expect.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+  }
+
   test("manifest CSV sink: error column appended, invalid-only filter") {
     val df = {
       val schema = org.apache.spark.sql.types.StructType(Seq("one", "two").map(n =>
