@@ -267,15 +267,20 @@ object Catalog {
    * row_number window over (doc_id, idx). */
   def ddLines(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val clones = d.filter(col("doc_id") % 50 === 0)
-      .withColumn("doc_id", col("doc_id") + 500000)
-    val doubled = d.filter(col("doc_id") % 75 === 0)
-      .withColumn("doc_id", col("doc_id") + 400000)
-      .withColumn("text", concat(col("text"), lit("\n"), col("text")))
-    Curation.dedupLines(
-      d.select("doc_id", "text").unionByName(clones.select("doc_id", "text"))
-        .unionByName(doubled.select("doc_id", "text")), "doc_id", "text")
-      .orderBy("doc_id")
+    // one-scan plant (see ddClusters): each row explodes into itself plus
+    // its conditional clones instead of a 3-branch union re-reading text
+    val self = struct(col("doc_id").as("doc_id"), col("text").as("text"))
+    val clone = struct((col("doc_id") + 500000).as("doc_id"), col("text").as("text"))
+    val doubled = struct((col("doc_id") + 400000).as("doc_id"),
+      concat(col("text"), lit("\n"), col("text")).as("text"))
+    val corpus = d.select(explode(concat(
+      array(self),
+      when(col("doc_id") % 50 === 0, array(clone)).otherwise(array().cast(
+        "array<struct<doc_id:bigint,text:string>>")),
+      when(col("doc_id") % 75 === 0, array(doubled)).otherwise(array().cast(
+        "array<struct<doc_id:bigint,text:string>>")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    Curation.dedupLines(corpus, "doc_id", "text").orderBy("doc_id")
   }
 
   /** PII redaction counts + scrubbed text over a corpus with planted
