@@ -223,6 +223,36 @@ class PlanSpec extends SparkSuite {
       s"keyword scoring must be shuffle-free after the vocab pass:\n$kw")
   }
 
+  test("bucketed layout: join and aggregation on the bucket key are exchange-free") {
+    val a = (0L until 200L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (0L until 200L).map(i => (i, s"b$i")).toDF("k", "vb")
+    graft.sources.BucketedTable.write(a, "bt_a", Seq("k"), 4)
+    graft.sources.BucketedTable.write(b, "bt_b", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: a broadcast join would trivially have no
+    // shuffle Exchange; the claim under test is bucket CO-LOCATION
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.sources.BucketedTable.colocatedJoin(
+        spark, "bt_a", "bt_b", Seq("k"))
+      assert(j.count() === 200)
+      val jp = physical(j)
+      assert(jp.contains("SortMergeJoin") && !jp.contains("Exchange"),
+        s"co-located join must not shuffle:\n$jp")
+      val ap = physical(spark.table("bt_a").groupBy("k").count())
+      assert(!ap.contains("Exchange"),
+        s"bucket-key aggregation must not shuffle:\n$ap")
+      // declared-layout mismatches fail fast instead of silently shuffling
+      intercept[IllegalArgumentException] {
+        graft.sources.BucketedTable.colocatedJoin(spark, "bt_a", "bt_b", Seq("va"))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)

@@ -235,6 +235,32 @@ class RunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming line-level dedup: firstSeen over exploded lines across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the streaming analogue of Curation.dedupLines: explode docs into
+    // (doc_id, idx, line), keep each line's first stream occurrence via
+    // the O(distinct-lines) flatMapGroupsWithState dedup — arrival order
+    // replaces (doc_id, idx) order as the first-wins tiebreak
+    val in = MemoryStream[(Long, String)]
+    val lines = in.toDS().flatMap { case (id, text) =>
+      text.split("\n", -1).zipWithIndex.map { case (l, i) => (id, i, l) }
+    }
+    val kept = graft.streaming.StreamingDedup.firstSeen[(Long, Int, String)](
+      lines, _._3)
+    val q = kept.toDF("doc_id", "idx", "line").writeStream.format("memory")
+      .queryName("sld").outputMode("append").start()
+    try {
+      in.addData((1L, "a\nb"), (2L, "b\nc")) // 'b' dups within the batch
+      q.processAllAvailable()
+      in.addData((3L, "c\nd")) // 'c' dups across batches
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, line from sld").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")))
+    } finally q.stop()
+  }
+
   test("CLI arg parsing mirrors validate_manifest flags") {
     val a = graft.run.Main.parseArgs(
       List("-c", "x.conf", "-o", "out.csv", "-i", "-v", "in.csv"),
