@@ -38,6 +38,7 @@ object SparkEntry {
     "ta_keywords" -> (Catalog.taKeywords _),
     "ta_heavy" -> (Catalog.taHeavy _),
     "q_sample" -> (Catalog.qSample _),
+    "q_topvals" -> (Catalog.qTopvals _),
     "q_mixture" -> (Catalog.qMixture _),
     "dd_cos_pairs" -> (Catalog.ddCosPairs _),
     "dd_cos_lsh" -> (Catalog.ddCosLsh _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "ta_keywords" -> Oracles.taKeywords,
     "ta_heavy" -> Oracles.taHeavy,
     "q_sample" -> Oracles.qSample,
+    "q_topvals" -> Oracles.qTopvals,
     "q_mixture" -> Oracles.qMixture,
     "dd_cos_pairs" -> Oracles.ddCosPairs,
     "ann_topk" -> Oracles.annTopK,

@@ -93,6 +93,32 @@ object ColumnStats {
       "min_str", "max_str", "histogram")
   }
 
+  /**
+   * Most-frequent values per column in ONE pass over the table: each
+   * requested column feeds a [[graft.functions.FreqItemsSketch]] aggregate
+   * (Misra–Gries, mergeable, capacity-bounded buffers), so profiling k
+   * columns costs one scan and k capacity-sized summaries — never a
+   * per-column groupBy over the data. With capacity above a column's
+   * distinct count the counts are exact (the q_topvals oracle's regime);
+   * above it they carry the standard MG bounds. Returns
+   * (column, value, est_count).
+   */
+  def frequentValues(df: DataFrame, columns: Seq[String],
+      capacity: Int): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    val aggs = columns.map(c =>
+      graft.functions.FreqItemsSketch.sketch(col(c), capacity).as(s"__fi_$c"))
+    // single explode over the tagged union of all sketches — referencing
+    // the agg once per column would re-run the whole aggregation k times
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(concat(columns.map(c =>
+        transform(col(s"__fi_$c"), e => struct(lit(c).as("column"),
+          e.getField("token").as("value"),
+          e.getField("est_count").as("est_count")))): _*)).as("r"))
+      .select(col("r.column").as("column"), col("r.value").as("value"),
+        col("r.est_count").as("est_count"))
+  }
+
   /** Histogram-only helper returning the bucket counts as a Scala array —
    * the input to [[Drift]] tests. One aggregation, no groupBy shuffle. */
   def histogram(df: DataFrame, column: String, spec: HistogramSpec): Array[Long] = {

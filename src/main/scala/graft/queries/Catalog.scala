@@ -80,6 +80,14 @@ object Catalog {
       .orderBy("column")
   }
 
+  /** Most-frequent values of the two categorical columns in one pass
+   * ([[graft.quality.ColumnStats.frequentValues]], the Misra–Gries
+   * sketch per column). Capacity 64 exceeds both cardinalities, so the
+   * counts are exact and the oracle is a per-column group-by. */
+  def qTopvals(spark: SparkSession, dir: String): DataFrame =
+    ColumnStats.frequentValues(docs(spark, dir), Seq("lang", "source"), 64)
+      .orderBy("column", "value")
+
   val nCharsHist: ColumnStats.HistogramSpec = ColumnStats.HistogramSpec(0, 600, 12)
 
   /** Fixed-bucket histogram of n_chars — computed in ONE conditional-count

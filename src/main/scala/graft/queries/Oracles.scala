@@ -111,6 +111,18 @@ object Oracles {
       |  round(ks, 6) AS ks, ks > 0.1 AS ks_drifted
       |FROM t, x, k""".stripMargin
 
+  /** Oracle for [[Catalog.qTopvals]]: with capacity above each column's
+   * cardinality the per-column Misra–Gries sketches are exact, so the
+   * oracle is the plain per-column value count (NULLs excluded — the
+   * sketch skips null inputs like every aggregate). */
+  val qTopvals: String =
+    """SELECT 'lang' AS "column", lang AS "value", count(*) AS est_count
+      |FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      |UNION ALL
+      |SELECT 'source', source, count(*) FROM documents
+      |WHERE source IS NOT NULL GROUP BY source
+      |ORDER BY "column", "value"""".stripMargin
+
   val qUnique: String =
     """SELECT lang, n_chars, count(*) AS dup_count FROM documents
       |GROUP BY lang, n_chars HAVING count(*) > 1

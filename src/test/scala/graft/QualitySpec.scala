@@ -26,6 +26,24 @@ class QualitySpec extends SparkSuite {
     assert(n.getSeq[Long](7) === Seq(0L, 1L, 1L, 2L))
   }
 
+  test("ColumnStats.frequentValues: k columns in one pass, exact in the big-capacity regime") {
+    import graft.quality.ColumnStats
+    val df = Seq(
+      ("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"), (null, "x")
+    ).toDF("c1", "c2").repartition(3)
+    val got = ColumnStats.frequentValues(df, Seq("c1", "c2"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("c1", "a") -> 3L, ("c1", "b") -> 1L, // null c1 skipped
+      ("c2", "x") -> 4L, ("c2", "y") -> 1L))
+    // one pass: a single scan feeds one aggregate — never a per-column
+    // groupBy or a re-run of the aggregation per exploded column
+    val plan = ColumnStats.frequentValues(df, Seq("c1", "c2"), 8)
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size === 1,
+      s"profile must scan the input once:\n$plan")
+  }
+
   test("ColumnStats: HLL distinct within rsd of exact") {
     val df = (1 to 10000).toDF("x")
     val hll = ColumnStats.compute(df, Seq(ColumnStats.Request("x", hllRsd = 0.02)))
