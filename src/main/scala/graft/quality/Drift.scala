@@ -40,6 +40,32 @@ object Drift {
     Result(x2, threshold, x2 > threshold)
   }
 
+  /**
+   * Population Stability Index over the bucketed distributions:
+   * PSI = Σ_i (p_i - q_i) · ln(p_i / q_i), with additive (+0.5 per
+   * bucket) smoothing so empty buckets contribute finitely instead of
+   * ±∞ — the standard monitoring metric alongside KS/chi² (rule of
+   * thumb: < 0.1 stable, > 0.2 shifted, the default threshold here).
+   * The smoothing constant is part of the contract: the q_drift DuckDB
+   * oracle restates `(count + 0.5) / (total + 0.5·buckets)` verbatim.
+   */
+  def psi(a: Array[Long], b: Array[Long], threshold: Double = 0.2): Result = {
+    require(a.length == b.length, "histograms must share a bucket spec")
+    val n1 = a.sum.toDouble
+    val n2 = b.sum.toDouble
+    if (n1 == 0 || n2 == 0) return Result(0.0, threshold, drifted = false)
+    val k = a.length
+    var s = 0.0
+    var i = 0
+    while (i < k) {
+      val p = (a(i) + 0.5) / (n1 + 0.5 * k)
+      val q = (b(i) + 0.5) / (n2 + 0.5 * k)
+      s += (p - q) * math.log(p / q)
+      i += 1
+    }
+    Result(s, threshold, s > threshold)
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic over bucketed CDFs:
    * D = max_i |CDF1(i) - CDF2(i)|. */
   def ks(a: Array[Long], b: Array[Long], threshold: Double): Result = {

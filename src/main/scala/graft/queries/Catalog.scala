@@ -116,11 +116,14 @@ object Catalog {
     val hb = (0 until nCharsHist.buckets).map(i => row.getAs[Long](s"b$i")).toArray
     val chi = Drift.chiSquare(ha, hb, threshold = 21.03) // chi2(11 df, p=0.05)
     val ks = Drift.ks(ha, hb, threshold = 0.1)
+    val psi = Drift.psi(ha, hb)
     import spark.implicits._
     Seq((ha.sum, hb.sum,
       math.rint(chi.statistic * 1e6) / 1e6, chi.drifted,
-      math.rint(ks.statistic * 1e6) / 1e6, ks.drifted))
-      .toDF("n_a", "n_b", "chi2", "chi2_drifted", "ks", "ks_drifted")
+      math.rint(ks.statistic * 1e6) / 1e6, ks.drifted,
+      math.rint(psi.statistic * 1e6) / 1e6, psi.drifted))
+      .toDF("n_a", "n_b", "chi2", "chi2_drifted", "ks", "ks_drifted",
+        "psi", "psi_drifted")
   }
 
   /** Salted-two-phase duplicate detection on a composite key. */

@@ -105,11 +105,18 @@ object Oracles {
       |      FROM c, t),
       |cum AS (SELECT bucket, sum(a) OVER (ORDER BY bucket) AS ca,
       |               sum(b) OVER (ORDER BY bucket) AS cb FROM c),
-      |k AS (SELECT max(abs(ca * 1.0 / na - cb * 1.0 / nb)) AS ks FROM cum, t)
+      |k AS (SELECT max(abs(ca * 1.0 / na - cb * 1.0 / nb)) AS ks FROM cum, t),
+      |p AS (SELECT sum(
+      |        ((a2 + 0.5) / (na + 6.0) - (b2 + 0.5) / (nb + 6.0)) *
+      |        ln(((a2 + 0.5) / (na + 6.0)) / ((b2 + 0.5) / (nb + 6.0)))) AS psi
+      |      FROM (SELECT bb.bucket, COALESCE(c.a, 0) AS a2, COALESCE(c.b, 0) AS b2
+      |            FROM (SELECT unnest(range(12)) AS bucket) bb
+      |            LEFT JOIN c ON bb.bucket = c.bucket) f, t)
       |SELECT na AS n_a, nb AS n_b,
       |  round(chi2, 6) AS chi2, chi2 > 21.03 AS chi2_drifted,
-      |  round(ks, 6) AS ks, ks > 0.1 AS ks_drifted
-      |FROM t, x, k""".stripMargin
+      |  round(ks, 6) AS ks, ks > 0.1 AS ks_drifted,
+      |  round(psi, 6) AS psi, psi > 0.2 AS psi_drifted
+      |FROM t, x, k, p""".stripMargin
 
   /** Oracle for [[Catalog.qTopvals]]: with capacity above each column's
    * cardinality the per-column Misra–Gries sketches are exact, so the

@@ -57,6 +57,19 @@ class QualitySpec extends SparkSuite {
     assert(Drift.ks(h, h, 0.01).statistic === 0.0)
   }
 
+  test("Drift.psi: zero on identical, symmetric-ish magnitude on shift, smoothing handles empties") {
+    import graft.quality.Drift
+    val a = Array(100L, 200L, 300L, 0L)
+    assert(Drift.psi(a, a).statistic === 0.0)
+    val shifted = Array(300L, 200L, 100L, 0L)
+    val r = Drift.psi(a, shifted)
+    assert(r.statistic > 0.2 && r.drifted, s"shift must flag: $r")
+    // an empty bucket on one side only is finite thanks to smoothing
+    val empt = Drift.psi(Array(100L, 0L), Array(50L, 50L))
+    assert(!empt.statistic.isInfinite && !empt.statistic.isNaN)
+    assert(Drift.psi(Array(0L, 0L), Array(1L, 1L)).statistic === 0.0) // n1=0 guard
+  }
+
   test("Drift: shifted histograms flagged") {
     val a = Array(100L, 100L, 0L, 0L)
     val b = Array(0L, 0L, 100L, 100L)
