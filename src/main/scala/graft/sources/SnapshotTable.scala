@@ -231,6 +231,32 @@ object SnapshotTable {
     }.reduce(_.unionByName(_))
   }
 
+  /**
+   * Incremental scan: read exactly the files ADDED between two snapshot
+   * versions — the Iceberg incremental-read pattern that lets a
+   * validation/curation pass process only a snapshot delta instead of
+   * re-scanning the table. Data files are immutable, so the file-path
+   * set difference IS the change set; under a dynamic-partition
+   * overwrite the rewritten partitions' new files appear here (their
+   * replaced predecessors are simply no longer referenced — row-level
+   * deletes are out of scope, as in Iceberg's append-only incremental
+   * scan). `from == to` (or nothing added) returns an empty frame with
+   * the table schema.
+   */
+  def changesBetween(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val before = snapshot(spark, root, Some(fromVersion)).files.map(_.path).toSet
+    val to = snapshot(spark, root, Some(toVersion))
+    val added = to.files.filterNot(fe => before.contains(fe.path))
+    if (added.isEmpty) {
+      val any = to.files.headOption.getOrElse(
+        throw new IllegalStateException("empty snapshot"))
+      sliceRead(spark, Seq(any)).filter(org.apache.spark.sql.functions.lit(false))
+    } else sliceRead(spark, added)
+  }
+
   /** The distinct partition values of a snapshot — CheckpointRunner's
    * partition discovery from pure metadata (no listing, no scan). */
   def partitions(spark: SparkSession, root: String,
