@@ -135,6 +135,13 @@ object Sampling {
    */
   def uniformSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k > 0, "sample size must be positive")
+    // ids ride the TopKByScore heap as longs — a non-numeric id would
+    // cast to NULL and be dropped, silently returning an EMPTY "sample";
+    // fail fast instead (string ids: attach a surrogate long first, the
+    // same contract as knnJoin's probe ids)
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"uniformSample needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString}")
     val score = xxhash64(col(idCol).cast("long")).cast("double") * -1
     df.agg(graft.functions.TopKByScore.topK(score, col(idCol), k).as("kept"))
       .select(posexplode(col("kept")).as(Seq("__r", "__e")))

@@ -184,8 +184,8 @@ object TextAnalysis {
    * The `i === size` guard short-circuits the out-of-bounds peek at i+1
    * (Catalyst `Or` evaluates its right side only when the left is not
    * true, in both codegen and interpreted modes). */
-  def termFreqArray(toks: Column): Column =
-    bind1(array_sort(toks)) { srt =>
+  def termFreqArray(toks: Column): Column = {
+    val runs = bind1(array_sort(toks)) { srt =>
       bind1(filter(sequence(lit(1), size(srt)), i =>
         (i === size(srt)) || (element_at(srt, i) =!= element_at(srt, i + 1)))) { ends =>
         transform(sequence(lit(1), size(ends)), j =>
@@ -196,24 +196,46 @@ object TextAnalysis {
               .cast("long").as("tf")))
       }
     }
+    // empty/NULL arrays short-circuit BEFORE the run-end machinery:
+    // sequence(1, 0) is the DESCENDING [1, 0], whose 0 would survive the
+    // run-end filter and feed element_at(srt, 0) — an unconditional error
+    when(toks.isNull || size(toks) === 0,
+      array().cast("array<struct<token:string,tf:bigint>>"))
+      .otherwise(runs)
+  }
 
-  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, nDocs: Option[Long] = None): DataFrame = {
-    require(k >= 1, "keyword count must be >= 1")
-    val spark = df.sparkSession
+  /**
+   * The token→idf map of a corpus — ONE aggregation (each doc's DISTINCT
+   * tokens exploded, so count(*) == document frequency) collected to the
+   * driver. NOTE this runs a Spark job NOW and holds the vocabulary in
+   * driver memory — the same bound a broadcast join has, made explicit.
+   * Build once, reuse across [[tfidfKeywords]] calls/batches. For OPEN
+   * token spaces beyond driver memory (identifiers, URLs) use an
+   * explode + shuffle-join formulation instead of this map path.
+   */
+  def idfMap(df: DataFrame, idCol: String, textCol: String,
+      nDocs: Option[Long] = None): Map[String, Double] = {
     val base = df.filter(col(textCol).isNotNull)
     val n = nDocs.getOrElse(base.count())
-    // ONE corpus aggregation: per-token document frequency (the exploded
-    // side carries each doc's DISTINCT tokens, so count(*) == doc count);
-    // the resulting vocabulary is dimension-scale for natural-language
-    // token sets and ships as a broadcast map, exactly like a broadcast
-    // join would ship it — but resolvable inside array lambdas.
-    val vocab = base
+    base
       .select(explode(array_distinct(tokensLower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .collect().map(r => r.getString(0) ->
         math.log(n.toDouble / r.getLong(1))).toMap
-    val idfMap = graft.functions.BroadcastMapLookup.broadcastMap(spark, vocab)
+  }
+
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nDocs: Option[Long] = None,
+      idf: Option[Map[String, Double]] = None): DataFrame = {
+    require(k >= 1, "keyword count must be >= 1")
+    val spark = df.sparkSession
+    val base = df.filter(col(textCol).isNotNull)
+    // Default builds the vocabulary HERE — an eager corpus aggregation at
+    // call time (see [[idfMap]] for the contract and the open-vocabulary
+    // caveat); pass a precomputed `idf` to keep construction job-free and
+    // reuse one vocabulary across calls.
+    val vocab = idf.getOrElse(idfMap(df, idCol, textCol, nDocs))
+    val idfBcast = graft.functions.BroadcastMapLookup.broadcastMap(spark, vocab)
     // Everything else is doc-local in one shuffle-free projection:
     // run-length tf, idf lookup per distinct token, score, sort, top-k.
     // (The old formulation shuffled (doc, token) pairs twice — tf groupBy
@@ -222,7 +244,7 @@ object TextAnalysis {
       struct(
         (-(s.getField("tf") *
           coalesce(graft.functions.BroadcastMapLookup.lookup(
-            s.getField("token"), idfMap), lit(0.0)))).as("n"),
+            s.getField("token"), idfBcast), lit(0.0)))).as("n"),
         s.getField("token").as("token")))
     base
       .select(col(idCol), slice(array_sort(scored), 1, k).as("__top"))

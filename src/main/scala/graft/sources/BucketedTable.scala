@@ -56,9 +56,18 @@ object BucketedTable {
       s"both tables must be bucketed: $left=$lb $right=$rb")
     require(lb.get.numBuckets == rb.get.numBuckets,
       s"bucket counts differ: ${lb.get.numBuckets} vs ${rb.get.numBuckets}")
-    require(on.forall(lb.get.bucketColumnNames.contains) &&
-      on.forall(rb.get.bucketColumnNames.contains),
-      s"join keys $on must be bucket columns on both sides")
+    // Co-location holds when the BUCKET columns are a subset of the JOIN
+    // keys: HashPartitioning(bucketCols) satisfies a clustered
+    // distribution over any superset key set (rows equal on the join keys
+    // are equal on the bucket keys, hence in the same bucket). Joining on
+    // a PROPER SUBSET of the bucket columns is the broken direction —
+    // rows sharing that key can land in different buckets, and Spark
+    // would silently re-shuffle both sides.
+    require(lb.get.bucketColumnNames.forall(on.contains) &&
+      rb.get.bucketColumnNames.forall(on.contains),
+      s"join keys $on must contain every bucket column " +
+        s"(${lb.get.bucketColumnNames} / ${rb.get.bucketColumnNames}) — " +
+        "joining on fewer columns than the bucket key is not co-located")
     spark.table(left).join(spark.table(right), on)
   }
 }

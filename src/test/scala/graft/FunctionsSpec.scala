@@ -418,6 +418,16 @@ class FunctionsSpec extends SparkSuite {
     assert(got(0) === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
     assert(got(1) === Seq(("solo", 1L)))
     assert(got(2) === Seq(("x", 4L)))
+    // genuinely EMPTY arrays (every token filtered away) and NULL inputs
+    // must yield [], not an out-of-bounds error from sequence(1, 0)
+    val edge = Seq("x x").toDF("text")
+      .select(
+        TextAnalysis.termFreqArray(
+          filter(TextAnalysis.tokensLower($"text"), t => t =!= "x")).as("e"),
+        TextAnalysis.termFreqArray(lit(null).cast("array<string>")).as("n"))
+      .collect().head
+    assert(edge.getSeq[org.apache.spark.sql.Row](0).isEmpty)
+    assert(edge.getSeq[org.apache.spark.sql.Row](1).isEmpty)
   }
 
   test("FreqItemsSketch exact regime: capacity >= distinct == the plain word count, any partitioning") {

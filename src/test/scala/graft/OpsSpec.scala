@@ -423,6 +423,14 @@ class OpsSpec extends SparkSuite {
     assert(got((3L, 1)) === (("d", 1.216395))) // 3·ln1.5 beats ln3
     assert(got((3L, 2)) === (("e", 1.098612)))
     assert(got.size === 8) // doc 3 has only 2 distinct tokens
+    // a precomputed idf map (built once, reused across calls/batches)
+    // yields the identical result with no vocab job at call time
+    val pre = TextAnalysis.idfMap(df, "doc_id", "text")
+    val reused = TextAnalysis.tfidfKeywords(df, "doc_id", "text", k = 3,
+      idf = Some(pre))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    assert(reused === got)
   }
 
   test("curateCorpus: quality/repetition/blocklist/contam gates, PII scrub, line dedup compose") {
@@ -531,6 +539,11 @@ class OpsSpec extends SparkSuite {
     val re = Sampling.uniformSample(df.repartition(13), "id", 20)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(re === got)
+    // non-numeric ids would cast to NULL and silently sample nothing:
+    // fail fast instead
+    intercept[IllegalArgumentException] {
+      Sampling.uniformSample(df.select($"id".cast("string").as("id")), "id", 5)
+    }
   }
 
   test("mixtureSample: copy counts, drop, default weight, determinism, split decorrelation") {

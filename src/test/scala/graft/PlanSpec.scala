@@ -246,10 +246,18 @@ class PlanSpec extends SparkSuite {
       intercept[IllegalArgumentException] {
         graft.sources.BucketedTable.colocatedJoin(spark, "bt_a", "bt_b", Seq("va"))
       }
+      // joining on a PROPER SUBSET of the bucket key is NOT co-located
+      // (rows equal on k alone can sit in different (k, va) buckets) and
+      // must be rejected, not silently shuffled
+      graft.sources.BucketedTable.write(a, "bt_c", Seq("k", "va"), 4)
+      intercept[IllegalArgumentException] {
+        graft.sources.BucketedTable.colocatedJoin(spark, "bt_c", "bt_c", Seq("k"))
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS bt_a")
       spark.sql("DROP TABLE IF EXISTS bt_b")
+      spark.sql("DROP TABLE IF EXISTS bt_c")
     }
   }
 
