@@ -37,6 +37,7 @@ object SparkEntry {
     "ta_vocab" -> (Catalog.taVocab _),
     "ta_keywords" -> (Catalog.taKeywords _),
     "ta_heavy" -> (Catalog.taHeavy _),
+    "ta_winnow" -> (Catalog.taWinnow _),
     "q_sample" -> (Catalog.qSample _),
     "q_topvals" -> (Catalog.qTopvals _),
     "q_mixture" -> (Catalog.qMixture _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "ta_vocab" -> Oracles.taVocab,
     "ta_keywords" -> Oracles.taKeywords,
     "ta_heavy" -> Oracles.taHeavy,
+    "ta_winnow" -> Oracles.taWinnow,
     "q_sample" -> Oracles.qSample,
     "q_topvals" -> Oracles.qTopvals,
     "q_mixture" -> Oracles.qMixture,

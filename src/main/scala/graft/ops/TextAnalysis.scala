@@ -131,6 +131,41 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+   * SIGMOD'03 — the MOSS local-fingerprinting scheme, built for source
+   * code): hash every word k-gram with the engine's ANSI-safe polynomial
+   * (base 31 mod 2^31-1, the [[rollingHash]] arithmetic — restatable in
+   * the DuckDB oracle, unlike wrapping 64-bit hashes), slide a window of
+   * `w` hashes and keep each window's minimum; the sorted distinct mins
+   * are the document's fingerprint set. Winnowing guarantees any shared
+   * substring of >= k+w-1 tokens yields at least one shared fingerprint,
+   * while storing ~2/(w+1) of the hashes — the detector MOSS uses for
+   * code plagiarism, here the scale path for code-clone candidate
+   * generation (fingerprints join corpus-wide like [[Dedup]] shingle
+   * buckets, but with winnowing's density guarantee).
+   *
+   * Contract edges (mirrored by the oracle): fewer than k tokens → empty
+   * set; between 1 and w-1 k-grams → the single global min, so every
+   * non-trivial doc keeps at least one fingerprint. One shuffle-free
+   * projection; O(grams × w) per document with both arrays lambda-bound.
+   */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1, "k-gram width must be >= 1")
+    require(w >= 1, "winnow window must be >= 1")
+    val P = 2147483647L
+    def polyHash(g: Column): Column =
+      aggregate(filter(split(g, ""), c => c =!= ""), lit(0L),
+        (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P)))
+    bind1(transform(Curation.wordNgrams(text, k), g => polyHash(g))) { h =>
+      sort_array(array_distinct(
+        when(size(h) === 0, array().cast("array<bigint>"))
+          .when(size(h) < w, array(array_min(h)))
+          .otherwise(transform(sequence(lit(1), size(h) - (w - 1)),
+            i => array_min(slice(h, i, lit(w)))))))
+    }
+  }
+
+  /**
    * Corpus-level vocabulary with document frequencies — the token-stats
    * step of a tokenizer/training-mix build: one row per distinct
    * (lowercased whitespace) token with its total count `tf`, document

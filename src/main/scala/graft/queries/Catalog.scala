@@ -355,6 +355,17 @@ object Catalog {
   def qSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.uniformSample(docs(spark, dir), "doc_id", 20).orderBy("rank")
 
+  /** Winnowing (MOSS) fingerprint rows per document
+   * ([[graft.ops.TextAnalysis.winnowFingerprints]], k=3 word-grams,
+   * window 4). Oracle: [[Oracles.taWinnow]] restates the polynomial
+   * k-gram hash (list_reduce fold) and the sliding-window minima. */
+  def taWinnow(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4))
+          .as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
   /** Per-document top-3 TF-IDF keywords
    * ([[graft.ops.TextAnalysis.tfidfKeywords]]). Oracle:
    * [[Oracles.taKeywords]] — the equivalent row_number window with the

@@ -472,6 +472,43 @@ object Oracles {
   }
 
   /**
+   * Oracle for [[Catalog.taWinnow]]: the polynomial k-gram hash is a
+   * left fold (base 31 mod 2^31-1 — every intermediate < 2^36, exact in
+   * BIGINT on both engines), windows of 4 take their min, and the sorted
+   * distinct minima unnest to fingerprint rows. The <w-grams single-min
+   * edge and the <k-tokens empty edge restate the Spark contract.
+   */
+  val taWinnow: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(len(toks) - 2),
+      |        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))
+      |      ELSE [] END AS grams
+      |  FROM t),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(grams, s ->
+      |      list_reduce(
+      |        [0::BIGINT] ||
+      |          list_transform(range(length(s)), j -> ascii(s[j+1:j+1])::BIGINT),
+      |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+      |  FROM g),
+      |m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN []
+      |         WHEN len(hs) < 4 THEN [list_min(hs)]
+      |         ELSE list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4]))
+      |    END AS mins
+      |  FROM h)
+      |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fingerprint
+      |FROM m ORDER BY doc_id, fingerprint""".stripMargin
+
+  /**
    * Oracle for [[Catalog.taKeywords]]: tf per (doc, token), idf from the
    * per-token doc count, and the same top-3 selection as a row_number
    * window ordered score DESC, token ASC — ties resolve identically to

@@ -392,6 +392,34 @@ class FunctionsSpec extends SparkSuite {
     assert(graft.queries.Oracles.ddSimhash.contains("WITH RECURSIVE"))
   }
 
+  test("winnowFingerprints: hand values, shared-substring guarantee, short-doc edges") {
+    import graft.ops.TextAnalysis
+    // k=1, w=2 hand case: hashes of (a b a) are [97, 98, 97]; window mins
+    // [97, 97] -> distinct sorted [97]
+    val got = Seq("a b a").toDF("text")
+      .select(TextAnalysis.winnowFingerprints($"text", 1, 2).as("f"))
+      .collect().head.getSeq[Long](0)
+    assert(got === Seq(97L))
+    // the winnowing guarantee: docs sharing a run of >= k+w-1 = 6 tokens
+    // share at least one fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val fps = Seq(
+      (1L, s"prefix words here $shared and more tail"),
+      (2L, s"$shared completely different continuation text"),
+      (3L, "nothing in common with those two at all"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.winnowFingerprints($"text", 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "shared run must collide")
+    assert((fps(1L) intersect fps(3L)).isEmpty, "disjoint docs must not")
+    // contract edges: < k tokens -> empty; 1..w-1 grams -> one global min
+    val edges = Seq(("xy zz", 1), ("t u v w x", 2)).toDF("text", "tag")
+      .select($"tag", TextAnalysis.winnowFingerprints($"text", 3, 4).as("f"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(edges(1).isEmpty)      // 2 tokens < k
+    assert(edges(2).length === 1) // 3 grams < w -> single min
+  }
+
   test("BroadcastMapLookup: codegen path, inside-HOF interpreted path, absent key -> NULL") {
     import graft.functions.BroadcastMapLookup
     val m = BroadcastMapLookup.broadcastMap(spark, Map("a" -> 1.5, "b" -> -2.0))
