@@ -82,6 +82,12 @@ object GraftFunctions {
       TopKByScore(Cast(args(0), DoubleType), Cast(args(1), LongType),
         intArg(args(2), "k"))
     },
+    fn("winnow_fingerprints", "_FUNC_(tokens, k, w) - winnowing (MOSS) " +
+      "fingerprints of a token array: sorted distinct sliding-window minima " +
+      "of polynomial word-k-gram hashes") { args =>
+      require(args.size == 3, "winnow_fingerprints(tokens, k, w)")
+      WinnowFingerprints(args(0), intArg(args(1), "k"), intArg(args(2), "w"))
+    },
     fn("freq_items_sketch", "_FUNC_(token, capacity) - aggregate: bounded " +
       "Misra-Gries frequent-items summary as arr<struct<token,est_count>> " +
       "(count DESC, token ASC); exact when distinct <= capacity") { args =>

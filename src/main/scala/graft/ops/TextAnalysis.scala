@@ -152,17 +152,13 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
     require(k >= 1, "k-gram width must be >= 1")
     require(w >= 1, "winnow window must be >= 1")
-    val P = 2147483647L
-    def polyHash(g: Column): Column =
-      aggregate(filter(split(g, ""), c => c =!= ""), lit(0L),
-        (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P)))
-    bind1(transform(Curation.wordNgrams(text, k), g => polyHash(g))) { h =>
-      sort_array(array_distinct(
-        when(size(h) === 0, array().cast("array<bigint>"))
-          .when(size(h) < w, array(array_min(h)))
-          .otherwise(transform(sequence(lit(1), size(h) - (w - 1)),
-            i => array_min(slice(h, i, lit(w)))))))
-    }
+    // NULL/blank docs have no grams (mirrors Curation.wordNgrams' guard);
+    // everything else runs in the codegen'd kernel — the HOF formulation
+    // (transform+aggregate+slice/array_min) it replaced survives in the
+    // FunctionsSpec parity test and measured ~2x slower interpreted.
+    when(text.isNull || trim(text) === "", array().cast("array<bigint>"))
+      .otherwise(graft.functions.WinnowFingerprints.column(
+        tokensLower(text), k, w))
   }
 
   /**

@@ -420,6 +420,43 @@ class FunctionsSpec extends SparkSuite {
     assert(edges(2).length === 1) // 3 grams < w -> single min
   }
 
+  test("WinnowFingerprints kernel == the HOF formulation on randomized docs") {
+    import graft.ops.{Curation, TextAnalysis}
+    // the replaced higher-order-function formulation, verbatim
+    def hofWinnow(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+      val P = 2147483647L
+      def bind1(c: org.apache.spark.sql.Column)(
+          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        element_at(transform(array(c), x => f(x)), 1)
+      def polyHash(g: org.apache.spark.sql.Column) =
+        aggregate(filter(split(g, ""), c => c =!= ""), lit(0L),
+          (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(P)))
+      bind1(transform(Curation.wordNgrams(text, k), g => polyHash(g))) { h =>
+        sort_array(array_distinct(
+          when(size(h) === 0, array().cast("array<bigint>"))
+            .when(size(h) < w, array(array_min(h)))
+            .otherwise(transform(sequence(lit(1), size(h) - (w - 1)),
+              i => array_min(slice(h, i, lit(w)))))))
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    val words = Array("merge", "sort", "a", "Zb", "x9", "ключ", "long-token")
+    val docs = (1 to 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(14)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    } :+ ((999L, null.asInstanceOf[String]))
+    val df = docs.toDF("id", "text")
+    for ((k, w) <- Seq((3, 4), (1, 2), (2, 5))) {
+      val rows = df.select($"id",
+        TextAnalysis.winnowFingerprints($"text", k, w).as("kernel"),
+        hofWinnow($"text", k, w).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"k=$k w=$w id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("BroadcastMapLookup: codegen path, inside-HOF interpreted path, absent key -> NULL") {
     import graft.functions.BroadcastMapLookup
     val m = BroadcastMapLookup.broadcastMap(spark, Map("a" -> 1.5, "b" -> -2.0))
