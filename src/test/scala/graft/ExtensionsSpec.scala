@@ -59,6 +59,13 @@ class ExtensionsSpec extends SparkSuite {
       2 -> Seq((0.3, 9L), (0.1, 7L))))
   }
 
+  test("winnow_fingerprints from SQL matches the Column API") {
+    val got = spark.sql(
+      """SELECT winnow_fingerprints(split('a b a', ' '), 1, 2) AS f""")
+      .collect().head.getSeq[Long](0)
+    assert(got === Seq(97L)) // hashes [97,98,97] -> window mins [97,97]
+  }
+
   test("freq_items_sketch works as a SQL aggregate (exact regime)") {
     val got = spark.sql(
       """SELECT freq_items_sketch(t, 8) AS sk
