@@ -20,6 +20,10 @@ object SparkEntry {
     "q_dedup_keys" -> (Catalog.qDedupKeys _),
     "q_ri_user" -> (Catalog.qRiUser _),
     "q_ri_lang" -> (Catalog.qRiLang _),
+    "q_ri_bloom" -> (Catalog.qRiBloom _),
+    "q_asof" -> (Catalog.qAsof _),
+    "ev_sessions" -> (Catalog.evSessions _),
+    "q_pack" -> (Catalog.qPack _),
     "ta_features" -> (Catalog.taFeatures _),
     "ta_extras" -> (Catalog.taExtras _),
     "dd_exact" -> (Catalog.ddExact _),
@@ -72,6 +76,10 @@ object SparkEntry {
     "q_dedup_keys" -> Oracles.qDedupKeys,
     "q_ri_user" -> Oracles.qRiUser,
     "q_ri_lang" -> Oracles.qRiLang,
+    "q_ri_bloom" -> Oracles.qRiBloom,
+    "q_asof" -> Oracles.qAsof,
+    "ev_sessions" -> Oracles.evSessions,
+    "q_pack" -> Oracles.qPack,
     "ta_features" -> Oracles.taFeatures,
     "ta_extras" -> Oracles.taExtras,
     "dd_exact" -> Oracles.ddExact,

@@ -116,6 +116,50 @@ object Sampling {
   }
 
   /**
+   * Concatenate-and-chunk sequence packing — the "pack documents into
+   * fixed-size training sequences" step of a pretraining pipeline:
+   * within each group, documents concatenate in id order and split into
+   * chunks of exactly `budget` tokens; a document may straddle a chunk
+   * boundary (the standard causal-LM packing, where an EOS token — not a
+   * chunk boundary — separates documents). Emits, per document:
+   * `chunk_first`/`chunk_last` (the chunk range its tokens land in) and
+   * `chunk_offset` (its first token's position within `chunk_first`) —
+   * everything a writer needs to emit the packed sequences.
+   *
+   * Pure integer arithmetic over a per-group running token total:
+   * deterministic, and restated verbatim by the DuckDB oracle. Zero-token
+   * documents get `chunk_last = chunk_first` (they occupy no slot but
+   * keep a well-formed range).
+   *
+   * Scale shape: one window (hash-shuffle on `groupCols`, in-partition
+   * sort by id) — the cumulative sum is the only sequential dependency,
+   * and it is per-GROUP, so parallelism = #groups. Packing a single
+   * giant group at 100 TB shards it first (group = (source, hash-bucket))
+   * — packing quality is unaffected because chunk layout only needs a
+   * consistent order WITHIN each emitted shard, and determinism is
+   * preserved because the shard key is content-derived, exactly the
+   * [[splitLabel]] argument.
+   */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      groupCols: Seq[String], budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(groupCols.nonEmpty,
+      "packing needs grouping columns (shard a global pack by hash bucket)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val n = coalesce(col(tokensCol).cast("long"), lit(0L))
+    df.select(groupCols.map(col) :+ col(idCol) :+ n.as("n_tokens"): _*)
+      .withColumn("__ca", sum(col("n_tokens")).over(w))
+      .select(groupCols.map(col) :+ col(idCol) :+ col("n_tokens") :+
+        floor((col("__ca") - col("n_tokens")) / budget).cast("long").as("chunk_first") :+
+        greatest(floor((col("__ca") - col("n_tokens")) / budget),
+          floor((col("__ca") - 1) / budget)).cast("long").as("chunk_last") :+
+        ((col("__ca") - col("n_tokens")) % budget).cast("long").as("chunk_offset"): _*)
+  }
+
+  /**
    * Deterministic uniform sample of exactly `k` rows: the k SMALLEST
    * `xxhash64(id)` values win (bottom-k-by-hash — the classic mergeable
    * uniform-sample construction: a hash-uniform order statistic selects a

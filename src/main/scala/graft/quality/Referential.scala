@@ -38,4 +38,62 @@ object Referential {
    * pure predicate inside the single validation pass — no join at all. */
   def setViolations(fact: DataFrame, factKey: String, allowed: Set[String]): DataFrame =
     fact.filter(col(factKey).isNotNull && !col(factKey).isin(allowed.toSeq: _*))
+
+  /**
+   * Bloom-probed referential integrity for dimensions TOO BIG to broadcast
+   * exactly: an exact broadcast set over 10^8 64-bit keys costs gigabytes
+   * per executor (hash-set overhead included); a Bloom filter at 1% fpp
+   * costs ~1.2 bits/key (~120 MB) and still answers "definitely absent"
+   * EXACTLY — a Bloom filter has no false negatives, so every row that
+   * fails the probe is a true violation, detected in the scan projection
+   * with no join at all ([[graft.functions.BloomMightContain]]).
+   *
+   * Two modes, two honest cost statements:
+   *
+   *  - `confirm = false`: return only the bloom-definite violations.
+   *    Exact precision (nothing flagged is innocent), approximate recall
+   *    (~fpp of true violations slip through as false "maybe"s) — and the
+   *    whole check is ONE shuffle-free codegen'd filter over the fact
+   *    scan. This is the 100 TB MONITORING shape: alert on definite
+   *    violations continuously, run the exact audit on demand. The output
+   *    is still deterministic — the filter is a pure function of the
+   *    dimension key SET (fixed-seed hashes, bitwise-OR merge), never of
+   *    partitioning or insertion order.
+   *
+   *  - `confirm = true` (default): exact answer, row-equal to
+   *    [[violations]]. Bloom-passing rows (every true match plus ~fpp of
+   *    the violations) still confirm through a shuffled anti-join on the
+   *    key — an anti-join must see every candidate, so the bloom does NOT
+   *    shrink that shuffle; what it buys is the definite violations
+   *    surfacing early and join-free, and the dimension never needing an
+   *    executor-resident exact set. (When the dimension DOES fit a
+   *    broadcast, plain [[violations]] is strictly better — this operator
+   *    is the past-broadcast-scale fallback, not a replacement.)
+   */
+  def bloomViolations(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      confirm: Boolean = true): DataFrame = {
+    import graft.functions.BloomMightContain
+    val bloom = BloomMightContain.broadcastBloom(dim, dimKey, expectedItems, fpp)
+    val probe = BloomMightContain.mightContain(col(factKey), bloom)
+    val definite = fact.filter(col(factKey).isNotNull && !probe)
+    if (!confirm) definite
+    else {
+      val maybe = fact.filter(col(factKey).isNotNull && probe)
+      val dimKeys = dim.select(col(dimKey).cast(
+        fact.schema(factKey).dataType).as(factKey)).distinct()
+      definite.unionByName(maybe.join(dimKeys, Seq(factKey), "left_anti"))
+        .select(fact.columns.map(col).toSeq: _*) // fact's column order
+    }
+  }
+
+  /** [[bloomViolations]] in the compact distinct-key report form of
+   * [[violationSummary]]. */
+  def bloomViolationSummary(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    bloomViolations(fact, factKey, dim, dimKey, expectedItems, fpp)
+      .groupBy(col(factKey))
+      .agg(count(lit(1)).as("n_rows"))
 }

@@ -137,13 +137,16 @@ object Catalog {
       .select("lang", "n_chars", "doc_id")
       .orderBy("lang", "n_chars")
 
-  /** Referential integrity via broadcast anti-join: events.user_id against a
-   * customer dimension restricted to c_custkey < 100 (so violations exist
-   * deterministically in the synthetic data). */
+  /** Referential integrity via broadcast anti-join: events.user_id against
+   * a customer dimension restricted to `c_custkey % 7 != 3`, so violating
+   * user ids (≡ 3 mod 7) exist at EVERY scale factor — the original
+   * `< 100` threshold was vacuous at sf0.001, where all 15 user ids sit
+   * below it (a passing empty-vs-empty compare proves nothing — the
+   * round-1 dd_cos_pairs lesson). */
   def qRiUser(spark: SparkSession, dir: String): DataFrame = {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
-      .filter(col("c_custkey") < 100)
+      .filter(col("c_custkey") % 7 =!= 3)
     Referential.violationSummary(events, "user_id", dim, "c_custkey")
       .orderBy("user_id")
   }
@@ -154,6 +157,75 @@ object Catalog {
     Referential.setViolations(docs(spark, dir), "lang", Set("en", "fr", "es", "de"))
       .groupBy("lang").agg(count(lit(1)).as("n_rows"))
       .orderBy("lang")
+
+  /** Referential integrity through the Bloom-probe scale path
+   * ([[graft.quality.Referential.bloomViolations]], confirm mode): same
+   * answer as the broadcast anti-join — which is exactly what the oracle
+   * states — arrived at via broadcast Bloom filter + definite/maybe split
+   * + shuffled confirm anti-join. The dimension is customer keys with
+   * `c_custkey % 10 < 8`, so the violating user ids (≡ 8, 9 mod 10) exist
+   * at EVERY scale factor — a fixed threshold like qRiUser's < 100 is
+   * vacuous at sf0.001, where all 15 user ids sit below it. */
+  def qRiBloom(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 10 < 8)
+    Referential.bloomViolationSummary(events.select("event_id", "user_id"),
+      "user_id", dim, "c_custkey", expectedItems = 1000, fpp = 0.03)
+      .orderBy("user_id")
+  }
+
+  /** Backward as-of join ([[graft.ops.Joins.asofJoin]]): each event picks
+   * up the latest prior "quote" of its user. The quote table derives
+   * deterministically from orders — `user_id = o_custkey % 150`, a
+   * timestamp spread through the events' January-2024 window at
+   * `o_orderkey % 43200` minutes past Jan 1 — because the raw order dates
+   * (1995-2001) all precede every event, which would make the as-of
+   * trivially "the max". ~38 events precede their user's first quote and
+   * keep NULL quote columns. Oracle: [[Oracles.qAsof]] restates the
+   * union-tag + carry-forward-max window in DuckDB SQL (validated against
+   * a correlated-subquery ground truth during development). */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val quotes = spark.read.parquet(s"$dir/orders.parquet").select(
+      (col("o_custkey") % 150).as("user_id"),
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, cast(o_orderkey % 43200 as int), 0)").as("qts"),
+      col("o_orderkey").as("order_key"),
+      round(col("o_totalprice"), 2).as("px"))
+    graft.ops.Joins.asofJoin(events, quotes, "user_id", "ts", "qts")
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization ([[graft.ops.Sessionize.sessions]], native
+   * session_window): 4-hour inactivity gap over the events stream shape —
+   * ~6.9k sessions at sf0.01, ~30% multi-event. Oracle:
+   * [[Oracles.evSessions]] restates the adjacent-merge boundary
+   * (`ts - lag(ts) > gap` opens a new session; an exact-gap event still
+   * merges) with a lag + running-sum window. */
+  def evSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(
+      spark.read.parquet(s"$dir/events.parquet"),
+      Seq("user_id"), "ts", "4 hours",
+      Seq(round(sum("value"), 6).as("sum_value")))
+      .orderBy("user_id", "session_start")
+
+  /** Concatenate-and-chunk sequence packing
+   * ([[graft.ops.Sampling.packSequences]]): documents pack into 128-token
+   * training chunks per source in doc_id order; ~40% of docs straddle a
+   * chunk boundary at this budget. Token counts use the shared
+   * whitespace tokenizer; all chunk math is integer-exact, restated
+   * verbatim by [[Oracles.qPack]]. */
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    val withTokens = docs(spark, dir).select(col("doc_id"), col("source"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Sampling.packSequences(withTokens, "doc_id", "n_tokens",
+      Seq("source"), budget = 128)
+      .select("doc_id", "source", "n_tokens", "chunk_first", "chunk_last",
+        "chunk_offset")
+      .orderBy("doc_id")
+  }
 
   // --- training-data pipeline ops ------------------------------------------
 

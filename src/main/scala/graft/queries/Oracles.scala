@@ -142,7 +142,7 @@ object Oracles {
   val qRiUser: String =
     """SELECT user_id, count(*) AS n_rows FROM events
       |WHERE user_id IS NOT NULL
-      |  AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+      |  AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 3)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val qRiLang: String =
@@ -1126,4 +1126,101 @@ ORDER BY id_a, id_b"""
     """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
       |  round(sum(value), 6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qRiBloom]]: the Bloom probe + confirm anti-join
+   * is EXACT by construction (no false negatives; false positives
+   * rejected by the confirm join), so the oracle is the plain anti-join —
+   * the same statement as qRiUser over the < 120 dimension.
+   */
+  val qRiBloom: String =
+    """SELECT user_id, count(*) AS n_rows FROM events
+      |WHERE user_id IS NOT NULL
+      |  AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 < 8)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qAsof]]: the same union-tag + carry-forward-max
+   * window the engine runs, in DuckDB SQL — `max(struct)` over
+   * (key ORDER BY ts, side ROWS UNBOUNDED PRECEDING..CURRENT) with right
+   * rows sorting before left rows at equal ts, struct ordered
+   * (qts, order_key, px) so ties resolve identically in both engines.
+   * Validated against a correlated-subquery ground truth (10k/10k rows)
+   * during development.
+   */
+  val qAsof: String =
+    """WITH quotes AS (
+      |  SELECT o_custkey % 150 AS user_id,
+      |    TIMESTAMP '2024-01-01' + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS qts,
+      |    o_orderkey AS order_key, round(o_totalprice, 2) AS px
+      |  FROM orders
+      |), tagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    NULL::STRUCT(qts TIMESTAMP, order_key BIGINT, px DOUBLE) AS q,
+      |    1 AS side
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, qts AS ts, NULL AS event_id,
+      |    struct_pack(qts := qts, order_key := order_key, px := px) AS q,
+      |    0 AS side
+      |  FROM quotes WHERE qts IS NOT NULL
+      |), carried AS (
+      |  SELECT event_id, user_id, ts,
+      |    max(q) OVER (PARTITION BY user_id ORDER BY ts, side
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+      |  FROM tagged
+      |)
+      |SELECT event_id, user_id, ts, best.qts AS qts,
+      |  best.order_key AS order_key, best.px AS px
+      |FROM carried WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.evSessions]]: Spark's session_window merges
+   * ADJACENT windows — an event exactly `gap` after the previous one
+   * continues the session (pinned by OpsSpec) — hence the strict `>` in
+   * the new-session flag; session_end is `last ts + gap`.
+   */
+  val evSessions: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS newf
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 4 HOUR AS session_end,
+      |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qPack]]: the shared whitespace tokenizer's count,
+   * the per-source running total in doc_id order, and the integer chunk
+   * formulas — `chunk_first = (cum - n) // B`,
+   * `chunk_last = greatest(chunk_first, (cum - 1) // B)` (the guard keeps
+   * zero-token docs well-formed), `chunk_offset = (cum - n) % B` —
+   * restated verbatim at B = 128.
+   */
+  val qPack: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+')) END AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      |  FROM t
+      |)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((ca - n_tokens) // 128 AS BIGINT) AS chunk_first,
+      |  CAST(greatest((ca - n_tokens) // 128, (ca - 1) // 128) AS BIGINT) AS chunk_last,
+      |  CAST((ca - n_tokens) % 128 AS BIGINT) AS chunk_offset
+      |FROM c ORDER BY doc_id""".stripMargin
 }

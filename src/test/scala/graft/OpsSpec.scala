@@ -865,6 +865,110 @@ class OpsSpec extends SparkSuite {
     assert(want.nonEmpty, "vacuous: corpus must contain hamming<=3 pairs")
   }
 
+  test("asofJoin matches a brute-force reference (ties, no-prior rows, null timestamps)") {
+    val rnd = new scala.util.Random(11)
+    // epoch-second timestamps; keys 0-4, key 4 has NO right rows
+    val leftRows = (0 until 80).map { i =>
+      val ts = if (i == 79) None else Some(1000L + rnd.nextInt(500))
+      (i.toLong, rnd.nextInt(5).toLong, ts)
+    }
+    val rightRows = ((0 until 36).map { j =>
+      (rnd.nextInt(4).toLong, 1000L + rnd.nextInt(500), j.toDouble)
+    } ++ Seq( // deliberate (key, ts) tie — larger payload must win
+      (0L, 1200L, 500.0), (0L, 1200L, 501.0),
+      // a null right timestamp — must never match
+      (1L, -1L, 999.0)))
+    val left = leftRows.toDF("event_id", "k", "lts")
+      .select($"event_id", $"k", to_timestamp($"lts").as("lts")).repartition(4)
+    val right = rightRows.toDF("k", "rts0", "v")
+      .select($"k", when($"rts0" === -1L, lit(null)).otherwise(to_timestamp($"rts0")).as("rts"),
+        $"v").repartition(3)
+    val got = Joins.asofJoin(left, right, "k", "lts", "rts")
+      .select($"event_id",
+        unix_timestamp($"rts").as("rts"), $"v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    val want = leftRows.map { case (id, k, lts) =>
+      id -> lts.flatMap { t =>
+        val cand = rightRows.filter(r => r._1 == k && r._2 != -1L && r._2 <= t)
+        if (cand.isEmpty) None else Some(cand.map(r => (r._2, r._3)).max)
+      }
+    }.toMap
+    assert(got === want)
+    assert(want.values.exists(_.isEmpty) && want.values.exists(_.nonEmpty),
+      "fixture must exercise both matched and unmatched left rows")
+    // the tie actually resolved through the payload tiebreak
+    val tied = want.values.flatten.filter(_._1 == 1200L)
+    assert(!tied.exists(_._2 == 500.0) || tied.exists(_._2 == 501.0))
+  }
+
+  test("packSequences matches a sequential fold and its invariants hold") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"g${i % 3}", if (i % 17 == 0) 0L else rnd.nextInt(90).toLong)
+    }
+    val df = rows.toDF("id", "g", "n").repartition(5)
+    val B = 64
+    val got = Sampling.packSequences(df, "id", "n", Seq("g"), B)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap // id -> (n_tokens, first, last, offset)
+    val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).map { case (id, _, n) =>
+        val first = cum / B
+        val last = math.max(first, (cum + n - 1) / B)
+        val off = cum % B
+        cum += n
+        id -> ((n, first, last, off))
+      }
+    }
+    assert(got === want)
+    // invariants: offsets in [0,B); zero-token docs keep first == last;
+    // some doc straddles a boundary at this budget
+    assert(got.values.forall { case (_, f, l, o) => o >= 0 && o < B && l >= f })
+    assert(got.values.exists { case (n, f, l, _) => n > 0 && l > f },
+      "fixture must contain a straddling document")
+    assert(rows.exists(_._3 == 0L))
+  }
+
+  test("Sessionize.sessions: adjacent-merge gap boundary, matches a fold reference") {
+    // user 1: events at 0h, 1h, 3h59m59s, then one EXACTLY gap after the
+    // last (adjacent windows merge -> still session 1), then one at
+    // gap + 1s after that (strictly past the gap -> session 2)
+    val t0 = 1700000000L
+    val rows = Seq(
+      (1L, t0, 1.0), (1L, t0 + 3600, 2.0), (1L, t0 + 4 * 3600 - 1, 3.0),
+      (1L, t0 + 8 * 3600 - 1, 4.0), // exactly gap after previous: merges
+      (1L, t0 + 12 * 3600, 6.0), // gap + 1s after previous: new session
+      (2L, t0, 5.0))
+    val df = rows.toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value").repartition(3)
+    val got = Sessionize.sessions(df, Seq("user_id"), "ts", "4 hours",
+      Seq(round(sum("value"), 6).as("sum_value")))
+      .select($"user_id", unix_timestamp($"session_start").as("ss"),
+        unix_timestamp($"session_end").as("se"), $"n_events", $"sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val gap = 4 * 3600L
+    val want = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.map(e => (e._2, e._3)).sortBy(_._1)
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        // Spark merges ADJACENT windows: diff == gap still extends
+        if (e._1 - acc.head.head._1 <= gap) (e :: acc.head) :: acc.tail
+        else List(e) :: acc
+      }
+      sessions.map { s =>
+        (u, s.last._1, s.head._1 + gap, s.size.toLong,
+          math.rint(s.map(_._2).sum * 1e6) / 1e6)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.count(_._1 == 1L) === 2,
+      "gap+1s must split user 1 while the exact-gap event merges")
+    // the first session really absorbed the exact-gap event (4 events)
+    assert(got.exists(s => s._1 == 1L && s._4 === 4L))
+  }
+
   test("multimodal PNG resize: really rescales pixels to the target dims") {
     import spark.implicits._
     val assets = Multimodal.pngAssets(Seq(3L, 17L).toDS())

@@ -115,4 +115,54 @@ class QualitySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast join in:\n$plan")
   }
+
+  test("Referential.bloomViolations: confirm mode row-equal to the exact anti-join") {
+    val rnd = new scala.util.Random(7)
+    val fact = ((0 until 400).map(i => (i.toLong, Some(rnd.nextInt(300).toLong))) :+
+      (400L, Option.empty[Long]) :+ (401L, Option.empty[Long]))
+      .toDF("row_id", "k").repartition(5)
+    val dim = (0L until 300L).filter(_ % 3 != 0).toDF("dk").repartition(3)
+    val exact = Referential.violations(fact, "k", dim, "dk")
+      .collect().map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("k"))).toSet
+    assert(exact.nonEmpty, "fixture must contain violations")
+    // a tight filter (high fpp pressure) still yields the exact answer
+    val viaBloom = Referential.bloomViolations(fact, "k", dim, "dk",
+      expectedItems = 200, fpp = 0.2)
+      .collect().map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("k"))).toSet
+    assert(viaBloom === exact)
+    val summary = Referential.bloomViolationSummary(fact, "k", dim, "dk",
+      expectedItems = 300, fpp = 0.03)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantSummary = exact.groupBy(_._2).map { case (k, rs) => k -> rs.size.toLong }
+    assert(summary === wantSummary)
+  }
+
+  test("Referential.bloomViolations: monitor mode is an exact-precision subset and shuffle-free") {
+    val fact = (0 until 1000).map(i => (i.toLong, (i % 500).toLong))
+      .toDF("row_id", "k").repartition(4)
+    val dim = (0L until 500L).filter(_ % 5 != 0).toDF("dk")
+    val exact = Referential.violations(fact, "k", dim, "dk")
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    val monitor = Referential.bloomViolations(fact, "k", dim, "dk",
+      expectedItems = 500, fpp = 0.01, confirm = false)
+    val flagged = monitor.collect().map(_.getAs[Long]("row_id")).toSet
+    // no false negatives in the filter => nothing flagged is innocent
+    assert(flagged.subsetOf(exact), s"innocent rows flagged: ${(flagged -- exact).take(5)}")
+    // at 1% fpp over this corpus the filter should catch nearly everything
+    assert(flagged.size >= (exact.size * 0.9).toInt,
+      s"recall collapsed: ${flagged.size} of ${exact.size}")
+    // the monitoring shape is ONE codegen'd filter over the scan — no
+    // exchange anywhere (the whole point at 100 TB). Plan-check against a
+    // real parquet scan: a LocalRelation fixture would be folded by
+    // ConvertToLocalRelation (the filter evaluates at plan time) and a
+    // repartition()ed one carries its own Exchange.
+    val dir = java.nio.file.Files.createTempDirectory("bloom_plan").toString
+    (0 until 100).map(i => (i.toLong, (i % 50).toLong))
+      .toDF("row_id", "k").write.mode("overwrite").parquet(dir)
+    val plan = Referential.bloomViolations(spark.read.parquet(dir), "k",
+      dim, "dk", expectedItems = 500, fpp = 0.01, confirm = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"monitor mode must not shuffle:\n$plan")
+    assert(plan.contains("bloom_might_contain"), s"kernel missing from plan:\n$plan")
+  }
 }
