@@ -61,7 +61,11 @@ object SparkEntry {
     "v_taxonomy" -> (Catalog.vTaxonomy _),
     "q_taxtree" -> (Catalog.qTaxtree _),
     "q_tax_desc" -> (Catalog.qTaxDesc _),
-    "ev_window" -> (Catalog.evWindow _)
+    "ev_window" -> (Catalog.evWindow _),
+    "q_range" -> (Catalog.qRange _),
+    "q_salted" -> (Catalog.qSalted _),
+    "q_strat" -> (Catalog.qStrat _),
+    "ann_quant" -> (Catalog.annQuant _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,7 +122,11 @@ object SparkEntry {
     // signatures from raw text via a DuckDB SQL formulation of the hash
     // (queries/SqlXxh64.scala) — nothing engine-derived crosses over.
     "dd_minhash" -> Oracles.ddMinhash,
-    "dd_simhash" -> Oracles.ddSimhash
+    "dd_simhash" -> Oracles.ddSimhash,
+    "q_range" -> Oracles.qRange,
+    "q_salted" -> Oracles.qSalted,
+    "q_strat" -> Oracles.qStrat,
+    "ann_quant" -> Oracles.annQuant
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

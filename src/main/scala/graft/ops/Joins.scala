@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,5 +75,131 @@ object Joins {
     val outLeft = leftCols.map(c => col(s"__l.$c").as(c))
     val outRight = rStructNames.map(c => col(s"__best.$c").as(c))
     carried.select(outLeft ++ outRight: _*)
+  }
+
+  /**
+   * Point-in-interval range join: every left row whose `pointCol` falls in
+   * `[startCol, endCol]` (inclusive both ends) of a right interval with the
+   * same key is paired with that interval — "which promotion windows was
+   * this event inside", "which validity epoch does this timestamp belong
+   * to". Spark has no range-join primitive: the naive
+   * `left.join(right, key && point.between(start, end))` parses the
+   * inequality out of the equi-key and plans a row-at-a-time
+   * BroadcastNestedLoopJoin (or a CartesianProduct without the key) —
+   * O(|L|x|R|) comparisons, the canonical 100 TB scale-killer.
+   *
+   * HOW: bucketize the domain at `bucketWidth`. Each interval is exploded
+   * to the buckets it covers (`sequence(floor(s/W), floor(e/W))`); each
+   * point belongs to exactly ONE bucket, so the equi-join on
+   * (key, bucket) + the exact `BETWEEN` residual is duplicate-free by
+   * construction — no distinct pass. The join is a plain shuffled hash /
+   * sort-merge equi-join: comparisons drop from |L|x|R| per key to only
+   * the pairs sharing a bucket, and Catalyst remains free to broadcast a
+   * small interval side. (This is the textbook interval-bucketing scheme
+   * Databricks ships as a range-join hint and Flink uses for interval
+   * joins.)
+   *
+   * The replication factor is span/W per interval. A degenerate interval
+   * (open-ended, or W chosen far too fine) would explode into millions of
+   * bucket rows; `maxBucketsPerInterval` fail-fasts DISTRIBUTEDLY via a
+   * `raise_error` folded into the bucket-sequence bounds — no driver-side
+   * pre-scan, the guard rides the same projection. Pick W near the median
+   * interval span: points pay one bucket always, intervals ~2 rows at
+   * median span, and the residual filter discards the within-bucket misses.
+   *
+   * Contracts: point/start/end must be integral or timestamp columns
+   * (timestamps bucket in MICROSECONDS — `bucketWidth` is micros there);
+   * NULL points/bounds and empty intervals (start > end) match nothing;
+   * non-key column names must be disjoint. Inner join; floor-division is
+   * exact on longs (`(x - pmod(x, W)) / W`), so negative domains bucket
+   * correctly.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+      pointCol: String, startCol: String, endCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 65536): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keyCols
+    require(clash.isEmpty,
+      s"point/interval column names must be disjoint apart from the keys; " +
+        s"clashing: ${clash.mkString(", ")}")
+
+    def asLong(df: DataFrame, c: String): Column = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        // parquet walltime timestamps surface as NTZ; the session runs UTC,
+        // so the TZ cast is a pure reinterpretation, never a wall shift
+        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"range-join column '$c' must be integral or timestamp, got ${dt.simpleString}")
+      }
+    }
+    // exact floor division on longs (pmod keeps the remainder non-negative,
+    // so negative values land in the correct bucket — `/` truncates toward 0)
+    def bucketOf(x: Column): Column =
+      ((x - pmod(x, lit(bucketWidth))) / bucketWidth).cast("long")
+
+    val pBucketed = points.withColumn("__pb", bucketOf(asLong(points, pointCol)))
+    val s = asLong(intervals, startCol)
+    val e = asLong(intervals, endCol)
+    val b1Guarded = when(
+      bucketOf(e) - bucketOf(s) >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets at " +
+          s"width $bucketWidth (start="), col(startCol).cast("string"),
+        lit(", end="), col(endCol).cast("string"),
+        lit("); widen bucketWidth or pre-split the interval"))).cast("long")
+    ).otherwise(bucketOf(e))
+    val iExploded = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull && s <= e)
+      .withColumn("__pb", explode(sequence(bucketOf(s), b1Guarded)))
+
+    val joinKeys = keyCols :+ "__pb"
+    pBucketed.join(iExploded, joinKeys,  "inner")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__pb")
+  }
+
+  /**
+   * Skew-proof equi-join: the standard SALTING rewrite for a join whose
+   * key distribution is hot (a handful of keys own most rows — language
+   * tags, null-ish sentinel ids, top domains). A plain shuffled join
+   * sends every row of a key to ONE reducer; at 100 TB a key holding 5%
+   * of the corpus serializes 5 TB through a single task while 999
+   * executors idle. AQE's skew-join splitter only rescues SORT-MERGE
+   * joins after the skewed shuffle files already exist; salting removes
+   * the hotspot from the shuffle itself and needs no runtime detection.
+   *
+   * HOW: `big` rows scatter across `numSalts` sub-keys via a
+   * deterministic row hash; `small` is replicated once per salt
+   * (`explode(sequence(0, numSalts-1))` — a |small| x numSalts blow-up,
+   * which is why the salted side must be the dimension side). The join
+   * key becomes (keys..., salt): every reducer now holds ~1/numSalts of
+   * a hot key's rows. Result set is IDENTICAL to the plain join (each
+   * big row matches the one replica carrying its salt); only the
+   * placement changes.
+   *
+   * The salt hashes the big side's ENTIRE key tuple plus
+   * `spark_partition_id` — deterministic for a fixed partitioning (a
+   * retried task recomputes identical salts), uniform within each hot
+   * key, and cheap (no rand(), whose per-row state breaks codegen
+   * pipelining).
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      numSalts: Int = 16): DataFrame = {
+    require(numSalts > 0, s"numSalts must be positive, got $numSalts")
+    val clash = big.columns.toSet.intersect(small.columns.toSet) -- keyCols
+    require(clash.isEmpty,
+      s"big/small column names must be disjoint apart from the keys; " +
+        s"clashing: ${clash.mkString(", ")}")
+    val saltSrc = keyCols.map(col) :+ spark_partition_id().cast("long") :+
+      monotonically_increasing_id()
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(saltSrc: _*), lit(numSalts)).cast("int"))
+    val smallReplicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    bigSalted.join(smallReplicated, keyCols :+ "__salt", "inner").drop("__salt")
   }
 }

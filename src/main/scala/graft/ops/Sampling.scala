@@ -39,6 +39,39 @@ object Sampling {
     }
   }
 
+  /**
+   * Deterministic per-stratum fractional sampling — `df.sampleBy` without
+   * the RNG: keep a row iff `pmod(xxhash64(id), granularity) <
+   * floor(frac * granularity)` for its stratum's fraction (strata absent
+   * from `fractions` default to 0.0 — dropped, matching `sampleBy`).
+   * Down-weighting over-represented sources ("keep 10% of crawl, 100% of
+   * books") is the canonical use.
+   *
+   * Like [[splitLabel]], membership is a pure function of the id: the
+   * sample is identical across runs, partitionings and cluster sizes, and
+   * STABLE UNDER APPEND — new rows never flip existing rows in or out,
+   * where `sampleBy`'s per-partition RNG streams reshuffle membership on
+   * any repartition. The threshold uses `floor`, not round, so the engine
+   * and a SQL oracle truncate identical IEEE doubles identically. One
+   * codegen'd filter, no shuffle; the same id-hash as splitLabel means a
+   * stratified pre-sample composes with a later hashSplit (both see the
+   * bucket, not disjoint RNG draws).
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], granularity: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val bucket = pmod(xxhash64(col(idCol)), lit(granularity))
+    // declaration-order fold keeps the emitted plan deterministic
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(0): Column) { case ((stratum, f), els) =>
+        when(col(strataCol) === stratum,
+          lit(math.floor(f * granularity).toInt)).otherwise(els)
+      }
+    df.filter(bucket < threshold)
+  }
+
   /** `df` plus a `split` column assigned by [[splitLabel]] — one codegen'd
    * projection, no shuffle, no RNG. */
   def hashSplit(df: DataFrame, idCol: String,

@@ -217,4 +217,67 @@ object Similarity {
       .select(col("probe_id"), col("e.id").as("corpus_id"),
         col("e.score").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
+
+  // ----- int8 scalar quantization (the ANN storage path) -----------------
+  //
+  // A 100 TB embedding corpus at float32/dim-1024 is 4 KB/vector; per-dim
+  // affine quantization to one byte cuts the scanned bytes (and the
+  // executor-memory footprint of every ANN pass above) 4x at a recall cost
+  // that per-dim min/max calibration keeps small — the same scheme FAISS
+  // ships as ScalarQuantizer(QT_8bit). Codes are exact integers, so the
+  // quantizer itself is bit-reproducible across engines (every float op in
+  // the code formula is restated verbatim by the DuckDB oracle); only the
+  // reconstructed-similarity step carries float rounding, handled as
+  // everywhere else with round(·, 6).
+
+  /**
+   * Per-dimension (min, max) calibration in ONE aggregation pass:
+   * `posexplode` + `groupBy(pos)` — partial aggregation means the shuffle
+   * carries #partitions x dim rows, never the corpus. Returns dim-sized
+   * driver arrays (the same tiny-lookup shape as [[ivfCentroids]]).
+   */
+  def quantizationParams(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    require(rows.nonEmpty, "cannot calibrate a quantizer on an empty corpus")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /**
+   * Quantize a vector column to int8 codes (array<tinyint>, -128..127):
+   * `code_i = least(255, floor((x_i - mn_i) * (256.0 / (mx_i - mn_i)))) - 128`,
+   * a degenerate dimension (mx == mn) coding to -128. `floor`, not round —
+   * the engine and a SQL oracle truncate identical IEEE doubles
+   * identically, so codes compare EXACTLY (no epsilon). One codegen'd
+   * projection against literal parameter arrays; NULL vectors stay NULL.
+   */
+  def quantizeInt8(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    require(mins.length == maxs.length && mins.nonEmpty, "bad quantization params")
+    val mn = typedLit(mins.toSeq)
+    val mx = typedLit(maxs.toSeq)
+    transform(vec, (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi === lo, lit(-128))
+        .otherwise(least(lit(255),
+          floor((x.cast("double") - lo) * (lit(256.0) / (hi - lo)))) - 128)
+        .cast("byte")
+    })
+  }
+
+  /** Midpoint reconstruction: `mn_i + (code_i + 128 + 0.5) * ((mx_i - mn_i)
+   * / 256.0)` (array<double>) — the decode half of [[quantizeInt8]], used
+   * to score quantized vectors with the same fused cosine kernel as the
+   * float path. */
+  def dequantizeInt8(code: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mn = typedLit(mins.toSeq)
+    val mx = typedLit(maxs.toSeq)
+    transform(code, (q, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      lo + (q.cast("double") + lit(128.5)) * ((hi - lo) / lit(256.0))
+    })
+  }
 }

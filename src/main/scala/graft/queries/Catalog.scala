@@ -766,4 +766,89 @@ object Catalog {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("ws", "event_type")
+
+  /** Point-in-interval range join ([[graft.ops.Joins.rangeJoin]]): which
+   * 10-70-minute promotion windows (derived from orders, same key/time
+   * derivation as [[qAsof]]'s quotes) was each event inside — bucketized
+   * at 1-hour width into a plain equi-join; the naive formulation plans a
+   * BroadcastNestedLoopJoin (PlanSpec pins the difference). Oracle:
+   * the plain inequality join [[Oracles.qRange]]. */
+  def qRange(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val windows = spark.read.parquet(s"$dir/orders.parquet").select(
+      (col("o_custkey") % 150).as("user_id"),
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, cast(o_orderkey % 43200 as int), 0)").as("w_start"),
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, cast(o_orderkey % 43200 + (o_orderkey % 7 + 1) * 10 as int), 0)")
+        .as("w_end"),
+      col("o_orderkey").as("order_key"))
+    graft.ops.Joins.rangeJoin(events, windows, Seq("user_id"),
+      "ts", "w_start", "w_end", bucketWidth = 3600L * 1000000L)
+      .select("event_id", "user_id", "ts", "order_key")
+      .orderBy("event_id", "order_key")
+  }
+
+  /** Skew-proof salted equi-join ([[graft.ops.Joins.saltedJoin]]):
+   * lineitem joined to a 3-row weight dim on `l_returnflag` — THREE
+   * distinct keys over the whole table, the worst-case hot-key shape a
+   * plain shuffle join serializes onto three reducers. Weights are dyadic
+   * (0.25/0.5/1.0) and quantities integral, so the weighted sum is EXACT
+   * in double regardless of accumulation order — no float-order hazard
+   * between engines. Oracle: the plain (unsalted) join [[Oracles.qSalted]],
+   * proving result identity. */
+  def qSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val dim = Seq(("A", 0.5), ("N", 1.0), ("R", 0.25))
+      .toDF("l_returnflag", "weight")
+    graft.ops.Joins.saltedJoin(li, dim, Seq("l_returnflag"), numSalts = 16)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity") * col("weight")).as("wqty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Deterministic per-stratum sampling ([[graft.ops.Sampling
+   * .stratifiedSample]]): documents down-sampled per source at fractions
+   * cycling 0/0.25/0.5/0.75/1.0 (src<i> gets (i%5)*0.25) — the
+   * "rebalance over-represented sources" curation step, reproducible and
+   * append-stable where `sampleBy`'s RNG is neither. Oracle restates the
+   * xxhash64 bucket via [[SqlXxh64.hashLongStages]] and the same floor'd
+   * thresholds. */
+  def qStrat(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
+    graft.ops.Sampling.stratifiedSample(docs(spark, dir),
+      "source", "doc_id", fractions)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Int8 scalar quantization + quantized ANN ([[graft.ops.Similarity
+   * .quantizeInt8]]): per-dim min/max calibration (one partial-agg pass),
+   * exact integer codes (`code0` pins the quantizer bit-for-bit), then
+   * top-10 by cosine over midpoint-RECONSTRUCTED vectors against the
+   * reconstructed vec_id=0 probe — the 4x-smaller storage path an ANN
+   * scan would read at 100 TB. Oracle recomputes calibration, codes and
+   * reconstruction in SQL ([[Oracles.annQuant]]). */
+  def annQuant(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (mins, maxs) = Similarity.quantizationParams(e, "embedding")
+    val coded = e.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding"), mins, maxs).as("qcode"))
+    val probeCode = coded.filter(col("vec_id") === 0)
+      .head().getSeq[Byte](1)
+    val probeVec = probeCode.toArray.zipWithIndex.map { case (q, i) =>
+      mins(i) + (q.toDouble + 128.5) * ((maxs(i) - mins(i)) / 256.0)
+    }
+    coded.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        element_at(col("qcode"), 1).cast("int").as("code0"),
+        round(graft.functions.VectorKernels.cosine(
+          Similarity.dequantizeInt8(col("qcode"), mins, maxs),
+          typedLit(probeVec.toSeq)), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(10)
+  }
 }

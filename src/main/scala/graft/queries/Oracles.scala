@@ -1223,4 +1223,99 @@ ORDER BY id_a, id_b"""
       |  CAST(greatest((ca - n_tokens) // 128, (ca - 1) // 128) AS BIGINT) AS chunk_last,
       |  CAST((ca - n_tokens) % 128 AS BIGINT) AS chunk_offset
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qRange]]: the PLAIN inequality join — the
+   * bucketized rewrite is exact (a point lives in exactly one bucket, so
+   * the equi-join + BETWEEN residual is duplicate-free by construction),
+   * and this oracle proves it by not mirroring the buckets at all.
+   */
+  val qRange: String =
+    """WITH w AS (
+      |  SELECT o_custkey % 150 AS user_id,
+      |    TIMESTAMP '2024-01-01' + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS w_start,
+      |    TIMESTAMP '2024-01-01'
+      |      + (o_orderkey % 43200 + (o_orderkey % 7 + 1) * 10) * INTERVAL 1 MINUTE AS w_end,
+      |    o_orderkey AS order_key
+      |  FROM orders
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, w.order_key
+      |FROM events e JOIN w
+      |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+      |ORDER BY event_id, order_key""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qSalted]]: the plain UNSALTED join + aggregate —
+   * salting only relocates rows across reducers, so result identity with
+   * this oracle is the whole correctness claim. Dyadic weights x integral
+   * quantities keep the double sum exact (order-independent) in both
+   * engines.
+   */
+  val qSalted: String =
+    """SELECT l.l_returnflag, count(*) AS n,
+      |  sum(l.l_quantity * d.weight) AS wqty
+      |FROM lineitem l
+      |JOIN (VALUES ('A', CAST(0.5 AS DOUBLE)), ('N', CAST(1.0 AS DOUBLE)),
+      |             ('R', CAST(0.25 AS DOUBLE))) AS d(l_returnflag, weight)
+      |  ON l.l_returnflag = d.l_returnflag
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qStrat]]: the same xxhash64(doc_id) bucket as
+   * [[qSplit]] (seed 42, 8-byte path, [[SqlXxh64.hashLongStages]]) against
+   * per-source floor'd thresholds — src<i> keeps bucket < (i%5) * 2500,
+   * i.e. fractions 0 / 0.25 / 0.5 / 0.75 / 1.0.
+   */
+  def qStrat: String = {
+    val hashed = SqlXxh64.stagesSql(
+      SqlXxh64.hashLongStages("doc_id", 42L), "documents",
+      Seq("doc_id", "source", "n_chars"))
+    val s = SqlXxh64.signed("lb4")
+    s"""WITH h AS (
+       |  $hashed
+       |), b AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ((($s) % 10000) + 10000) % 10000 AS bucket FROM h
+       |)
+       |SELECT doc_id, source, n_chars FROM b
+       |WHERE bucket < (CAST(substring(source, 4) AS INT) % 5) * 2500
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /**
+   * Oracle for [[Catalog.annQuant]]: recomputes the per-dim min/max
+   * calibration, the EXACT integer codes (`floor`, not round — both
+   * engines truncate identical IEEE doubles identically; `code0` pins dim
+   * 1 bit-for-bit), the midpoint reconstruction, and the reconstructed
+   * cosine — every float expression restated with the engine's
+   * parenthesization, the final score rounded to 6 as everywhere else.
+   */
+  val annQuant: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), u AS (
+      |  SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e
+      |), st AS (
+      |  SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY pos
+      |), q AS (
+      |  SELECT vec_id, pos, mn, mx,
+      |    CASE WHEN mx = mn THEN -128
+      |         ELSE CAST(least(255, floor((x - mn) * (256.0 / (mx - mn)))) AS INT) - 128
+      |    END AS qc
+      |  FROM u JOIN st USING (pos)
+      |), d AS (
+      |  SELECT vec_id, pos, qc,
+      |    mn + (qc + 128.5) * ((mx - mn) / 256.0) AS xh
+      |  FROM q
+      |), vv AS (
+      |  SELECT vec_id, list(xh ORDER BY pos) AS xv,
+      |    list(qc ORDER BY pos)[1] AS code0
+      |  FROM d GROUP BY vec_id
+      |), p AS (SELECT xv AS pv FROM vv WHERE vec_id = 0)
+      |SELECT vec_id, code0,
+      |  round(list_dot_product(xv, pv)
+      |    / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(pv, pv))), 6) AS qcos
+      |FROM vv, p WHERE vec_id <> 0
+      |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 }

@@ -982,4 +982,151 @@ class OpsSpec extends SparkSuite {
       assert(a.n_bytes === a.payload.length.toLong)
     }
   }
+
+  // --- range join / salted join -------------------------------------------
+
+  test("rangeJoin matches the brute-force reference (negative domain, nulls, " +
+      "empty intervals, keyless) and the span guard trips distributedly") {
+    val rnd = new scala.util.Random(31)
+    // points across a NEGATIVE-to-positive domain so floor-division
+    // bucketing (not truncation) is what the reference demands
+    val points = (0 until 200).map { i =>
+      val p = if (i == 199) None else Some(rnd.nextInt(2000).toLong - 1000L)
+      (i.toLong, rnd.nextInt(4).toLong, p)
+    }
+    val intervals = (0 until 60).map { j =>
+      val s = rnd.nextInt(2000).toLong - 1000L
+      // ~1/6 of intervals empty (start > end) — must match nothing
+      val e = s + rnd.nextInt(120).toLong - 20L
+      (rnd.nextInt(4).toLong, s, e, j.toLong)
+    } :+ ((0L, -990L, -990L, 999L)) // degenerate single-point interval
+    val pDf = points.toDF("pid", "k", "p")
+      .select($"pid", $"k", $"p".cast("long").as("p")).repartition(5)
+    val iDf = intervals.toDF("k", "s", "e", "iid").repartition(3)
+
+    def reference(keyed: Boolean): Set[(Long, Long)] = (for {
+      (pid, pk, pOpt) <- points; p <- pOpt.toSeq
+      (ik, s, e, iid) <- intervals
+      if (!keyed || pk == ik) && p >= s && p <= e
+    } yield (pid, iid)).toSet
+
+    for ((keys, keyed) <- Seq(Seq("k") -> true, Seq.empty[String] -> false)) {
+      val got = Joins.rangeJoin(
+        if (keyed) pDf else pDf.drop("k"),
+        if (keyed) iDf else iDf.drop("k"),
+        keys, "p", "s", "e", bucketWidth = 64)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got === reference(keyed), s"keyed=$keyed")
+      assert(got.nonEmpty)
+    }
+    // the degenerate interval matched its single admissible point domain
+    // only if some point landed on -990 — irrelevant either way; what must
+    // hold is that EMPTY intervals contributed nothing (reference already
+    // encodes it). Span guard: one open-ended interval blows the cap.
+    val wide = Seq((0L, -1000000L, 1000000L, 1L)).toDF("k", "s", "e", "iid")
+    val ex = intercept[Throwable] { // SparkRuntimeException wraps raise_error
+      Joins.rangeJoin(pDf, wide, Seq("k"), "p", "s", "e",
+        bucketWidth = 64, maxBucketsPerInterval = 1000).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("rangeJoin")), msgs(ex).mkString(" | "))
+  }
+
+  test("saltedJoin: result identical to the plain join at every salt count") {
+    val rnd = new scala.util.Random(37)
+    // hot-key shape: 70% of rows share one key
+    val big = (0 until 500).map { i =>
+      (i.toLong, if (rnd.nextInt(10) < 7) "hot" else s"k${rnd.nextInt(5)}",
+        rnd.nextInt(100))
+    }.toDF("id", "key", "x").repartition(7)
+    val small = Seq(("hot", 10.0), ("k0", 1.0), ("k1", 2.0), ("k3", 3.0))
+      .toDF("key", "w")
+    val plain = big.join(small, Seq("key"), "inner")
+      .select("id", "key", "x", "w").as[(Long, String, Int, Double)]
+      .collect().toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val got = Joins.saltedJoin(big, small, Seq("key"), salts)
+        .select("id", "key", "x", "w").as[(Long, String, Int, Double)]
+        .collect().toSet
+      assert(got === plain, s"salts=$salts")
+    }
+    assert(plain.nonEmpty && !plain.exists(_._2 == "k2"),
+      "fixture must exercise both matched and dropped keys")
+  }
+
+  // --- stratified sampling -------------------------------------------------
+
+  test("stratifiedSample: hash-threshold membership, append stability, " +
+      "0/1 fractions exact") {
+    val rows = (0 until 400).map(i => (i.toLong, s"s${i % 4}"))
+    val df = rows.toDF("id", "stratum").repartition(6)
+    val fr = Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.25, "s3" -> 0.0)
+    val got = Sampling.stratifiedSample(df, "stratum", "id", fr)
+      .as[(Long, String)].collect().toSet
+    // reference: the same xxhash64 bucket, thresholds floor'd identically
+    val buckets = df.select($"id", pmod(xxhash64($"id"), lit(10000)))
+      .as[(Long, Long)].collect().toMap
+    val want = rows.filter { case (id, s) =>
+      buckets(id) < math.floor(fr(s) * 10000).toInt
+    }.toSet
+    assert(got === want)
+    assert(rows.filter(_._2 == "s0").toSet.subsetOf(got), "frac 1.0 keeps all")
+    assert(!got.exists(_._2 == "s3"), "frac 0.0 keeps none")
+    val kept1 = got.count(_._2 == "s1").toDouble / 100
+    assert(kept1 > 0.3 && kept1 < 0.7, s"s1 kept fraction $kept1 far off 0.5")
+    // append stability: the doubled corpus keeps exactly the same originals
+    val more = (400 until 800).map(i => (i.toLong, s"s${i % 4}"))
+    val appended = Sampling.stratifiedSample(
+      (rows ++ more).toDF("id", "stratum"), "stratum", "id", fr)
+      .as[(Long, String)].collect().toSet
+    assert(appended.filter(_._1 < 400) === got)
+    // a stratum ABSENT from the map defaults to dropped (sampleBy contract)
+    val withUnknown = Sampling.stratifiedSample(
+      (rows :+ ((9999L, "other"))).toDF("id", "stratum"), "stratum", "id", fr)
+      .as[(Long, String)].collect().toSet
+    assert(withUnknown === got)
+  }
+
+  // --- int8 quantization ---------------------------------------------------
+
+  test("quantizeInt8: codes match a scalar reference exactly; reconstruction " +
+      "within half a step; degenerate dims code to -128") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, Array.tabulate(dim) { d =>
+        if (d == 7) 3.25f // constant dimension
+        else (rnd.nextFloat() * 4 - 2) * (d + 1)
+      })
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+      .repartition(5)
+    val (mins, maxs) = Similarity.quantizationParams(df, "vec")
+    assert(mins.length === dim && maxs.length === dim)
+    assert(mins(7) === 3.25 && maxs(7) === 3.25)
+    for (d <- 0 until dim) {
+      assert(mins(d) === vecs.map(_._2(d).toDouble).min)
+      assert(maxs(d) === vecs.map(_._2(d).toDouble).max)
+    }
+    val got = df.select($"id",
+      Similarity.quantizeInt8($"vec", mins, maxs).as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    def refCode(x: Double, lo: Double, hi: Double): Int =
+      if (hi == lo) -128
+      else math.min(255, math.floor((x - lo) * (256.0 / (hi - lo))).toLong).toInt - 128
+    for ((id, v) <- vecs; d <- 0 until dim) {
+      assert(got(id)(d).toInt === refCode(v(d).toDouble, mins(d), maxs(d)),
+        s"id=$id dim=$d")
+    }
+    // reconstruction: within half a quantization step per dimension
+    val deq = df.select($"id", Similarity.dequantizeInt8(
+      Similarity.quantizeInt8($"vec", mins, maxs), mins, maxs).as("xh"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for ((id, v) <- vecs; d <- 0 until dim) {
+      val step = (maxs(d) - mins(d)) / 256.0
+      assert(math.abs(deq(id)(d) - v(d)) <= step / 2 + 1e-9,
+        s"id=$id dim=$d err=${math.abs(deq(id)(d) - v(d))} step=$step")
+    }
+  }
 }

@@ -261,6 +261,49 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("rangeJoin plans an equi-join on the bucket — never a nested loop, " +
+      "even keyless") {
+    val pts = (0 until 200).map(i => (i.toLong, i.toLong * 7 % 1000))
+      .toDF("pid", "p")
+    val ivs = (0 until 50).map(j => (j.toLong * 19 % 1000, j.toLong * 19 % 1000 + 40, j.toLong))
+      .toDF("s", "e", "iid")
+    // the naive keyless formulation: Catalyst has only range predicates,
+    // so it MUST plan a nested-loop/cartesian — the 100 TB scale-killer
+    val naive = physical(pts.join(ivs, col("p") >= col("s") && col("p") <= col("e")))
+    assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("Cartesian"),
+      s"expected the naive plan to be a nested loop:\n$naive")
+    // the bucketized rewrite equi-joins on the derived bucket column
+    val plan = physical(graft.ops.Joins.rangeJoin(
+      pts, ivs, Seq.empty, "p", "s", "e", bucketWidth = 64))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"rangeJoin must never nested-loop:\n$plan")
+    assert(plan.contains("__pb"), s"bucket key must drive the join:\n$plan")
+  }
+
+  test("saltedJoin: the salt is part of the shuffle keys on both sides") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = (0 until 300).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
+      val small = Seq(("k0", 1.0), ("k1", 2.0), ("k2", 3.0)).toDF("key", "w")
+      val plan = physical(graft.ops.Joins.saltedJoin(big, small, Seq("key"), 8))
+      // both Exchange hashpartitionings must carry (key, __salt) — the
+      // whole point: a hot key's rows land on 8 reducers, not 1
+      val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, s"expected a shuffled join:\n$plan")
+      assert(exchanges.forall(_.contains("__salt")),
+        s"every shuffle must partition by the salt too:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stratifiedSample is a shuffle-free codegen'd filter") {
+    // over a real file source (a local Seq folds the filter away entirely)
+    val plan = physical(graft.ops.Sampling.stratifiedSample(
+      docs, "source", "doc_id", Map("src0" -> 0.5, "src1" -> 1.0)))
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(plan.contains("*("), "sampling filter must be codegen'd")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
