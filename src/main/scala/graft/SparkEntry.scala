@@ -65,7 +65,8 @@ object SparkEntry {
     "q_range" -> (Catalog.qRange _),
     "q_salted" -> (Catalog.qSalted _),
     "q_strat" -> (Catalog.qStrat _),
-    "ann_quant" -> (Catalog.annQuant _)
+    "ann_quant" -> (Catalog.annQuant _),
+    "q_zorder" -> (Catalog.qZorder _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,7 +127,8 @@ object SparkEntry {
     "q_range" -> Oracles.qRange,
     "q_salted" -> Oracles.qSalted,
     "q_strat" -> Oracles.qStrat,
-    "ann_quant" -> Oracles.annQuant
+    "ann_quant" -> Oracles.annQuant,
+    "q_zorder" -> Oracles.qZorder
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

@@ -109,6 +109,11 @@ object GraftFunctions {
       require(args.size == 1, "sha256_hex(str)")
       Sha256Hex(Cast(args.head, org.apache.spark.sql.types.StringType))
     },
+    fn("zorder64", "_FUNC_(a, b) - Morton (Z-order) interleave of two int32 " +
+      "keys into one order-preserving int64 sort key") { args =>
+      require(args.size == 2, "zorder64(a, b)")
+      ZOrder64(Cast(args(0), IntegerType), Cast(args(1), IntegerType))
+    },
     fn("is_blank", "_FUNC_(str) - true iff str is empty or whitespace-only " +
       "([ \\t\\n\\r\\f])") { args =>
       require(args.size == 1, "is_blank(str)")

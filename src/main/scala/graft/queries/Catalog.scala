@@ -851,4 +851,18 @@ object Catalog {
       .orderBy(col("qcos").desc, col("vec_id").asc)
       .limit(10)
   }
+
+  /** Morton (Z-order) sort key over (user_id, minute-of-day) for every
+   * event — the [[graft.ops.Layout.zorderBy]] clustering key, checked
+   * value-for-value: the oracle restates the bias + 5-step mask-shift bit
+   * dilation + interleave + sign flip as pure SQL arithmetic
+   * ([[Oracles.qZorder]]). */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    e.select(col("event_id"),
+      graft.functions.ZOrder64.zorder(
+        col("user_id").cast("int"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("int")).as("zval"))
+      .orderBy("event_id")
+  }
 }

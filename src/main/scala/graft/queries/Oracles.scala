@@ -1318,4 +1318,46 @@ ORDER BY id_a, id_b"""
       |    / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(pv, pv))), 6) AS qcos
       |FROM vv, p WHERE vec_id <> 0
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qZorder]]: the Morton interleave as pure SQL
+   * arithmetic — bias each int32 by 2^31, dilate its bits to even
+   * positions with the standard 5-step mask-shift (shifts become
+   * multiplications; every intermediate < 2^63, so BIGINT is safe),
+   * combine a-even | b-odd as a HUGEINT SUM (the dilated operands have
+   * disjoint bits, so + ≡ |; the <<1 of the b side would overflow
+   * BIGINT), and flip the top bit via `- 2^63` (the unsigned→signed
+   * order-preserving map, same derivation as [[SqlXxh64.signed]]).
+   */
+  val qZorder: String =
+    """WITH base AS (
+      |  SELECT event_id,
+      |    CAST(user_id AS BIGINT) + 2147483648 AS xa,
+      |    CAST(hour(ts) * 60 + minute(ts) AS BIGINT) + 2147483648 AS xb
+      |  FROM events
+      |), s1 AS (
+      |  SELECT event_id,
+      |    (xa | (xa * 65536)) & 281470681808895 AS xa,
+      |    (xb | (xb * 65536)) & 281470681808895 AS xb FROM base
+      |), s2 AS (
+      |  SELECT event_id,
+      |    (xa | (xa * 256)) & 71777214294589695 AS xa,
+      |    (xb | (xb * 256)) & 71777214294589695 AS xb FROM s1
+      |), s3 AS (
+      |  SELECT event_id,
+      |    (xa | (xa * 16)) & 1085102592571150095 AS xa,
+      |    (xb | (xb * 16)) & 1085102592571150095 AS xb FROM s2
+      |), s4 AS (
+      |  SELECT event_id,
+      |    (xa | (xa * 4)) & 3689348814741910323 AS xa,
+      |    (xb | (xb * 4)) & 3689348814741910323 AS xb FROM s3
+      |), s5 AS (
+      |  SELECT event_id,
+      |    (xa | (xa * 2)) & 6148914691236517205 AS xa,
+      |    (xb | (xb * 2)) & 6148914691236517205 AS xb FROM s4
+      |)
+      |SELECT event_id,
+      |  CAST(CAST(xa AS HUGEINT) + CAST(xb AS HUGEINT) * 2
+      |       - 9223372036854775808 AS BIGINT) AS zval
+      |FROM s5 ORDER BY event_id""".stripMargin
 }

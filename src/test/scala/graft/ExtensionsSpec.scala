@@ -112,6 +112,15 @@ class ExtensionsSpec extends SparkSuite {
     assert(e.getMessage.contains("supported"))
   }
 
+  test("zorder64 from SQL matches the Column API (int args cast like it)") {
+    val r = spark.sql(
+      "SELECT zorder64(3, 5) AS z1, zorder64(-1, CAST(7 AS BIGINT)) AS z2, " +
+        "zorder64(NULL, 1) AS z3").collect().head
+    assert(r.getLong(0) === graft.functions.ZOrder64.compute(3, 5))
+    assert(r.getLong(1) === graft.functions.ZOrder64.compute(-1, 7))
+    assert(r.isNullAt(2))
+  }
+
   test("GraftExtensions injector applies cleanly (config-time path)") {
     // full end-to-end needs a fresh session with spark.sql.extensions set
     // (getOrCreate reuses the test session), but the injector itself must

@@ -536,6 +536,53 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("zorder64: matches a bit-by-bit reference (negatives, extremes), " +
+      "preserves interleave order, round-trips through codegen") {
+    // independent reference: interleave bit i of each biased input via
+    // BigInt string-of-bits arithmetic, nothing shared with the kernel
+    def ref(a: Int, b: Int): Long = {
+      val au = a.toLong + 2147483648L
+      val bu = b.toLong + 2147483648L
+      var z = BigInt(0)
+      for (i <- 0 until 32) {
+        z = z | (BigInt((au >> i) & 1L) << (2 * i))
+        z = z | (BigInt((bu >> i) & 1L) << (2 * i + 1))
+      }
+      (z - (BigInt(1) << 63)).toLong
+    }
+    val rnd = new scala.util.Random(43)
+    val edge = Seq(0, 1, -1, Int.MaxValue, Int.MinValue, 65536, -65536)
+    val pairs = (for (a <- edge; b <- edge) yield (a, b)) ++
+      Seq.fill(300)((rnd.nextInt(), rnd.nextInt()))
+    // driver-side kernel == reference
+    for ((a, b) <- pairs)
+      assert(graft.functions.ZOrder64.compute(a, b) === ref(a, b), s"($a, $b)")
+    // codegen path == reference (non-trivial projection over a real scan)
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b").repartition(4)
+    val got = df.select($"id",
+      graft.functions.ZOrder64.zorder($"a", $"b").as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i.toLong) === ref(a, b), s"codegen ($a, $b)")
+    }
+    // signed order of the output == unsigned z-curve order: sorting by the
+    // key must equal sorting by the reference interleave as a BigInt
+    val sortedByKernel = pairs.distinct.sortBy { case (a, b) =>
+      graft.functions.ZOrder64.compute(a, b)
+    }
+    val sortedByCurve = pairs.distinct.sortBy { case (a, b) =>
+      var z = BigInt(0)
+      val (au, bu) = (a.toLong + 2147483648L, b.toLong + 2147483648L)
+      for (i <- 0 until 32) {
+        z = z | (BigInt((au >> i) & 1L) << (2 * i))
+        z = z | (BigInt((bu >> i) & 1L) << (2 * i + 1))
+      }
+      z
+    }
+    assert(sortedByKernel === sortedByCurve)
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))

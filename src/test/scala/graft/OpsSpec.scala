@@ -1088,6 +1088,36 @@ class OpsSpec extends SparkSuite {
     assert(withUnknown === got)
   }
 
+  // --- z-order layout ------------------------------------------------------
+
+  test("Layout.zorderBy: every range covers a small rectangle of BOTH " +
+      "dimensions; a lexicographic range covers a full-width stripe") {
+    val grid = for (a <- 0 until 64; b <- 0 until 64) yield (a, b)
+    val df = grid.toDF("a", "b").repartition(8)
+
+    def spans(clustered: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] =
+      clustered.select(spark_partition_id().as("p"), $"a", $"b")
+        .groupBy("p")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+
+    val z = Layout.zorderBy(df, "a", "b", 16)
+    assert(z.count() === grid.size.toLong, "layout must preserve rows")
+    assert(z.columns.toSeq === Seq("a", "b"), "internal key must not leak")
+    val zs = spans(z)
+    assert(zs.size > 8, s"range partitioning collapsed: $zs")
+    val (avgA, avgB) = (zs.map(_._1).sum.toDouble / zs.size,
+      zs.map(_._2).sum.toDouble / zs.size)
+    // 16 ranges of a 64x64 grid ~ 16x16 z-tiles; far below the 64-wide
+    // stripe a lexicographic (a, b) sort leaves in b
+    assert(avgA < 32, s"a-span $avgA not local: $zs")
+    assert(avgB < 32, s"b-span $avgB not local: $zs")
+    val lex = df.repartitionByRange(16, $"a", $"b")
+    val lexB = spans(lex).map(_._2)
+    assert(lexB.sum.toDouble / lexB.size > 2 * avgB,
+      s"z-order must beat lexicographic on the trailing dim: lex=$lexB z=$avgB")
+  }
+
   // --- int8 quantization ---------------------------------------------------
 
   test("quantizeInt8: codes match a scalar reference exactly; reconstruction " +
