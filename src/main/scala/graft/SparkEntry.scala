@@ -66,7 +66,8 @@ object SparkEntry {
     "q_salted" -> (Catalog.qSalted _),
     "q_strat" -> (Catalog.qStrat _),
     "ann_quant" -> (Catalog.annQuant _),
-    "q_zorder" -> (Catalog.qZorder _)
+    "q_zorder" -> (Catalog.qZorder _),
+    "q_pct" -> (Catalog.qPct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,7 +129,8 @@ object SparkEntry {
     "q_salted" -> Oracles.qSalted,
     "q_strat" -> Oracles.qStrat,
     "ann_quant" -> Oracles.annQuant,
-    "q_zorder" -> Oracles.qZorder
+    "q_zorder" -> Oracles.qZorder,
+    "q_pct" -> Oracles.qPct
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

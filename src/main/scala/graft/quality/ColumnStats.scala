@@ -119,6 +119,59 @@ object ColumnStats {
         col("r.est_count").as("est_count"))
   }
 
+  /** Column label for percentile p: p50, p95, p99_9… (dots become
+   * underscores so the label stays a plain identifier). */
+  private def pName(p: Double): String =
+    // scale-then-round kills double artifacts (0.95*100 == 95.000…01)
+    "p" + BigDecimal(p * 100).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_").replace("-", "")
+
+  /**
+   * EXACT per-group percentiles (linear interpolation at rank p·(n-1),
+   * the R-7/NIST definition — the same contract as DuckDB `quantile_cont`,
+   * which is what makes `q_pct` full-value-oracle-able). One aggregation;
+   * all requested percentiles of a group come from one sorted buffer.
+   *
+   * Exact percentiles buffer each group's values — fine for per-group
+   * profiling (groups of 10^6s), wrong for a 10^10-row group; that regime
+   * is [[approxPercentiles]].
+   */
+  def percentiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps must be in [0,1]")
+    val exact = expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
+    val grouped = if (groupCols.isEmpty) df.groupBy() else
+      df.groupBy(groupCols.map(col): _*)
+    grouped.agg(exact.as("__ps"))
+      .select(groupCols.map(col) ++ ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("__ps"), i + 1), 6).as(pName(p))
+      }: _*)
+  }
+
+  /**
+   * Bounded-memory per-group percentiles — the 100 TB path: Spark's
+   * `percentile_approx` (Greenwald–Khanna summaries, mergeable partials of
+   * O(accuracy) size, map-side combined like any aggregate). Guarantee:
+   * the returned value's RANK is within n/accuracy of the target — it is
+   * always an actual data value, not an interpolation, so results are
+   * deterministic but not oracle-equatable to `quantile_cont`; the spec
+   * pins the rank-error contract against the exact path instead.
+   */
+  def approxPercentiles(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps must be in [0,1]")
+    val arr = percentile_approx(col(valueCol).cast("double"),
+      array(ps.map(lit): _*), lit(accuracy))
+    val grouped = if (groupCols.isEmpty) df.groupBy() else
+      df.groupBy(groupCols.map(col): _*)
+    grouped.agg(arr.as("__ps"))
+      .select(groupCols.map(col) ++ ps.zipWithIndex.map { case (p, i) =>
+        element_at(col("__ps"), i + 1).as(pName(p))
+      }: _*)
+  }
+
   /** Histogram-only helper returning the bucket counts as a Scala array —
    * the input to [[Drift]] tests. One aggregation, no groupBy shuffle. */
   def histogram(df: DataFrame, column: String, spec: HistogramSpec): Array[Long] = {

@@ -852,6 +852,17 @@ object Catalog {
       .limit(10)
   }
 
+  /** Per-language exact length percentiles ([[graft.quality.ColumnStats
+   * .percentiles]]): p25/p50/p75/p95 of n_chars — the doc-length profile
+   * every curation recipe thresholds on. Exact percentiles share DuckDB
+   * `quantile_cont`'s R-7 interpolation contract, so the oracle is
+   * full-value; the 10^10-row-group regime is `approxPercentiles`
+   * (Greenwald–Khanna, rank-error-bounded, spec-pinned). */
+  def qPct(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.ColumnStats.percentiles(docs(spark, dir),
+      "n_chars", Seq("lang"), Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy("lang")
+
   /** Morton (Z-order) sort key over (user_id, minute-of-day) for every
    * event — the [[graft.ops.Layout.zorderBy]] clustering key, checked
    * value-for-value: the oracle restates the bias + 5-step mask-shift bit

@@ -1320,6 +1320,19 @@ ORDER BY id_a, id_b"""
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qPct]]: DuckDB `quantile_cont` shares Spark
+   * `percentile`'s exact R-7 contract (linear interpolation at rank
+   * p·(n-1)), rounded to 6 like every float surface.
+   */
+  val qPct: String =
+    """SELECT lang,
+      |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+      |  round(quantile_cont(n_chars, 0.95), 6) AS p95
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qZorder]]: the Morton interleave as pure SQL
    * arithmetic — bias each int32 by 2^31, dilate its bits to even
    * positions with the standard 5-step mask-shift (shifts become

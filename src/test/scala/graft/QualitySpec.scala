@@ -165,4 +165,54 @@ class QualitySpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"monitor mode must not shuffle:\n$plan")
     assert(plan.contains("bloom_might_contain"), s"kernel missing from plan:\n$plan")
   }
+
+  test("percentiles: exact path matches the R-7 reference; approx path " +
+      "honors the rank-error bound and returns actual data values") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 900).map(i => (s"g${i % 3}", rnd.nextInt(10000).toLong))
+    val df = rows.toDF("g", "v").repartition(6)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+
+    // R-7 (linear interpolation at rank p*(n-1)) — the quantile_cont contract
+    def r7(sorted: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (sorted.size - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val byG = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.toIndexedSeq
+    }
+    val got = ColumnStats.percentiles(df, "v", Seq("g"), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(i + 1))).toMap
+    for ((g, sorted) <- byG; (p, i) <- ps.zipWithIndex) {
+      val want = BigDecimal(r7(sorted, p)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(g)(i) - want) < 1e-9, s"g=$g p=$p")
+    }
+
+    // approx: value IS a member of the group, rank within n/accuracy of target
+    val acc = 100
+    val approx = ColumnStats.approxPercentiles(df, "v", Seq("g"), ps, acc)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(i + 1))).toMap
+    for ((g, sorted) <- byG; (p, i) <- ps.zipWithIndex) {
+      val v = approx(g)(i)
+      assert(sorted.contains(v.toLong), s"approx must return a data value: $v")
+      val n = sorted.size
+      val rankLo = sorted.indexWhere(_ >= v.toLong)
+      val rankHi = sorted.lastIndexWhere(_ <= v.toLong)
+      val target = p * (n - 1)
+      val tol = n.toDouble / acc + 1
+      assert(target >= rankLo - tol && target <= rankHi + tol,
+        s"g=$g p=$p v=$v ranks [$rankLo,$rankHi] target $target tol $tol")
+    }
+    // ungrouped surface works too
+    val all = ColumnStats.percentiles(df, "v", Seq.empty, Seq(0.5))
+      .collect().head.getDouble(0)
+    val allSorted = rows.map(_._2).sorted.toIndexedSeq
+    assert(math.abs(all - BigDecimal(r7(allSorted, 0.5)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
