@@ -261,6 +261,32 @@ class RunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming enrichment: rangeJoin composes with a point stream " +
+      "(stateless stream-static equi-join on the bucket)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static validity windows; a stream of points is enriched per batch —
+    // the bucketized rewrite keeps the stream side stateless (each point
+    // maps to one bucket; the interval side is a static exploded table)
+    val windows = Seq((0L, 100L, 150L, 10L), (0L, 200L, 260L, 11L),
+      (1L, 100L, 300L, 12L)).toDF("k", "s", "e", "iid")
+    val in = MemoryStream[(Long, Long, Long)] // (pid, k, p)
+    val joined = graft.ops.Joins.rangeJoin(
+      in.toDS().toDF("pid", "k", "p"), windows, Seq("k"), "p", "s", "e",
+      bucketWidth = 64)
+    val q = joined.select("pid", "iid").writeStream.format("memory")
+      .queryName("srj").outputMode("append").start()
+    try {
+      in.addData((1L, 0L, 120L), (2L, 0L, 170L), (3L, 1L, 299L))
+      q.processAllAvailable()
+      in.addData((4L, 0L, 210L))
+      q.processAllAvailable()
+      val got = spark.sql("select pid, iid from srj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 10L), (3L, 12L), (4L, 11L)))
+    } finally q.stop()
+  }
+
   test("CLI arg parsing mirrors validate_manifest flags") {
     val a = graft.run.Main.parseArgs(
       List("-c", "x.conf", "-o", "out.csv", "-i", "-v", "in.csv"),
