@@ -123,6 +123,8 @@ object Joins {
     require(clash.isEmpty,
       s"point/interval column names must be disjoint apart from the keys; " +
         s"clashing: ${clash.mkString(", ")}")
+    require(!(points.columns ++ intervals.columns).contains("__pb"),
+      "'__pb' is the range join's internal bucket column; rename it first")
 
     def asLong(df: DataFrame, c: String): Column = {
       import org.apache.spark.sql.types._
@@ -136,10 +138,18 @@ object Joins {
           s"range-join column '$c' must be integral or timestamp, got ${dt.simpleString}")
       }
     }
-    // exact floor division on longs (pmod keeps the remainder non-negative,
-    // so negative values land in the correct bucket — `/` truncates toward 0)
-    def bucketOf(x: Column): Column =
-      ((x - pmod(x, lit(bucketWidth))) / bucketWidth).cast("long")
+    // exact floor division on longs: pmod keeps the remainder non-negative
+    // (so negative values land in the correct bucket), and the division is
+    // an INTEGRAL divide of the exact multiple — Column `/` is double
+    // division, which rounds above 2^53 (nanosecond epochs) and would put
+    // a point and its interval in adjacent buckets
+    def bucketOf(x: Column): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val dividend = ColumnBridge.expression(x - pmod(x, lit(bucketWidth)))
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(dividend,
+          ColumnBridge.expression(lit(bucketWidth))))
+    }
 
     val pBucketed = points.withColumn("__pb", bucketOf(asLong(points, pointCol)))
     val s = asLong(intervals, startCol)
@@ -181,11 +191,14 @@ object Joins {
    * big row matches the one replica carrying its salt); only the
    * placement changes.
    *
-   * The salt hashes the big side's ENTIRE key tuple plus
-   * `spark_partition_id` — deterministic for a fixed partitioning (a
-   * retried task recomputes identical salts), uniform within each hot
-   * key, and cheap (no rand(), whose per-row state breaks codegen
-   * pipelining).
+   * The salt hashes the big side's ENTIRE ROW — a pure function of row
+   * CONTENT, so a retried map task reassigns identical salts no matter
+   * what order it re-reads rows in (an order-dependent salt like
+   * `monotonically_increasing_id` loses/duplicates rows on partial stage
+   * retry, the SPARK-23207 class of bug), it spreads a hot key's rows by
+   * their differing payloads, and it is cheap (no rand(), whose per-row
+   * state breaks codegen pipelining). Rows identical in every column hash
+   * to the same salt — interchangeable rows, no skew concern.
    */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
       numSalts: Int = 16): DataFrame = {
@@ -194,10 +207,10 @@ object Joins {
     require(clash.isEmpty,
       s"big/small column names must be disjoint apart from the keys; " +
         s"clashing: ${clash.mkString(", ")}")
-    val saltSrc = keyCols.map(col) :+ spark_partition_id().cast("long") :+
-      monotonically_increasing_id()
+    require(!(big.columns ++ small.columns).contains("__salt"),
+      "'__salt' is the salted join's internal column; rename it first")
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(saltSrc: _*), lit(numSalts)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(numSalts)).cast("int"))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     bigSalted.join(smallReplicated, keyCols :+ "__salt", "inner").drop("__salt")

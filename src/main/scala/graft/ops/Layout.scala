@@ -33,6 +33,8 @@ object Layout {
   def zorderBy(df: DataFrame, colA: String, colB: String,
       numPartitions: Int): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
+    require(!df.columns.contains("__z"),
+      "'__z' is zorderBy's internal sort-key column; rename it first")
     df.withColumn("__z",
         ZOrder64.zorder(col(colA).cast("int"), col(colB).cast("int")))
       .repartitionByRange(numPartitions, col("__z"))

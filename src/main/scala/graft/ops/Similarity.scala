@@ -247,11 +247,15 @@ object Similarity {
 
   /**
    * Quantize a vector column to int8 codes (array<tinyint>, -128..127):
-   * `code_i = least(255, floor((x_i - mn_i) * (256.0 / (mx_i - mn_i)))) - 128`,
-   * a degenerate dimension (mx == mn) coding to -128. `floor`, not round —
-   * the engine and a SQL oracle truncate identical IEEE doubles
-   * identically, so codes compare EXACTLY (no epsilon). One codegen'd
-   * projection against literal parameter arrays; NULL vectors stay NULL.
+   * `code_i = greatest(0, least(255,
+   *     floor((x_i - mn_i) * (256.0 / (mx_i - mn_i))))) - 128`,
+   * a degenerate dimension (mx == mn) coding to -128. Clamped at BOTH ends
+   * (FAISS QT_8bit's contract): a vector OUTSIDE the calibration corpus —
+   * a fresh probe, appended data — saturates to the range edge instead of
+   * wrapping through the byte cast to the opposite end. `floor`, not
+   * round — the engine and a SQL oracle truncate identical IEEE doubles
+   * identically, so codes compare EXACTLY (no epsilon). One projection
+   * against literal parameter arrays; NULL vectors stay NULL.
    */
   def quantizeInt8(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
     require(mins.length == maxs.length && mins.nonEmpty, "bad quantization params")
@@ -261,8 +265,8 @@ object Similarity {
       val lo = element_at(mn, i + 1)
       val hi = element_at(mx, i + 1)
       when(hi === lo, lit(-128))
-        .otherwise(least(lit(255),
-          floor((x.cast("double") - lo) * (lit(256.0) / (hi - lo)))) - 128)
+        .otherwise(greatest(lit(0), least(lit(255),
+          floor((x.cast("double") - lo) * (lit(256.0) / (hi - lo))))) - 128)
         .cast("byte")
     })
   }

@@ -140,7 +140,9 @@ object ColumnStats {
   def percentiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps must be in [0,1]")
-    val exact = expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
+    // Column API, not a string-interpolated expr — a column name needing
+    // backticks (spaces, dashes) must resolve, never parse as arithmetic
+    val exact = percentile(col(valueCol), array(ps.map(lit): _*))
     val grouped = if (groupCols.isEmpty) df.groupBy() else
       df.groupBy(groupCols.map(col): _*)
     grouped.agg(exact.as("__ps"))

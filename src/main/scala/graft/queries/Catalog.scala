@@ -817,13 +817,17 @@ object Catalog {
    * append-stable where `sampleBy`'s RNG is neither. Oracle restates the
    * xxhash64 bucket via [[SqlXxh64.hashLongStages]] and the same floor'd
    * thresholds. */
-  def qStrat(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
+  /** Shared with [[Oracles.qStrat]], which interpolates the SAME map into
+   * its CASE thresholds — a fixture source outside this map is dropped by
+   * the engine AND scores threshold 0 in the oracle, by construction. */
+  val qStratFractions: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
+
+  def qStrat(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.stratifiedSample(docs(spark, dir),
-      "source", "doc_id", fractions)
+      "source", "doc_id", qStratFractions)
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
-  }
 
   /** Int8 scalar quantization + quantized ANN ([[graft.ops.Similarity
    * .quantizeInt8]]): per-dim min/max calibration (one partial-agg pass),
@@ -837,11 +841,11 @@ object Catalog {
     val (mins, maxs) = Similarity.quantizationParams(e, "embedding")
     val coded = e.select(col("vec_id"),
       Similarity.quantizeInt8(col("embedding"), mins, maxs).as("qcode"))
-    val probeCode = coded.filter(col("vec_id") === 0)
-      .head().getSeq[Byte](1)
-    val probeVec = probeCode.toArray.zipWithIndex.map { case (q, i) =>
-      mins(i) + (q.toDouble + 128.5) * ((maxs(i) - mins(i)) / 256.0)
-    }
+    // reconstruct the probe through the SAME dequantize expression the
+    // corpus side uses — one formula, one place to maintain
+    val probeVec = coded.filter(col("vec_id") === 0)
+      .select(Similarity.dequantizeInt8(col("qcode"), mins, maxs))
+      .head().getSeq[Double](0)
     coded.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         element_at(col("qcode"), 1).cast("int").as("code0"),

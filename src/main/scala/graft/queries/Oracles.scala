@@ -1263,14 +1263,19 @@ ORDER BY id_a, id_b"""
   /**
    * Oracle for [[Catalog.qStrat]]: the same xxhash64(doc_id) bucket as
    * [[qSplit]] (seed 42, 8-byte path, [[SqlXxh64.hashLongStages]]) against
-   * per-source floor'd thresholds — src<i> keeps bucket < (i%5) * 2500,
-   * i.e. fractions 0 / 0.25 / 0.5 / 0.75 / 1.0.
+   * per-source floor'd thresholds INTERPOLATED from the very map the
+   * engine samples with ([[Catalog.qStratFractions]]) — a source outside
+   * the map hits the CASE default 0 exactly like stratifiedSample's
+   * absent-stratum contract, so a fixture scale-up can't silently diverge.
    */
   def qStrat: String = {
     val hashed = SqlXxh64.stagesSql(
       SqlXxh64.hashLongStages("doc_id", 42L), "documents",
       Seq("doc_id", "source", "n_chars"))
     val s = SqlXxh64.signed("lb4")
+    val cases = Catalog.qStratFractions.toSeq.sortBy(_._1).map {
+      case (src, f) => s"WHEN '$src' THEN ${math.floor(f * 10000).toInt}"
+    }.mkString(" ")
     s"""WITH h AS (
        |  $hashed
        |), b AS (
@@ -1278,7 +1283,7 @@ ORDER BY id_a, id_b"""
        |    ((($s) % 10000) + 10000) % 10000 AS bucket FROM h
        |)
        |SELECT doc_id, source, n_chars FROM b
-       |WHERE bucket < (CAST(substring(source, 4) AS INT) % 5) * 2500
+       |WHERE bucket < (CASE source $cases ELSE 0 END)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1301,7 +1306,8 @@ ORDER BY id_a, id_b"""
       |), q AS (
       |  SELECT vec_id, pos, mn, mx,
       |    CASE WHEN mx = mn THEN -128
-      |         ELSE CAST(least(255, floor((x - mn) * (256.0 / (mx - mn)))) AS INT) - 128
+      |         ELSE CAST(greatest(0, least(255,
+      |                floor((x - mn) * (256.0 / (mx - mn))))) AS INT) - 128
       |    END AS qc
       |  FROM u JOIN st USING (pos)
       |), d AS (

@@ -1031,6 +1031,32 @@ class OpsSpec extends SparkSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("rangeJoin")), msgs(ex).mkString(" | "))
+    // an input already carrying the internal bucket column fails fast
+    // instead of being silently clobbered and dropped
+    val exPb = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(pDf.withColumn("__pb", lit(1)), iDf, Seq("k"),
+        "p", "s", "e", bucketWidth = 64)
+    }
+    assert(exPb.getMessage.contains("__pb"))
+    // nanosecond-epoch domain (> 2^53): bucket ids must come from INTEGRAL
+    // division — double division rounds here and splits a point from its
+    // containing interval into adjacent buckets
+    val base = 1700000000000000000L // ~2024 in ns
+    val W = 3600L * 1000000000L
+    val bigPts = (0 until 50).map(i => (i.toLong, base + i * W / 7))
+      .toDF("pid", "p")
+    val bigIvs = (0 until 20)
+      .map(j => (base + j * W, base + j * W + W - 1, j.toLong))
+      .toDF("s", "e", "iid")
+    val bigGot = Joins.rangeJoin(bigPts, bigIvs, Seq.empty, "p", "s", "e", W)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val bigWant = (for {
+      i <- 0 until 50; j <- 0 until 20
+      p = base + i * W / 7
+      if p >= base + j * W && p <= base + j * W + W - 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(bigGot === bigWant)
+    assert(bigWant.size === 50, "every ns-epoch point lies in exactly one hour")
   }
 
   test("saltedJoin: result identical to the plain join at every salt count") {
@@ -1053,6 +1079,10 @@ class OpsSpec extends SparkSuite {
     }
     assert(plain.nonEmpty && !plain.exists(_._2 == "k2"),
       "fixture must exercise both matched and dropped keys")
+    val exSalt = intercept[IllegalArgumentException] {
+      Joins.saltedJoin(big.withColumn("__salt", lit(1)), small, Seq("key"), 4)
+    }
+    assert(exSalt.getMessage.contains("__salt"))
   }
 
   // --- stratified sampling -------------------------------------------------
@@ -1116,6 +1146,10 @@ class OpsSpec extends SparkSuite {
     val lexB = spans(lex).map(_._2)
     assert(lexB.sum.toDouble / lexB.size > 2 * avgB,
       s"z-order must beat lexicographic on the trailing dim: lex=$lexB z=$avgB")
+    val exZ = intercept[IllegalArgumentException] {
+      Layout.zorderBy(df.withColumn("__z", lit(1L)), "a", "b", 4)
+    }
+    assert(exZ.getMessage.contains("__z"))
   }
 
   // --- int8 quantization ---------------------------------------------------
@@ -1144,11 +1178,24 @@ class OpsSpec extends SparkSuite {
       .as[(Long, Seq[Byte])].collect().toMap
     def refCode(x: Double, lo: Double, hi: Double): Int =
       if (hi == lo) -128
-      else math.min(255, math.floor((x - lo) * (256.0 / (hi - lo))).toLong).toInt - 128
+      else math.max(0L, math.min(255L,
+        math.floor((x - lo) * (256.0 / (hi - lo))).toLong)).toInt - 128
     for ((id, v) <- vecs; d <- 0 until dim) {
       assert(got(id)(d).toInt === refCode(v(d).toDouble, mins(d), maxs(d)),
         s"id=$id dim=$d")
     }
+    // out-of-calibration inputs SATURATE at the range edges — they must
+    // never wrap through the byte cast to the opposite end of the range
+    val out = Seq((0L, (0 until dim).map(d => (mins(d) - 1000).toFloat)),
+      (1L, (0 until dim).map(d => (maxs(d) + 1000).toFloat)))
+      .toDF("id", "vec")
+    val codes = out.select($"id",
+      Similarity.quantizeInt8($"vec", mins, maxs).as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(codes(0L).forall(_ == -128), s"below-range must clamp low: ${codes(0L)}")
+    assert(codes(1L).zipWithIndex.forall { case (c, d) =>
+      c == (if (maxs(d) == mins(d)) -128 else 127) // degenerate dim stays -128
+    }, s"above-range must clamp high: ${codes(1L)}")
     // reconstruction: within half a quantization step per dimension
     val deq = df.select($"id", Similarity.dequantizeInt8(
       Similarity.quantizeInt8($"vec", mins, maxs), mins, maxs).as("xh"))
