@@ -67,7 +67,8 @@ object SparkEntry {
     "q_strat" -> (Catalog.qStrat _),
     "ann_quant" -> (Catalog.annQuant _),
     "q_zorder" -> (Catalog.qZorder _),
-    "q_pct" -> (Catalog.qPct _)
+    "q_pct" -> (Catalog.qPct _),
+    "ta_norm" -> (Catalog.taNorm _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,7 +131,8 @@ object SparkEntry {
     "q_strat" -> Oracles.qStrat,
     "ann_quant" -> Oracles.annQuant,
     "q_zorder" -> Oracles.qZorder,
-    "q_pct" -> Oracles.qPct
+    "q_pct" -> Oracles.qPct,
+    "ta_norm" -> Oracles.taNorm
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

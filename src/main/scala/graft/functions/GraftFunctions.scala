@@ -109,6 +109,11 @@ object GraftFunctions {
       require(args.size == 1, "sha256_hex(str)")
       Sha256Hex(Cast(args.head, org.apache.spark.sql.types.StringType))
     },
+    fn("nfc_normalize", "_FUNC_(str) - Unicode NFC normalization " +
+      "(ASCII fast path returns the input untouched)") { args =>
+      require(args.size == 1, "nfc_normalize(str)")
+      NfcNormalize(Cast(args.head, StringType))
+    },
     fn("zorder64", "_FUNC_(a, b) - Morton (Z-order) interleave of two int32 " +
       "keys into one order-preserving int64 sort key") { args =>
       require(args.size == 2, "zorder64(a, b)")

@@ -856,6 +856,29 @@ object Catalog {
       .limit(10)
   }
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]): combining
+   * sequences are PLANTED deterministically (a→a+U+0301 on doc_id%3,
+   * o→o+U+0308 on doc_id%5, applied in that order) and normalized back to
+   * precomposed form; sha256 of the normalized text pins the result
+   * byte-for-byte against DuckDB's utf8proc `nfc_normalize` (canonical
+   * composition is Unicode-stability-guaranteed, so the engines agree).
+   * ASCII rows exercise the untouched fast path (changed = false). */
+  def taNorm(spark: SparkSession, dir: String): DataFrame = {
+    val withA = when(col("doc_id") % 3 === 0,
+      replace(col("text"), lit("a"), lit("a\u0301"))).otherwise(col("text"))
+    val planted = when(col("doc_id") % 5 === 0,
+      replace(withA, lit("o"), lit("o\u0308"))).otherwise(withA)
+    docs(spark, dir).select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"), col("t"),
+        graft.functions.NfcNormalize.normalize(col("t")).as("norm"))
+      .select(col("doc_id"),
+        octet_length(col("t")).as("n_raw_bytes"),
+        octet_length(col("norm")).as("n_norm_bytes"),
+        graft.functions.Sha256Hex.column(col("norm")).as("sha"),
+        (col("norm") =!= col("t")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language exact length percentiles ([[graft.quality.ColumnStats
    * .percentiles]]): p25/p50/p75/p95 of n_chars — the doc-length profile
    * every curation recipe thresholds on. Exact percentiles share DuckDB

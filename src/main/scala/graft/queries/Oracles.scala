@@ -1326,6 +1326,29 @@ ORDER BY id_a, id_b"""
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
   /**
+   * Oracle for [[Catalog.taNorm]]: the same deterministic combining-mark
+   * planting (chr(769) = U+0301, chr(776) = U+0308, same replace order),
+   * then utf8proc NFC vs the engine's java.text.Normalizer — sha256 of
+   * the normalized text compares the bytes, octet lengths compare the
+   * shrink, `changed` pins the ASCII fast path (false on unplanted rows).
+   */
+  val taNorm: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+      |         ELSE text END AS t0
+      |  FROM documents
+      |), p2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN replace(t0, 'o', 'o' || chr(776))
+      |         ELSE t0 END AS t
+      |  FROM p
+      |), n AS (SELECT doc_id, t, nfc_normalize(t) AS norm FROM p2)
+      |SELECT doc_id, strlen(t) AS n_raw_bytes, strlen(norm) AS n_norm_bytes,
+      |  sha256(norm) AS sha, (norm <> t) AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qPct]]: DuckDB `quantile_cont` shares Spark
    * `percentile`'s exact R-7 contract (linear interpolation at rank
    * p·(n-1)), rounded to 6 like every float surface.

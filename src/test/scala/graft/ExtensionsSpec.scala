@@ -121,6 +121,15 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.isNullAt(2))
   }
 
+  test("nfc_normalize from SQL matches the Column API") {
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS a, nfc_normalize('plain') AS b, " +
+        "nfc_normalize(NULL) AS c").collect().head
+    assert(r.getString(0) === "caf\u00e9")
+    assert(r.getString(1) === "plain")
+    assert(r.isNullAt(2))
+  }
+
   test("GraftExtensions injector applies cleanly (config-time path)") {
     // full end-to-end needs a fresh session with spark.sql.extensions set
     // (getOrCreate reuses the test session), but the injector itself must

@@ -583,6 +583,45 @@ class FunctionsSpec extends SparkSuite {
     assert(sortedByKernel === sortedByCurve)
   }
 
+  test("NfcNormalize: java-Normalizer parity on random unicode, ASCII and " +
+      "already-NFC inputs return the SAME instance, nulls pass through") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = graft.functions.NfcNormalize
+    // fast paths return the input object itself — no copy, no Normalizer
+    val ascii = UTF8String.fromString("plain ascii text 123")
+    assert(k.compute(ascii) eq ascii)
+    val nfc = UTF8String.fromString("caf\u00e9 \u00f6l") // already composed
+    assert(k.compute(nfc) eq nfc)
+    // decomposed -> precomposed
+    assert(k.compute(UTF8String.fromString("café")).toString === "café")
+    assert(k.compute(UTF8String.fromString("ö")).toString === "ö")
+    // randomized parity with java.text.Normalizer over mixed content -
+    // sample whole CODEPOINTS (the emoji is a surrogate pair; sampling raw
+    // chars would fabricate lone surrogates, which neither UTF-8 nor the
+    // JUnit XML reporter can encode)
+    val rnd = new scala.util.Random(53)
+    val pool = Seq("a", "b", "c", "\u00f3", "\u0308", "\u0301", "\u00e9",
+      "\u00f6", "\u4e2d", new String(Character.toChars(0x1F600)), " ")
+    val strs = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => pool(rnd.nextInt(pool.size))).mkString
+    }
+    for (s <- strs) {
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(k.compute(UTF8String.fromString(s)).toString === want, s"<$s>")
+    }
+    // codegen path through a real projection, null included
+    val df = (strs.map(Option(_)) :+ None).zipWithIndex
+      .map { case (s, i) => (i.toLong, s.orNull) }.toDF("id", "s").repartition(3)
+    val got = df.select($"id", k.normalize($"s").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    strs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) ===
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    assert(got(strs.size.toLong) === null)
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))
