@@ -259,6 +259,17 @@ object Similarity {
    */
   def quantizeInt8(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
     require(mins.length == maxs.length && mins.nonEmpty, "bad quantization params")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.QuantizeInt8Expr(
+      ColumnBridge.expression(vec), mins.clone(), maxs.clone()))
+  }
+
+  /** The higher-order-function formulation [[quantizeInt8]]'s codegen
+   * kernel replaced — kept as the independent parity reference
+   * (FunctionsSpec pins kernel == HOF bit-for-bit; the HOF's per-element
+   * interpretation measured ~2.5 us/vector at dim 64). */
+  private[graft] def quantizeInt8Hof(vec: Column, mins: Array[Double],
+      maxs: Array[Double]): Column = {
     val mn = typedLit(mins.toSeq)
     val mx = typedLit(maxs.toSeq)
     transform(vec, (x, i) => {
@@ -276,6 +287,15 @@ object Similarity {
    * to score quantized vectors with the same fused cosine kernel as the
    * float path. */
   def dequantizeInt8(code: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    require(mins.length == maxs.length && mins.nonEmpty, "bad quantization params")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DequantizeInt8Expr(
+      ColumnBridge.expression(code), mins.clone(), maxs.clone()))
+  }
+
+  /** HOF parity reference for [[dequantizeInt8]] (see [[quantizeInt8Hof]]). */
+  private[graft] def dequantizeInt8Hof(code: Column, mins: Array[Double],
+      maxs: Array[Double]): Column = {
     val mn = typedLit(mins.toSeq)
     val mx = typedLit(maxs.toSeq)
     transform(code, (q, i) => {

@@ -622,6 +622,42 @@ class FunctionsSpec extends SparkSuite {
     assert(got(strs.size.toLong) === null)
   }
 
+  test("QuantizeInt8Expr / DequantizeInt8Expr kernels == the HOF " +
+      "formulations bit-for-bit (float + double arrays, degenerate dim, " +
+      "out-of-range saturation)") {
+    val rnd = new scala.util.Random(59)
+    val dim = 24
+    val mins = Array.tabulate(dim)(d => if (d == 5) 1.5 else rnd.nextDouble() * -10)
+    val maxs = Array.tabulate(dim)(d =>
+      if (d == 5) 1.5 else mins(d) + rnd.nextDouble() * 20 + 0.001)
+    // out-of-range values included on purpose: both paths must saturate
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (0 until dim).map(d =>
+        (mins(d) + (rnd.nextDouble() * 3 - 1) * (maxs(d) - mins(d))).toFloat))
+    }
+    val df = rows.toDF("id", "vec").repartition(4)
+    def codes(c: org.apache.spark.sql.Column) =
+      df.select($"id", c.as("q")).as[(Long, Seq[Byte])].collect().toMap
+    val k = codes(graft.ops.Similarity.quantizeInt8($"vec", mins, maxs))
+    val h = codes(graft.ops.Similarity.quantizeInt8Hof($"vec", mins, maxs))
+    assert(k === h)
+    assert(k.values.exists(_.contains(-128.toByte)) &&
+      k.values.exists(_.contains(127.toByte)), "saturation must be exercised")
+    def deq(c: org.apache.spark.sql.Column) =
+      df.select($"id", c.as("x")).as[(Long, Seq[Double])].collect().toMap
+    val qc = graft.ops.Similarity.quantizeInt8($"vec", mins, maxs)
+    assert(deq(graft.ops.Similarity.dequantizeInt8(qc, mins, maxs)) ===
+      deq(graft.ops.Similarity.dequantizeInt8Hof(qc, mins, maxs)))
+    // double-element arrays take the other accessor path
+    val ddf = rows.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("id", "vec").repartition(3)
+    val kd = ddf.select($"id", graft.ops.Similarity.quantizeInt8($"vec", mins, maxs).as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    val hd = ddf.select($"id", graft.ops.Similarity.quantizeInt8Hof($"vec", mins, maxs).as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(kd === hd)
+  }
+
   test("large Ontology fields compile to the broadcast-set expression") {
     val terms = (1 to 20000).map(i => s"T:$i").toSet
     val cl = Checklist("big", Seq(FieldDef("x", OntologyT(terms, "big"))))
