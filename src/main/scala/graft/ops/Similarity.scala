@@ -235,12 +235,29 @@ object Similarity {
    * `posexplode` + `groupBy(pos)` — partial aggregation means the shuffle
    * carries #partitions x dim rows, never the corpus. Returns dim-sized
    * driver arrays (the same tiny-lookup shape as [[ivfCentroids]]).
+   *
+   * `clip` > 0 switches to PERCENTILE calibration (the [clip, 1-clip]
+   * per-dim quantiles instead of min/max — FAISS's rangestat-quantile
+   * knob): one embedding with an exploded dimension no longer stretches
+   * that dimension's whole code range over its outlier (leaving every
+   * normal value crammed into a few codes); outliers saturate to the
+   * range edges instead, which [[quantizeInt8]]'s two-sided clamp makes
+   * safe by construction.
    */
-  def quantizationParams(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
-    val rows = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-      .orderBy("pos").collect()
+  def quantizationParams(df: DataFrame, vecCol: String,
+      clip: Double = 0.0): (Array[Double], Array[Double]) = {
+    require(clip >= 0 && clip < 0.5, s"clip must be in [0, 0.5), got $clip")
+    val u = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("double").as("x"))
+    val bounds =
+      if (clip == 0.0)
+        u.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      else
+        u.groupBy("pos")
+          .agg(percentile(col("x"), array(lit(clip), lit(1 - clip))).as("ps"))
+          .select(col("pos"), element_at(col("ps"), 1).as("mn"),
+            element_at(col("ps"), 2).as("mx"))
+    val rows = bounds.orderBy("pos").collect()
     require(rows.nonEmpty, "cannot calibrate a quantizer on an empty corpus")
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }

@@ -1206,4 +1206,35 @@ class OpsSpec extends SparkSuite {
         s"id=$id dim=$d err=${math.abs(deq(id)(d) - v(d))} step=$step")
     }
   }
+
+  test("quantizationParams clip: one outlier no longer stretches the code " +
+      "range; inliers reconstruct tighter, the outlier saturates") {
+    val rnd = new scala.util.Random(61)
+    // dim 0 is well-behaved in [0, 1) except ONE exploded outlier at 1000
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Seq(if (i == 0) 1000f else rnd.nextFloat(), rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "vec").repartition(4)
+    val (m0, x0) = Similarity.quantizationParams(df, "vec")
+    val (mc, xc) = Similarity.quantizationParams(df, "vec", clip = 0.01)
+    assert(x0(0) === 1000.0, "min/max calibration absorbs the outlier")
+    assert(xc(0) < 2.0, s"clipped calibration must ignore it: ${xc(0)}")
+    // inlier reconstruction error: clipped step is ~500x finer on dim 0
+    val deqC = df.select($"id", Similarity.dequantizeInt8(
+      Similarity.quantizeInt8($"vec", mc, xc), mc, xc).as("x"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val stepC = (xc(0) - mc(0)) / 256.0
+    for ((id, v) <- rows if id != 0L) {
+      val err = math.abs(deqC(id)(0) - v(0))
+      // inside the clipped range: half a (fine) step; the 1% tails saturate
+      // to the range edge, still within the clipped bounds' reach
+      if (v(0) >= mc(0) && v(0) <= xc(0))
+        assert(err <= stepC / 2 + 1e-9, s"id=$id err=$err step=$stepC")
+    }
+    // the outlier saturates to the TOP code, not a wrapped value
+    val qOut = df.filter($"id" === 0L)
+      .select(Similarity.quantizeInt8($"vec", mc, xc))
+      .as[Seq[Byte]].head()
+    assert(qOut(0) === 127.toByte)
+  }
 }
