@@ -68,7 +68,8 @@ object SparkEntry {
     "ann_quant" -> (Catalog.annQuant _),
     "q_zorder" -> (Catalog.qZorder _),
     "q_pct" -> (Catalog.qPct _),
-    "ta_norm" -> (Catalog.taNorm _)
+    "ta_norm" -> (Catalog.taNorm _),
+    "dd_inc" -> (Catalog.ddInc _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,7 +133,8 @@ object SparkEntry {
     "ann_quant" -> Oracles.annQuant,
     "q_zorder" -> Oracles.qZorder,
     "q_pct" -> Oracles.qPct,
-    "ta_norm" -> Oracles.taNorm
+    "ta_norm" -> Oracles.taNorm,
+    "dd_inc" -> Oracles.ddInc
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

@@ -349,4 +349,83 @@ object Dedup {
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // --- incremental dedup (the production delta shape) ----------------------
+  //
+  // At 100 TB nobody re-deduplicates the corpus per ingest; the day's DELTA
+  // dedups against a persisted catalog. Two catalog forms cover the two
+  // dedup families: a fingerprint set (exact) and the banded LSH index
+  // (near-dup) — both are exactly what the batch operators above already
+  // compute, persisted instead of discarded, so incremental and full-corpus
+  // dedup stay ONE set of semantics.
+
+  /**
+   * Incremental EXACT dedup: the rows of `newDocs` that survive (1)
+   * first-wins-by-min-id dedup WITHIN the delta and (2) an anti-join
+   * against the seen-catalog `seen(fingerprintCol)` (sha256 of
+   * whitespace-normalized lowercase text — [[TextAnalysis.fingerprint]],
+   * the same key [[exactGroups]] groups on). Output carries all input
+   * columns plus `fingerprint`: append it to the catalog and the loop is
+   * closed. Anti-join on a 32-byte key; the catalog side broadcasts while
+   * dimension-sized and AQE falls back to a shuffled anti-join past that.
+   *
+   * NULL-text rows have no fingerprint and are DROPPED (they can't be
+   * deduplicated; a SQL equi-join would drop them asymmetrically anyway —
+   * explicit is better). Route them through validation, not dedup.
+   */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, fingerprintCol: String): DataFrame = {
+    require(!newDocs.columns.contains("fingerprint"),
+      "'fingerprint' is incrementalExact's output column; rename it first")
+    val fp = newDocs.withColumn("fingerprint",
+      TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("fingerprint").isNotNull)
+    val winners = fp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol))
+    fp.join(winners, Seq("fingerprint", idCol)) // first-wins within the delta
+      .join(seen.select(col(fingerprintCol).as("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_anti")
+  }
+
+  /**
+   * The persistable LSH index of a corpus: one (bucket, id, sig) row per
+   * band — [[minhashCandidates]]'s intermediate, exposed so it can be
+   * written once and probed by every future delta.
+   */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+    sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
+  }
+
+  /**
+   * Incremental MinHash-LSH: near-dup candidate pairs of `newDocs`
+   * AGAINST a stored [[minhashIndex]] — (new_id, old_id, est_jaccard),
+   * never a delta×corpus cross join: the equi-join key is the band
+   * bucket, so shuffle volume is delta-bands + the matching index slice.
+   * Degenerate buckets are capped on BOTH sides (an index bucket holding
+   * > maxBucketSize ids is non-discriminative, same contract as the batch
+   * path). Parameters must match the ones the index was built with.
+   */
+  def minhashCandidatesAgainst(newDocs: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, maxBucketSize: Int = 200): DataFrame = {
+    val newBands = minhashIndex(newDocs, idCol, textCol, k, numHashes, bands)
+      .withColumnRenamed("id", "new_id").withColumnRenamed("sig", "new_sig")
+    val okBuckets = index.groupBy("bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("bucket")
+    val oldSide = index.join(okBuckets, Seq("bucket"))
+      .select(col("bucket"), col("id").as("old_id"), col("sig").as("old_sig"))
+    newBands.join(oldSide, Seq("bucket"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        (graft.functions.VectorKernels.sigAgreement(col("new_sig"), col("old_sig"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("new_id", "old_id")
+  }
 }

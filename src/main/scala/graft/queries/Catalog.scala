@@ -856,6 +856,30 @@ object Catalog {
       .limit(10)
   }
 
+  /** Incremental exact dedup ([[graft.ops.Dedup.incrementalExact]]) — the
+   * production delta-vs-catalog shape: even doc_ids re-arrive at +500000
+   * (byte-clones for doc_id%4==0 → caught by the catalog; ' fresh v2'
+   * edits otherwise → kept), and doc_id%10==2 re-arrives AGAIN at +600000
+   * with the SAME v2 edit (within-delta duplicate → first-wins by id).
+   * Survivors carry the fingerprint the caller would append back to the
+   * catalog. */
+  def ddInc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val batchA = d.filter(col("doc_id") % 2 === 0).select(
+      (col("doc_id") + 500000).as("doc_id"),
+      when(col("doc_id") % 4 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" fresh v2"))).as("text"))
+    val batchB = d.filter(col("doc_id") % 10 === 2).select(
+      (col("doc_id") + 600000).as("doc_id"),
+      concat(col("text"), lit(" fresh v2")).as("text"))
+    val seen = d.select(
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    graft.ops.Dedup.incrementalExact(batchA.unionByName(batchB),
+      "doc_id", "text", seen, "fingerprint")
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]): combining
    * sequences are PLANTED deterministically (a→a+U+0301 on doc_id%3,
    * o→o+U+0308 on doc_id%5, applied in that order) and normalized back to

@@ -1326,6 +1326,39 @@ ORDER BY id_a, id_b"""
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
   /**
+   * Oracle for [[Catalog.ddInc]]: the same two derived delta batches, the
+   * [[ddExact]] fingerprint (sha256 of whitespace-normalized lowercase),
+   * first-wins-by-min-id WITHIN the delta, then NOT EXISTS against the
+   * catalog of current-corpus fingerprints. NULL fingerprints are dropped
+   * (the operator's documented contract).
+   */
+  val ddInc: String =
+    """WITH delta AS (
+      |  SELECT doc_id + 500000 AS doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN text ELSE text || ' fresh v2' END AS text
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 600000, text || ' fresh v2'
+      |  FROM documents WHERE doc_id % 10 = 2
+      |), f AS (
+      |  SELECT doc_id,
+      |    sha256(regexp_replace(lower(trim(text)), '[\s\x0b]+', ' ', 'g')) AS fingerprint
+      |  FROM delta
+      |  WHERE text IS NOT NULL
+      |), w AS (
+      |  SELECT f.doc_id, f.fingerprint FROM f
+      |  JOIN (SELECT fingerprint, min(doc_id) AS doc_id FROM f GROUP BY fingerprint) m
+      |    ON f.fingerprint = m.fingerprint AND f.doc_id = m.doc_id
+      |), seen AS (
+      |  SELECT DISTINCT
+      |    sha256(regexp_replace(lower(trim(text)), '[\s\x0b]+', ' ', 'g')) AS fp
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT doc_id, fingerprint FROM w
+      |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = w.fingerprint)
+      |ORDER BY doc_id""".stripMargin
+
+  /**
    * Oracle for [[Catalog.taNorm]]: the same deterministic combining-mark
    * planting (chr(769) = U+0301, chr(776) = U+0308, same replace order),
    * then utf8proc NFC vs the engine's java.text.Normalizer — sha256 of

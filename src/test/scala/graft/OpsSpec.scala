@@ -1118,6 +1118,79 @@ class OpsSpec extends SparkSuite {
     assert(withUnknown === got)
   }
 
+  // --- incremental dedup ---------------------------------------------------
+
+  test("incrementalExact: within-delta first-wins + catalog anti-join " +
+      "match an in-memory reference; null texts drop; fingerprint rides out") {
+    val rnd = new scala.util.Random(67)
+    val catalogTexts = (0 until 60).map(i => s"seen doc $i ${rnd.nextInt(5)}")
+    val deltaRows = (0 until 120).map { i =>
+      val t = rnd.nextInt(10) match {
+        case 0 => null // null text: dropped
+        case 1 | 2 => catalogTexts(rnd.nextInt(catalogTexts.size)) // clone of seen
+        case 3 => s"Fresh Doc ${rnd.nextInt(20)}" // within-delta dup space
+        case _ => s"fresh doc $i"
+      }
+      (i.toLong, t)
+    }
+    val seen = catalogTexts.toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    val got = Dedup.incrementalExact(
+      deltaRows.toDF("id", "text").repartition(5), "id", "text", seen, "fp")
+      .select("id", "fingerprint").as[(Long, String)].collect().toMap
+    // reference: normalize like the fingerprint does, first-wins by id,
+    // drop anything whose normalized form is in the catalog
+    def norm(t: String) = t.toLowerCase.trim.replaceAll("[\\s]+", " ")
+    val seenSet = catalogTexts.map(norm).toSet
+    val want = deltaRows.filter(_._2 != null)
+      .groupBy(r => norm(r._2)).map { case (_, rs) => rs.minBy(_._1) }
+      .filter(r => !seenSet.contains(norm(r._2))).map(_._1).toSet
+    assert(got.keySet === want)
+    assert(got.nonEmpty && got.size < deltaRows.count(_._2 != null),
+      "fixture must drop some and keep some")
+    // the emitted fingerprint is the catalog key (closes the append loop):
+    // catalog + appended survivors absorb the whole delta on a re-run
+    val appended = seen.unionByName(got.values.toSeq.toDF("fp"))
+    val again = Dedup.incrementalExact(
+      deltaRows.toDF("id", "text").repartition(3), "id", "text", appended, "fp")
+    assert(again.count() === 0, "re-running against the appended catalog is empty")
+  }
+
+  test("minhashCandidatesAgainst == batch candidates restricted to " +
+      "new-vs-index pairs; planted near-dup clones are found") {
+    val rnd = new scala.util.Random(71)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    // delta: token-swapped clones of corpus docs (high jaccard) + fresh noise
+    val delta = corpus.take(15).map { case (id, t) =>
+      val toks = t.split(" "); toks(7) = "swapped"
+      (id + 1000, toks.mkString(" "))
+    } ++ (0 until 10).map(i =>
+      ((2000 + i).toLong, Seq.fill(30)(s"w${rnd.nextInt(1000)}").mkString(" ")))
+    val corpusDf = corpus.toDF("id", "text").repartition(4)
+    val deltaDf = delta.toDF("id", "text").repartition(3)
+    val index = Dedup.minhashIndex(corpusDf, "id", "text")
+    val got = Dedup.minhashCandidatesAgainst(deltaDf, "id", "text", index,
+      maxBucketSize = 10000)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // every planted clone must surface against its source
+    for ((id, _) <- corpus.take(15))
+      assert(got.contains((id + 1000, id)), s"planted pair ($id) missing")
+    // equivalence with the batch path on the union, restricted to
+    // (delta, corpus) pairs — same bands, cap high enough to be inert
+    val batch = Dedup.minhashCandidates(
+      corpusDf.unionByName(deltaDf), "id", "text", maxBucketSize = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchCross = batch.collect {
+      case (a, b) if a < 1000 && b >= 1000 => (b, a)
+      case (a, b) if b < 1000 && a >= 1000 => (a, b)
+    }
+    assert(got === batchCross)
+  }
+
   // --- z-order layout ------------------------------------------------------
 
   test("Layout.zorderBy: every range covers a small rectangle of BOTH " +
