@@ -69,7 +69,8 @@ object SparkEntry {
     "q_zorder" -> (Catalog.qZorder _),
     "q_pct" -> (Catalog.qPct _),
     "ta_norm" -> (Catalog.taNorm _),
-    "dd_inc" -> (Catalog.ddInc _)
+    "dd_inc" -> (Catalog.ddInc _),
+    "q_bm25" -> (Catalog.qBm25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,7 +135,8 @@ object SparkEntry {
     "q_zorder" -> Oracles.qZorder,
     "q_pct" -> Oracles.qPct,
     "ta_norm" -> Oracles.taNorm,
-    "dd_inc" -> Oracles.ddInc
+    "dd_inc" -> Oracles.ddInc,
+    "q_bm25" -> Oracles.qBm25
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

@@ -300,4 +300,60 @@ object TextAnalysis {
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /**
+   * Okapi BM25 top-k relevance search against a literal query — the
+   * "find me documents about X" capability over the corpus, and the
+   * relevance-weighted variant of [[tfidfKeywords]]'s scoring.
+   *
+   * Shape: ONE stats aggregation (corpus size, average doc length, and
+   * per-query-term document frequency — a query-sized row collected to
+   * the driver), then ONE shuffle-free scoring projection over the
+   * corpus feeding the bounded [[graft.functions.TopKByScore]] reduction
+   * (map-side k-heaps; shuffle = #partitions x k entries, corpus-size
+   * independent, no Window, no global sort). Per-term `tf` uses an
+   * interpreted array filter — fine for interactive query lengths (each
+   * term costs one pass over the token array per row); batch scoring of
+   * thousands of queries belongs on [[vocabulary]] + a join, not here.
+   *
+   * Formula (restated verbatim by the `q_bm25` oracle, ties broken by
+   * ascending id): per term t,
+   * `idf_t = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)` (Robertson+1,
+   * always positive), and
+   * `score = Σ idf_t * (tf_t * (k1+1)) / (tf_t + k1 * (1 - b + b * dl/avgdl))`.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    require(k > 0, "k must be positive")
+    // projection boundary: the token array materializes ONCE per row —
+    // without it every per-term filter below re-runs the regex split
+    // (the CollapseProject pathology, same as minhashCandidates)
+    val toks = df.select(col(idCol).as("__id"),
+      tokensLower(col(textCol)).as("__toks"))
+    val statAggs = count(lit(1)).as("n") +:
+      avg(size(col("__toks"))).as("avgdl") +:
+      query.zipWithIndex.map { case (t, i) =>
+        count(when(array_contains(col("__toks"), t), 1)).as(s"df$i")
+      }
+    val st = toks.agg(statAggs.head, statAggs.tail: _*).collect().head
+    val n = st.getLong(0)
+    require(n > 0, "cannot score an empty corpus")
+    val avgdl = st.getDouble(1)
+    val idfs = query.indices.map { i =>
+      val dfT = st.getLong(2 + i)
+      math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }
+    val dl = size(col("__toks")).cast("double")
+    val score = query.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      lit(idfs(i)) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    toks.agg(graft.functions.TopKByScore.topK(score, col("__id"), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), round(col("e.score"), 6).as("score"))
+  }
 }

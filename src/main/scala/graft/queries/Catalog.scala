@@ -856,6 +856,15 @@ object Catalog {
       .limit(10)
   }
 
+  /** BM25 top-10 for the query ["hash", "join", "spark"]
+   * ([[graft.ops.TextAnalysis.bm25TopK]]): one stats pass, one
+   * shuffle-free scoring projection, bounded top-k — no Window, no global
+   * sort. Oracle restates the Robertson+1 idf and the Okapi term formula
+   * verbatim ([[Oracles.qBm25]]). */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.bm25TopK(docs(spark, dir), "doc_id", "text",
+      Seq("hash", "join", "spark"), k = 10)
+
   /** Incremental exact dedup ([[graft.ops.Dedup.incrementalExact]]) — the
    * production delta-vs-catalog shape: even doc_ids re-arrive at +500000
    * (byte-clones for doc_id%4==0 → caught by the catalog; ' fresh v2'

@@ -1326,6 +1326,50 @@ ORDER BY id_a, id_b"""
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qBm25]]: the shared tokenizer, corpus stats
+   * (count / avg token length / per-term document frequency), then the
+   * Okapi term formula with the ENGINE'S exact literal association —
+   * `idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))` where
+   * 2.2 == double(1.2) + 1.0 bit-for-bit and 0.25/0.75 are dyadic, so
+   * the only cross-engine float hazard is ln()'s final ulp, absorbed by
+   * the round-6 convention. Ties rank by ascending doc_id, matching
+   * TopKByScore's heap order.
+   */
+  val qBm25: String = {
+    val terms = Seq("hash", "join", "spark")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"count(*) FILTER (WHERE list_contains(toks, '$t')) AS df$i"
+    }.mkString(",\n    ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val scoreExpr = terms.indices.map { i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2)" +
+        s" / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    }.mkString("\n      + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '[\\s\\x0b]+') AS toks
+       |  FROM documents
+       |), st AS (
+       |  SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+       |    $dfCols
+       |  FROM t
+       |), d AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM t
+       |), scored AS (
+       |  SELECT doc_id,
+       |    $scoreExpr AS score
+       |  FROM d, st
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |  doc_id, round(score, 6) AS score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /**
    * Oracle for [[Catalog.ddInc]]: the same two derived delta batches, the
    * [[ddExact]] fingerprint (sha256 of whitespace-normalized lowercase),
    * first-wins-by-min-id WITHIN the delta, then NOT EXISTS against the

@@ -1118,6 +1118,47 @@ class OpsSpec extends SparkSuite {
     assert(withUnknown === got)
   }
 
+  test("bm25TopK matches an in-memory Okapi reference (ties by id, " +
+      "term-absent docs, blank docs)") {
+    val rnd = new scala.util.Random(73)
+    val vocab = Array("data", "hash", "join", "scan", "sort", "spark", "table")
+    val rows = (0 until 150).map { i =>
+      val t = if (i == 149) "" else
+        Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, t)
+    }
+    val query = Seq("hash", "spark")
+    val (k1, b) = (1.2, 0.75)
+    val got = TextAnalysis.bm25TopK(rows.toDF("id", "text").repartition(5),
+      "id", "text", query, k = 15)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // reference BM25 with the same tokenizer contract
+    def toksOf(t: String) = t.toLowerCase.trim.split("[\\s\\x0B]+", -1).toSeq
+    val toks = rows.map { case (id, t) => id -> toksOf(t) }.toMap
+    val n = rows.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def idf(t: String) = {
+      val dfT = toks.values.count(_.contains(t))
+      math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }
+    val scores = rows.map { case (id, _) =>
+      val dl = toks(id).size.toDouble
+      id -> query.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        idf(t) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+    }
+    val want = scores.sortBy { case (id, s) => (-s, id) }.take(15)
+      .zipWithIndex.map { case ((id, s), r) =>
+        (r + 1, id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    got.zip(want).foreach { case ((gr, gi, gs), (wr, wi, ws)) =>
+      assert(gr === wr && gi === wi, s"rank $wr: got ($gi, $gs) want ($wi, $ws)")
+      assert(math.abs(gs - ws) < 2e-6, s"rank $wr score: $gs vs $ws")
+    }
+    assert(scores.count(_._2 == 0.0) >= 1, "some doc must miss every term")
+  }
+
   // --- incremental dedup ---------------------------------------------------
 
   test("incrementalExact: within-delta first-wins + catalog anti-join " +
