@@ -70,7 +70,8 @@ object SparkEntry {
     "q_pct" -> (Catalog.qPct _),
     "ta_norm" -> (Catalog.taNorm _),
     "dd_inc" -> (Catalog.ddInc _),
-    "q_bm25" -> (Catalog.qBm25 _)
+    "q_bm25" -> (Catalog.qBm25 _),
+    "q_moments" -> (Catalog.qMoments _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,7 +137,8 @@ object SparkEntry {
     "q_pct" -> Oracles.qPct,
     "ta_norm" -> Oracles.taNorm,
     "dd_inc" -> Oracles.ddInc,
-    "q_bm25" -> Oracles.qBm25
+    "q_bm25" -> Oracles.qBm25,
+    "q_moments" -> Oracles.qMoments
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

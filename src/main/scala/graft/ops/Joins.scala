@@ -110,13 +110,19 @@ object Joins {
    * Contracts: point/start/end must be integral or timestamp columns
    * (timestamps bucket in MICROSECONDS — `bucketWidth` is micros there);
    * NULL points/bounds and empty intervals (start > end) match nothing;
-   * non-key column names must be disjoint. Inner join; floor-division is
-   * exact on longs (`(x - pmod(x, W)) / W`), so negative domains bucket
-   * correctly.
+   * non-key column names must be disjoint. `joinType` "inner" (default)
+   * or "left" — left keeps points inside no interval with NULL interval
+   * columns (enrich-or-null), still exactly one output row per
+   * (point, matching interval). Floor-division is exact on longs
+   * (`(x - pmod(x, W)) / W` via IntegralDivide), so negative domains
+   * bucket correctly.
    */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
       pointCol: String, startCol: String, endCol: String, bucketWidth: Long,
-      maxBucketsPerInterval: Int = 65536): DataFrame = {
+      maxBucketsPerInterval: Int = 65536,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"rangeJoin supports inner|left, got $joinType")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keyCols
@@ -166,10 +172,27 @@ object Joins {
       .filter(col(startCol).isNotNull && col(endCol).isNotNull && s <= e)
       .withColumn("__pb", explode(sequence(bucketOf(s), b1Guarded)))
 
-    val joinKeys = keyCols :+ "__pb"
-    pBucketed.join(iExploded, joinKeys,  "inner")
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("__pb")
+    if (joinType == "inner") {
+      val joinKeys = keyCols :+ "__pb"
+      pBucketed.join(iExploded, joinKeys, "inner")
+        .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+        .drop("__pb")
+    } else {
+      // left: the BETWEEN residual must sit INSIDE the join condition —
+      // a post-filter would drop the very null-extended rows "left" keeps.
+      // Catalyst still extracts the equality conjuncts as the join keys.
+      val p = pBucketed.alias("__pside")
+      val i = iExploded.alias("__iside")
+      val cond = (keyCols :+ "__pb")
+        .map(c => col(s"__pside.$c") === col(s"__iside.$c"))
+        .reduce(_ && _) &&
+        col(s"__pside.$pointCol") >= col(s"__iside.$startCol") &&
+        col(s"__pside.$pointCol") <= col(s"__iside.$endCol")
+      val outP = points.columns.map(c => col(s"__pside.$c").as(c))
+      val outI = intervals.columns.filterNot(keyCols.contains)
+        .map(c => col(s"__iside.$c").as(c))
+      p.join(i, cond, "left").select(outP ++ outI: _*)
+    }
   }
 
   /**

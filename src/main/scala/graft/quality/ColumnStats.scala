@@ -174,6 +174,49 @@ object ColumnStats {
       }: _*)
   }
 
+  /**
+   * Per-group distribution moments — mean, variance, skewness, excess
+   * kurtosis — from EXACT power sums: x..x^4 accumulate as
+   * DECIMAL(38,0) (integer-valued columns sum exactly, so the result is
+   * identical under ANY accumulation order — no float-order divergence
+   * between partial aggregation here and a SQL oracle there), and only
+   * the final O(groups) moment formulas run in double. One aggregation,
+   * map-side partials, five numbers of state per group.
+   *
+   * Population moments (the m2/m3/m4 central-moment forms):
+   * `skew = (s3/n - 3·mean·s2/n + 2·mean³) / m2^1.5`,
+   * `kurt = (s4/n - 4·mean·s3/n + 6·mean²·s2/n - 3·mean⁴) / m2² - 3`
+   * — restated with this exact association by the `q_moments` oracle.
+   * Intended for integer-valued metrics (lengths, counts); DECIMAL(38,0)
+   * truncates fractional inputs (documented, required for exactness).
+   * Groups with m2 == 0 (constant value) emit NULL skew/kurt.
+   */
+  def moments(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val x = col(valueCol).cast("decimal(38,0)")
+    val grouped = if (groupCols.isEmpty) df.groupBy() else
+      df.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
+      count(x).as("__n"),
+      sum(x).as("__s1"), sum(x * x).as("__s2"),
+      sum(x * x * x).as("__s3"), sum(x * x * x * x).as("__s4"))
+    val n = col("__n").cast("double")
+    val s1 = col("__s1").cast("double"); val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double"); val s4 = col("__s4").cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) -
+      lit(3.0) * mean * mean * mean * mean
+    agg.select(groupCols.map(col) ++ Seq(
+      col("__n").as("n"),
+      round(mean, 6).as("mean"),
+      round(m2, 6).as("variance"),
+      round(when(m2 > 0, m3 / pow(m2, 1.5)), 6).as("skewness"),
+      round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis")): _*)
+  }
+
   /** Histogram-only helper returning the bucket counts as a Scala array —
    * the input to [[Drift]] tests. One aggregation, no groupBy shuffle. */
   def histogram(df: DataFrame, column: String, spec: HistogramSpec): Array[Long] = {

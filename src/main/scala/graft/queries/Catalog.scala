@@ -856,6 +856,15 @@ object Catalog {
       .limit(10)
   }
 
+  /** Per-language distribution moments of n_chars
+   * ([[graft.quality.ColumnStats.moments]]): mean/variance/skewness/
+   * excess kurtosis from EXACT decimal power sums — accumulation-order-
+   * independent, so the oracle's HUGEINT sums land on identical doubles
+   * before the O(groups) moment formulas. */
+  def qMoments(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.ColumnStats.moments(docs(spark, dir), "n_chars", Seq("lang"))
+      .orderBy("lang")
+
   /** BM25 top-10 for the query ["hash", "join", "spark"]
    * ([[graft.ops.TextAnalysis.bm25TopK]]): one stats pass, one
    * shuffle-free scoring projection, bounded top-k — no Window, no global

@@ -1326,6 +1326,42 @@ ORDER BY id_a, id_b"""
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qMoments]]: exact HUGEINT power sums (the
+   * engine's DECIMAL(38,0) sums are equally exact, so both engines feed
+   * IDENTICAL doubles into the moment formulas), then the same
+   * left-associated central-moment expressions, round-6, NULL
+   * skew/kurtosis for constant groups.
+   */
+  val qMoments: String =
+    """WITH s AS (
+      |  SELECT lang, count(n_chars) AS n,
+      |    sum(CAST(n_chars AS HUGEINT)) AS s1,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS s4
+      |  FROM documents GROUP BY lang
+      |), d AS (
+      |  SELECT lang, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+      |    CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+      |    CAST(s4 AS DOUBLE) AS s4d
+      |  FROM s
+      |), m AS (
+      |  SELECT lang, n, s1d / nd AS mean,
+      |    s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+      |    s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+      |      + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
+      |    s4d / nd - 4.0 * (s1d / nd) * (s3d / nd)
+      |      + 6.0 * (s1d / nd) * (s1d / nd) * (s2d / nd)
+      |      - 3.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m4
+      |  FROM d
+      |)
+      |SELECT lang, n, round(mean, 6) AS mean, round(m2, 6) AS variance,
+      |  round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+      |  round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6) AS kurtosis
+      |FROM m ORDER BY lang""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qBm25]]: the shared tokenizer, corpus stats
    * (count / avg token length / per-term document frequency), then the
    * Okapi term formula with the ENGINE'S exact literal association —

@@ -1038,6 +1038,20 @@ class OpsSpec extends SparkSuite {
         "p", "s", "e", bucketWidth = 64)
     }
     assert(exPb.getMessage.contains("__pb"))
+    // left variant: every point survives; matches agree with inner,
+    // no-interval points null-extend (including the null-point row)
+    val leftGot = Joins.rangeJoin(pDf, iDf, Seq("k"), "p", "s", "e",
+      bucketWidth = 64, joinType = "left")
+      .select($"pid", $"iid")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val innerRef = reference(keyed = true)
+    val leftWant = points.flatMap { case (pid, _, _) =>
+      val m = innerRef.collect { case (p, i) if p == pid => Some(i) }
+      if (m.isEmpty) Seq((pid, None)) else m.map(pid -> _)
+    }
+    assert(leftGot.sorted.toSeq === leftWant.sorted.toSeq)
+    assert(leftGot.exists(_._2.isEmpty) && leftGot.exists(_._2.nonEmpty))
+
     // nanosecond-epoch domain (> 2^53): bucket ids must come from INTEGRAL
     // division — double division rounds here and splits a point from its
     // containing interval into adjacent buckets

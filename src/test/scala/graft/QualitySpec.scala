@@ -166,6 +166,33 @@ class QualitySpec extends SparkSuite {
     assert(plan.contains("bloom_might_contain"), s"kernel missing from plan:\n$plan")
   }
 
+  test("moments: mean/variance/skewness/kurtosis match a driver reference " +
+      "from exact sums; constant group yields NULL shape stats") {
+    val rnd = new scala.util.Random(79)
+    val rows = (0 until 600).map { i =>
+      (s"g${i % 3}", if (i % 3 == 2) 42L else rnd.nextInt(1000).toLong)
+    }
+    val got = ColumnStats.moments(rows.toDF("g", "v").repartition(6), "v", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("g0", "g1")) {
+      val vs = rows.filter(_._1 == g).map(_._2.toDouble)
+      val n = vs.size.toDouble
+      val mean = vs.sum / n
+      val m2 = vs.map(x => math.pow(x - mean, 2)).sum / n
+      val m3 = vs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = vs.map(x => math.pow(x - mean, 4)).sum / n
+      val r = got(g)
+      assert(r.getLong(1) === vs.size.toLong)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6, s"$g mean")
+      assert(math.abs(r.getDouble(3) - m2) < 1e-4, s"$g var")
+      assert(math.abs(r.getDouble(4) - m3 / math.pow(m2, 1.5)) < 1e-6, s"$g skew")
+      assert(math.abs(r.getDouble(5) - (m4 / (m2 * m2) - 3.0)) < 1e-6, s"$g kurt")
+    }
+    // constant group: variance 0, shape stats NULL (not NaN/infinity)
+    val c = got("g2")
+    assert(c.getDouble(3) === 0.0 && c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("percentiles: exact path matches the R-7 reference; approx path " +
       "honors the rank-error bound and returns actual data values") {
     val rnd = new scala.util.Random(47)
