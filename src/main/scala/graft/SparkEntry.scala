@@ -71,7 +71,8 @@ object SparkEntry {
     "ta_norm" -> (Catalog.taNorm _),
     "dd_inc" -> (Catalog.ddInc _),
     "q_bm25" -> (Catalog.qBm25 _),
-    "q_moments" -> (Catalog.qMoments _)
+    "q_moments" -> (Catalog.qMoments _),
+    "q_wsample" -> (Catalog.qWsample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,7 +139,8 @@ object SparkEntry {
     "ta_norm" -> Oracles.taNorm,
     "dd_inc" -> Oracles.ddInc,
     "q_bm25" -> Oracles.qBm25,
-    "q_moments" -> Oracles.qMoments
+    "q_moments" -> Oracles.qMoments,
+    "q_wsample" -> Oracles.qWsample
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

@@ -72,6 +72,37 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /**
+   * Deterministic WEIGHTED sampling without replacement (Efraimidis–
+   * Spirakis A-ES, "Weighted random sampling with a reservoir", IPL 2006):
+   * every row draws `key = u^(1/w)` with `u` uniform in (0,1); the k
+   * LARGEST keys are exactly a weighted sample without replacement —
+   * quality-weighted corpus selection ("prefer long/high-score docs but
+   * keep diversity") in one pass.
+   *
+   * The uniform is hash-derived, not RNG: `u = (bucket + 0.5) / g` with
+   * `bucket = pmod(xxhash64(id), g)` — reproducible across runs,
+   * partitionings and cluster sizes like every sampler here, and
+   * restatable in SQL (the `q_wsample` oracle recomputes the hash via
+   * [[graft.queries.SqlXxh64]] and the identical float expression). The
+   * top-k reduction is the bounded [[graft.functions.TopKByScore]]
+   * aggregate (map-side k-heaps, no Window, no global sort). Rows with
+   * NULL or non-positive weights are excluded (their key is undefined).
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, granularity: Int = 1 << 20): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    require(granularity > 1, "granularity must exceed 1")
+    val bucket = pmod(xxhash64(col(idCol)), lit(granularity))
+    val u = (bucket.cast("double") + lit(0.5)) / lit(granularity.toDouble)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .agg(graft.functions.TopKByScore.topK(key, col(idCol), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("__r", "__e")))
+      .select((col("__r") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), round(col("__e.score"), 6).as("key"))
+  }
+
   /** `df` plus a `split` column assigned by [[splitLabel]] — one codegen'd
    * projection, no shuffle, no RNG. */
   def hashSplit(df: DataFrame, idCol: String,

@@ -856,6 +856,16 @@ object Catalog {
       .limit(10)
   }
 
+  /** Weighted sample without replacement ([[graft.ops.Sampling
+   * .weightedSample]], A-ES keys): top-20 documents under weight
+   * n_chars/100 — longer docs proportionally likelier, short ones still
+   * reachable. Oracle recomputes the hash-uniform via SqlXxh64 and the
+   * identical `pow(u, 1/w)` expression. */
+  def qWsample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      docs(spark, dir).withColumn("w", col("n_chars") / 100.0),
+      "doc_id", "w", k = 20)
+
   /** Per-language distribution moments of n_chars
    * ([[graft.quality.ColumnStats.moments]]): mean/variance/skewness/
    * excess kurtosis from EXACT decimal power sums — accumulation-order-

@@ -1326,6 +1326,33 @@ ORDER BY id_a, id_b"""
       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qWsample]]: the A-ES key restated — bucket from
+   * the staged SQL XXH64 (seed 42, 8-byte path), the same
+   * `(bucket + 0.5) / 2^20` uniform and `pow(u, 1.0 / (n_chars / 100.0))`
+   * expression, ranked key DESC with ascending-id ties (TopKByScore's
+   * heap order).
+   */
+  def qWsample: String = {
+    val hashed = SqlXxh64.stagesSql(
+      SqlXxh64.hashLongStages("doc_id", 42L), "documents",
+      Seq("doc_id", "n_chars"))
+    val s = SqlXxh64.signed("lb4")
+    s"""WITH h AS (
+       |  $hashed
+       |), b AS (
+       |  SELECT doc_id, n_chars,
+       |    ((($s) % 1048576) + 1048576) % 1048576 AS bucket FROM h
+       |), kk AS (
+       |  SELECT doc_id,
+       |    pow((bucket + 0.5) / 1048576.0, 1.0 / (n_chars / 100.0)) AS key
+       |  FROM b WHERE n_chars IS NOT NULL AND n_chars / 100.0 > 0
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank,
+       |  doc_id, round(key, 6) AS key
+       |FROM kk ORDER BY key DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /**
    * Oracle for [[Catalog.qMoments]]: exact HUGEINT power sums (the
    * engine's DECIMAL(38,0) sums are equally exact, so both engines feed
    * IDENTICAL doubles into the moment formulas), then the same

@@ -1132,6 +1132,44 @@ class OpsSpec extends SparkSuite {
     assert(withUnknown === got)
   }
 
+  test("weightedSample: A-ES top-k matches the driver reference, is " +
+      "partition-independent, excludes null/non-positive weights") {
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 300).map { i =>
+      val w = i % 10 match {
+        case 0 => null.asInstanceOf[java.lang.Double] // excluded
+        case 1 => java.lang.Double.valueOf(0.0) // excluded
+        case 2 => java.lang.Double.valueOf(-2.0) // excluded
+        case _ => java.lang.Double.valueOf(0.1 + rnd.nextDouble() * 9.9)
+      }
+      (i.toLong, w)
+    }
+    val df = rows.toDF("id", "w")
+    val g = 1 << 20
+    // reference keys from the engine's own hash (xxhash64 via a plain
+    // projection), the A-ES formula in scala doubles
+    val buckets = df.select($"id", pmod(xxhash64($"id"), lit(g)))
+      .as[(Long, Long)].collect().toMap
+    val want = rows.collect { case (id, w) if w != null && w > 0 =>
+      val u = (buckets(id).toDouble + 0.5) / g.toDouble
+      (id, math.pow(u, 1.0 / w))
+    }.sortBy { case (id, key) => (-key, id) }.take(25)
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.weightedSample(df.repartition(parts), "id", "w", 25)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      got.zip(want.zipWithIndex).foreach { case ((gr, gi, gk), ((wi, wk), r)) =>
+        assert(gr === r + 1 && gi === wi, s"parts=$parts rank ${r + 1}")
+        assert(math.abs(gk - wk) < 1e-6)
+      }
+    }
+    val excluded = Set.empty[Long] ++ rows.collect {
+      case (id, w) if w == null || w <= 0 => id }
+    val sampled = Sampling.weightedSample(df, "id", "w", 300)
+      .select("id").as[Long].collect().toSet
+    assert(sampled.intersect(excluded).isEmpty)
+    assert(sampled.size === rows.count(r => r._2 != null && r._2 > 0))
+  }
+
   test("bm25TopK matches an in-memory Okapi reference (ties by id, " +
       "term-absent docs, blank docs)") {
     val rnd = new scala.util.Random(73)
