@@ -304,6 +304,25 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("*("), "sampling filter must be codegen'd")
   }
 
+  test("bm25 / weighted-sample / moments plans: bounded partial " +
+      "aggregation, no Window, no global Sort") {
+    val df = (0 until 200).map(i => (i.toLong, s"hash join doc $i", i % 97 + 1.0))
+      .toDF("id", "text", "w").repartition(4)
+    val plans = Seq(
+      "bm25" -> physical(graft.ops.TextAnalysis.bm25TopK(
+        df, "id", "text", Seq("hash"), 5)),
+      "wsample" -> physical(graft.ops.Sampling.weightedSample(df, "id", "w", 5)),
+      "moments" -> physical(graft.quality.ColumnStats.moments(
+        df.withColumn("g", col("id") % 3), "w", Seq("g"))))
+    for ((name, plan) <- plans) {
+      assert(!plan.contains("Window"), s"$name must not window:\n$plan")
+      assert(!plan.contains("Sort ["), s"$name must not globally sort:\n$plan")
+      assert(plan.contains("partial"), s"$name must partial-aggregate:\n$plan")
+    }
+    assert(plans(0)._2.contains("top_k_by_score") &&
+      plans(1)._2.contains("top_k_by_score"))
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
