@@ -72,7 +72,8 @@ object SparkEntry {
     "dd_inc" -> (Catalog.ddInc _),
     "q_bm25" -> (Catalog.qBm25 _),
     "q_moments" -> (Catalog.qMoments _),
-    "q_wsample" -> (Catalog.qWsample _)
+    "q_wsample" -> (Catalog.qWsample _),
+    "q_kmv" -> (Catalog.qKmv _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,7 +141,8 @@ object SparkEntry {
     "dd_inc" -> Oracles.ddInc,
     "q_bm25" -> Oracles.qBm25,
     "q_moments" -> Oracles.qMoments,
-    "q_wsample" -> Oracles.qWsample
+    "q_wsample" -> Oracles.qWsample,
+    "q_kmv" -> Oracles.qKmv
   ) ++
     // ann_ivf's oracle inlines the centroid table the query just computed,
     // and ann_lsh's regenerates the seeded planes at the fixture's actual

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
  *   minhash_sig(arr<bigint>, numHashes[, seed]) -> arr<bigint>
  *   top_k_by_score(score, id, k)            -> AGGREGATE: arr<struct<score,id>>
  *   freq_items_sketch(token, capacity)      -> AGGREGATE: arr<struct<token,est_count>>
+ *   kmv_distinct(hash, k)                   -> AGGREGATE: struct<n_kept,kth_hash,est_distinct>
  *
  * Two registration paths:
  *  - config-time: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -93,6 +94,12 @@ object GraftFunctions {
       "(count DESC, token ASC); exact when distinct <= capacity") { args =>
       require(args.size == 2, "freq_items_sketch(token, capacity)")
       FreqItemsSketch(Cast(args(0), StringType), intArg(args(1), "capacity"))
+    },
+    fn("kmv_distinct", "_FUNC_(hash, k) - aggregate: KMV distinct-count " +
+      "sketch over an already-hashed bigint (pass xxhash64(col)): " +
+      "struct(n_kept, kth_hash, est_distinct); exact when distinct < k") { args =>
+      require(args.size == 2, "kmv_distinct(hash, k)")
+      KmvSketch(Cast(args(0), LongType), intArg(args(1), "k"))
     },
     fn("collect_sigs_capped", "_FUNC_(id, sig, cap) - aggregate: " +
       "array<struct<id,sig>> of the group sorted by id, NULL once the group " +

@@ -942,6 +942,32 @@ object Catalog {
       "n_chars", Seq("lang"), Seq(0.25, 0.5, 0.75, 0.95))
       .orderBy("lang")
 
+  /** KMV distinct-count sketch ([[graft.functions.KmvSketch]]) per
+   * language over `xxhash64(doc_id)`, at two sketch sizes in ONE
+   * aggregation pass: k=32 exercises the estimation regime everywhere,
+   * k=512 flips between exact (distinct < 512 at sf0.01) and estimating
+   * (sf0.1) — the oracle's CASE covers both. Unlike HLL, every output —
+   * kept-count, k-th order statistic, estimate — is a pure function of
+   * the data, so DuckDB recomputes the whole sketch from raw doc_ids via
+   * the staged SQL XXH64 ([[Oracles.qKmv]]). */
+  def qKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val h = xxhash64(col("doc_id"))
+    docs(spark, dir).filter(col("doc_id").isNotNull)
+      .groupBy(col("lang"))
+      .agg(KmvSketch.sketch(h, 32).as("s32"),
+        KmvSketch.sketch(h, 512).as("s512"),
+        countDistinct(col("doc_id")).as("exact_distinct"))
+      .select(col("lang"), col("exact_distinct"),
+        col("s32.n_kept").as("n32"),
+        col("s32.kth_hash").as("kth32"),
+        round(col("s32.est_distinct"), 4).as("est32"),
+        col("s512.n_kept").as("n512"),
+        col("s512.kth_hash").as("kth512"),
+        round(col("s512.est_distinct"), 4).as("est512"))
+      .orderBy("lang")
+  }
+
   /** Morton (Z-order) sort key over (user_id, minute-of-day) for every
    * event — the [[graft.ops.Layout.zorderBy]] clustering key, checked
    * value-for-value: the oracle restates the bias + 5-step mask-shift bit

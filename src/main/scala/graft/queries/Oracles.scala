@@ -1502,6 +1502,54 @@ ORDER BY id_a, id_b"""
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /**
+   * Oracle for [[Catalog.qKmv]]: recompute the ENTIRE KMV sketch from raw
+   * doc_ids — xxhash64 via the staged pure-SQL formulation
+   * ([[SqlXxh64.hashLongStages]], seed 42 = Spark's), the per-language
+   * k-th smallest distinct hash as a window order statistic, and the
+   * estimator `(k-1) / ((kth_unsigned + 1) / 2^64)` verbatim (same IEEE
+   * op order; round-4 on both sides). The CASE mirrors the sketch's two
+   * regimes: distinct < k → exact count, else the order-statistic
+   * estimate.
+   */
+  def qKmv: String = {
+    val hashed = SqlXxh64.stagesSql(
+      SqlXxh64.hashLongStages("doc_id", 42L),
+      "(SELECT lang, doc_id FROM documents WHERE doc_id IS NOT NULL)",
+      Seq("lang", "doc_id"))
+    def kth(tbl: String, k: Int): String =
+      s"""CASE WHEN mm.m >= $k THEN ${SqlXxh64.signed(s"$tbl.hv")} END"""
+    def est(tbl: String, k: Int): String =
+      s"""CASE WHEN mm.m < $k THEN round(CAST(mm.m AS DOUBLE), 4)
+         |    ELSE round(${(k - 1).toDouble} /
+         |      (($tbl.hv::DOUBLE + 1.0) / power(2.0, 64)), 4) END""".stripMargin
+    s"""WITH h AS (
+       |  $hashed
+       |), d AS (
+       |  SELECT lang, lb4 AS hv FROM h GROUP BY lang, lb4
+       |), r AS (
+       |  SELECT lang, hv,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rk
+       |  FROM d
+       |), mm AS (
+       |  SELECT lang, count(*) AS m FROM d GROUP BY lang
+       |), x AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS exact_distinct
+       |  FROM documents WHERE doc_id IS NOT NULL GROUP BY lang
+       |), k32 AS (SELECT lang, hv FROM r WHERE rk = 32),
+       |k512 AS (SELECT lang, hv FROM r WHERE rk = 512)
+       |SELECT x.lang, x.exact_distinct,
+       |  CAST(LEAST(mm.m, 32) AS INT) AS n32,
+       |  ${kth("k32", 32)} AS kth32,
+       |  ${est("k32", 32)} AS est32,
+       |  CAST(LEAST(mm.m, 512) AS INT) AS n512,
+       |  ${kth("k512", 512)} AS kth512,
+       |  ${est("k512", 512)} AS est512
+       |FROM x JOIN mm USING (lang)
+       |LEFT JOIN k32 USING (lang) LEFT JOIN k512 USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
+  /**
    * Oracle for [[Catalog.qZorder]]: the Morton interleave as pure SQL
    * arithmetic — bias each int32 by 2^31, dilate its bits to even
    * positions with the standard 5-step mask-shift (shifts become

@@ -75,6 +75,15 @@ class ExtensionsSpec extends SparkSuite {
     assert(got.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
+  test("kmv_distinct works as a SQL aggregate and casts int input") {
+    val got = spark.sql(
+      """SELECT kmv_distinct(xxhash64(v), 8) AS s
+        |FROM VALUES (1), (2), (3), (2), (1) AS t(v)""".stripMargin)
+      .select("s.n_kept", "s.est_distinct").collect().head
+    assert(got.getInt(0) === 3)
+    assert(got.getDouble(1) === 3.0)
+  }
+
   test("top_k_by_score casts int score/id like the Column API (no runtime CCE)") {
     val got = spark.sql(
       """SELECT top_k_by_score(s, id, 2) AS tk

@@ -536,6 +536,48 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("KmvSketch exact regime: distinct < k reports the exact count, null kth hash") {
+    import graft.functions.KmvSketch
+    val rows = (1 to 500).map(i => i % 20).toDF("v").repartition(7)
+    val got = rows.agg(KmvSketch.sketch(xxhash64($"v"), 64).as("s"))
+      .select($"s.n_kept", $"s.kth_hash", $"s.est_distinct").collect().head
+    assert(got.getInt(0) === 20)
+    assert(got.isNullAt(1))
+    assert(got.getDouble(2) === 20.0)
+  }
+
+  test("KmvSketch estimation regime: matches the driver KMV reference, " +
+      "partition-independent, and the estimate is near the truth") {
+    import graft.functions.KmvSketch
+    val k = 64
+    val n = 3000
+    val rnd = new scala.util.Random(11)
+    // duplicates included: the sketch must dedup hashes, not count rows
+    val vals = Seq.fill(n)(rnd.nextLong(100000))
+    val rows = vals.toDF("v")
+    // independent driver reference: hash via Spark once (the hash function
+    // itself is parity-tested elsewhere/SqlXxh64), then pure-Scala KMV
+    val hashes = rows.select(xxhash64($"v").as("h")).collect().map(_.getLong(0))
+    val distinctSorted = hashes.distinct.sorted(Ordering.comparatorToOrdering(
+      java.lang.Long.compareUnsigned(_: Long, _: Long)))
+    val kth = distinctSorted(k - 1)
+    val expEst = (k - 1).toDouble /
+      ((KmvSketch.unsignedToDouble(kth) + 1.0) / KmvSketch.Two64)
+    for (parts <- Seq(1, 5, 13)) {
+      val got = rows.repartition(parts)
+        .agg(KmvSketch.sketch(xxhash64($"v"), k).as("s"))
+        .select($"s.n_kept", $"s.kth_hash", $"s.est_distinct").collect().head
+      assert(got.getInt(0) === k)
+      assert(got.getLong(1) === kth, s"kth order statistic at parts=$parts")
+      assert(got.getDouble(2) === expEst)
+    }
+    // statistical sanity: within 5 sigma of the true distinct count
+    val truth = vals.distinct.size.toDouble
+    val sigma = truth / math.sqrt(k - 2.0)
+    assert(math.abs(expEst - truth) < 5 * sigma,
+      s"est $expEst vs truth $truth (sigma $sigma)")
+  }
+
   test("zorder64: matches a bit-by-bit reference (negatives, extremes), " +
       "preserves interleave order, round-trips through codegen") {
     // independent reference: interleave bit i of each biased input via
