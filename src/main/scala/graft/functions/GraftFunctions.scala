@@ -95,6 +95,11 @@ object GraftFunctions {
       require(args.size == 2, "freq_items_sketch(token, capacity)")
       FreqItemsSketch(Cast(args(0), StringType), intArg(args(1), "capacity"))
     },
+    fn("char_entropy", "_FUNC_(str) - Shannon entropy (bits, log2) of the " +
+      "string's code-point distribution; 0.0 for empty") { args =>
+      require(args.size == 1, "char_entropy(str)")
+      CharEntropy(Cast(args(0), StringType))
+    },
     fn("kmv_distinct", "_FUNC_(hash, k) - aggregate: KMV distinct-count " +
       "sketch over an already-hashed bigint (pass xxhash64(col)): " +
       "struct(n_kept, kth_hash, est_distinct); exact when distinct < k") { args =>

@@ -282,6 +282,25 @@ object Curation {
     size(filter(urlDomains(text), d => d.isin(blocklist: _*))) === 0
 
   /**
+   * Blocked-term gate ([[graft.functions.AcMultiLiteralStats]]): one
+   * Aho–Corasick pass counts every dictionary literal in `lower(text)` —
+   * distinct terms present, total non-overlapping hits, and the C4-style
+   * keep verdict (`n_terms <= maxTerms`, default: any hit drops the doc).
+   * O(|text| + hits) per row whatever the dictionary size, where |dict|
+   * stacked `contains` filters would be O(|dict|·|text|) — the reason
+   * C4-scale pipelines precompile their bad-word lists.
+   */
+  def termGate(df: DataFrame, idCol: String, textCol: String,
+      dict: Seq[String], maxTerms: Int = 0): DataFrame =
+    df.select(col(idCol),
+      graft.functions.AcMultiLiteralStats.stats(lower(col(textCol)),
+        dict.map(_.toLowerCase)).as("__s"))
+      .select(col(idCol),
+        col("__s.n_terms").as("n_terms"),
+        col("__s.n_hits").as("n_hits"),
+        (col("__s.n_terms") <= maxTerms).as("keep"))
+
+  /**
    * The one-call curation pipeline — the corpus-hygiene counterpart of
    * [[Dedup.dedupCorpus]], composing this module's gates in the order a
    * 100 TB pass wants them:

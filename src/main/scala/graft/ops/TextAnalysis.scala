@@ -356,4 +356,48 @@ object TextAnalysis {
       .select((col("pos") + 1).cast("int").as("rank"),
         col("e.id").as(idCol), round(col("e.score"), 6).as("score"))
   }
+
+  /** Add-one-smoothed unigram token counts of a corpus, as the broadcast
+   * payload [[lmScore]] consumes: token → ln((c+1)/(T+V)), plus the OOV
+   * log-prob ln(1/(T+V)). Driver-memory-bounded like [[idfMap]] (one map
+   * entry per distinct token); build once, score any number of batches. */
+  def lmModel(train: DataFrame, textCol: String): (Map[String, Double], Double) = {
+    val counts = train.filter(col(textCol).isNotNull)
+      .select(explode(tokensLower(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val denom = (counts.values.sum + counts.size).toDouble
+    (counts.map { case (t, c) => t -> math.log((c + 1).toDouble / denom) },
+      math.log(1.0 / denom))
+  }
+
+  /**
+   * Unigram language-model quality score — the CCNet-style "perplexity
+   * filter": score every document by its mean per-token negative
+   * log-probability under an add-one-smoothed unigram model of `train`
+   * (low = fluent/typical, high = gibberish or out-of-domain; CCNet
+   * buckets a corpus into head/middle/tail on exactly this statistic).
+   *
+   * Scale shape: ONE aggregation over the training corpus builds the
+   * count map (a vocabulary-sized driver value, the [[idfMap]] bound),
+   * which ships as a broadcast; scoring is then ONE shuffle-free
+   * projection — the [[graft.functions.BroadcastMapLookup]] kernel
+   * resolves each token's log-prob INSIDE the array fold, so no explode,
+   * no join, no per-doc re-aggregation, and new batches score at scan
+   * speed against a frozen model. Tokens absent from the model take the
+   * OOV log-prob ln(1/(T+V)).
+   */
+  def lmScore(score: DataFrame, idCol: String, textCol: String,
+      model: (Map[String, Double], Double)): DataFrame = {
+    val (logp, oov) = model
+    val bc = graft.functions.BroadcastMapLookup.broadcastMap(
+      score.sparkSession, logp)
+    val toks = tokensLower(col(textCol))
+    val nll = -aggregate(toks, lit(0.0), (acc, t) =>
+      acc + coalesce(graft.functions.BroadcastMapLookup.lookup(t, bc),
+        lit(oov))) / size(toks).cast("double")
+    score.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).as("n_tokens"),
+        round(nll, 6).as("avg_nll"))
+  }
 }

@@ -968,6 +968,61 @@ object Catalog {
       .orderBy("lang")
   }
 
+  /** Blocked-term gate ([[graft.ops.Curation.termGate]]): one
+   * Aho–Corasick pass over lower(text) counts four dictionary literals —
+   * two organic corpus words, a two-word phrase, and a term PLANTED in
+   * mixed case on doc_id%9 (exercising the case-fold path). The oracle
+   * restates each literal's greedy non-overlapping count as DuckDB
+   * replace-arithmetic — the exact semantics the kernel implements. */
+  def taBlock(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 9 === 0,
+      concat(col("text"), lit(" BadWord okay BADWORD"))).otherwise(col("text"))
+    graft.ops.Curation.termGate(
+      docs(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), planted.as("text")),
+      "doc_id", "text", Seq("spark", "slow", "hash join", "BadWord"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram LM quality score ([[graft.ops.TextAnalysis.lmScore]]) — the
+   * CCNet perplexity filter: mean per-token negative log-probability
+   * under an add-one unigram model trained on the raw corpus. Scoring
+   * happens on a PLANTED variant (doc_id%6 gains an out-of-vocabulary
+   * token) so the OOV smoothing path is non-vacuous. Oracle restates the
+   * tokenizer, counts and ln((c+1)/(T+V)) in SQL; round-6 absorbs ln's
+   * engine ulp skew. */
+  def qLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = graft.ops.TextAnalysis.lmModel(d, "text")
+    val scoreDf = d.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(col("text"), lit(" zq9xoov")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.TextAnalysis.lmScore(scoreDf, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  /** Code-point Shannon entropy ([[graft.functions.CharEntropy]]) — the
+   * Gopher/C4-style gibberish gate. Planted rows exercise every regime
+   * the kernel dispatches on: multibyte single-code-point graphemes
+   * (doc_id%4, the slow path — chosen so DuckDB's grapheme split and the
+   * kernel's code-point count agree), repeated-char padding (doc_id%7,
+   * low entropy), and the ASCII fast path everywhere else. Entropy
+   * restated by DuckDB's own `entropy()` aggregate over the char split;
+   * round-6 is the house float contract. */
+  def taEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val withMb = when(col("doc_id") % 4 === 0,
+      concat(col("text"), lit(" é✓汉é"))).otherwise(col("text"))
+    val planted = when(col("doc_id") % 7 === 0,
+      concat(withMb, lit(" zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"))).otherwise(withMb)
+    docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        length(col("t")).as("n_cp"),
+        round(graft.functions.CharEntropy.entropy(col("t")), 6)
+          .as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Morton (Z-order) sort key over (user_id, minute-of-day) for every
    * event — the [[graft.ops.Layout.zorderBy]] clustering key, checked
    * value-for-value: the oracle restates the bias + 5-step mask-shift bit

@@ -1502,6 +1502,93 @@ ORDER BY id_a, id_b"""
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /**
+   * Oracle for [[Catalog.taBlock]]: per (doc, literal), the greedy
+   * non-overlapping occurrence count via replace-arithmetic
+   * `(len(t) - len(replace(t, w, ''))) / len(w)` over the same lowered,
+   * planted text — exactly the per-literal semantics the Aho–Corasick
+   * kernel implements (its per-pattern greedy-by-end rule coincides with
+   * sequential leftmost replace). n_terms counts literals with a hit;
+   * keep mirrors the maxTerms=0 gate.
+   */
+  val taBlock: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    lower(CASE WHEN doc_id % 9 = 0 THEN text || ' BadWord okay BADWORD'
+      |               ELSE text END) AS t
+      |  FROM documents WHERE text IS NOT NULL
+      |), d AS (
+      |  SELECT * FROM (VALUES ('spark'), ('slow'), ('hash join'), ('badword')) v(w)
+      |), c AS (
+      |  SELECT doc_id,
+      |    (length(t) - length(replace(t, w, ''))) / length(w) AS cnt
+      |  FROM p CROSS JOIN d
+      |)
+      |SELECT doc_id,
+      |  CAST(count(CASE WHEN cnt > 0 THEN 1 END) AS INT) AS n_terms,
+      |  CAST(sum(cnt) AS BIGINT) AS n_hits,
+      |  count(CASE WHEN cnt > 0 THEN 1 END) = 0 AS keep
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qLm]]: the shared tokenizer builds the unigram
+   * counts (T tokens, V distinct) from the RAW corpus; the scored corpus
+   * plants ' zq9xoov' on doc_id%6 (OOV: coalesce(c,0)); per-token
+   * log-prob ln((c+1)/(T+V)) summed per doc and negated over the token
+   * count. Round-6 absorbs ln() and summation-order ulp skew.
+   */
+  val qLm: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')) AS token
+      |  FROM documents WHERE text IS NOT NULL
+      |), cnt AS (
+      |  SELECT token, count(*) AS c FROM tok GROUP BY token
+      |), tot AS (
+      |  SELECT sum(c) AS t, count(*) AS v FROM cnt
+      |), sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' zq9xoov' ELSE text END AS t2
+      |  FROM documents WHERE text IS NOT NULL
+      |), st AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(t2)), '[\s\x0b]+')) AS token
+      |  FROM sc
+      |), lp AS (
+      |  SELECT st.doc_id,
+      |    ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + tot.v)) AS l
+      |  FROM st LEFT JOIN cnt USING (token), tot
+      |)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |  round(-sum(l) / count(*), 6) AS avg_nll
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.taEntropy]]: the same planted corpus (multibyte
+   * suffix on doc_id%4, 32 z's on doc_id%7), char distribution via
+   * `string_split(t,'')` (grapheme clusters == code points here: the
+   * planted multibyte chars are all single-code-point), and DuckDB's own
+   * log2 `entropy()` aggregate — an independent implementation of the
+   * same -Σ p·log2 p, agreeing to the round-6 float contract. Empty
+   * strings split to zero rows, hence the LEFT JOIN + coalesce(0).
+   */
+  val taEntropy: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN base || ' zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz'
+      |         ELSE base END AS t
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id % 4 = 0 THEN text || ' é✓汉é' ELSE text END AS base
+      |        FROM documents WHERE text IS NOT NULL)
+      |), e AS (
+      |  SELECT doc_id, round(entropy(ch), 6) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM p)
+      |  GROUP BY doc_id
+      |)
+      |SELECT p.doc_id, length(p.t) AS n_cp,
+      |  coalesce(e.h, 0.0) AS char_entropy
+      |FROM p LEFT JOIN e USING (doc_id) ORDER BY p.doc_id""".stripMargin
+
+  /**
    * Oracle for [[Catalog.qKmv]]: recompute the ENTIRE KMV sketch from raw
    * doc_ids — xxhash64 via the staged pure-SQL formulation
    * ([[SqlXxh64.hashLongStages]], seed 42 = Spark's), the per-language

@@ -536,6 +536,68 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("AcMultiLiteralStats: matches a sequential indexOf reference on " +
+      "randomized text (overlapping, nested and multibyte literals)") {
+    import graft.functions.AcMultiLiteralStats
+    // nested ("a" inside "aba"), self-overlapping ("aa"), shared-prefix
+    // ("ab"/"aba"), multibyte, and phrase-with-space literals
+    val dict = Seq("ab", "ba", "aba", "aa", "a", "é✓", "zz z")
+    def refCount(t: String, w: String): Int = {
+      var i = 0; var c = 0
+      var j = t.indexOf(w, i)
+      while (j >= 0) { c += 1; i = j + w.length; j = t.indexOf(w, i) }
+      c
+    }
+    val rnd = new scala.util.Random(59)
+    val alph = Seq("a", "b", "z", " ", "é", "✓")
+    val inputs = Seq("", "a", "ababa", "aaaa", "é✓é✓", "zz zz z") ++
+      Seq.fill(80)((0 until rnd.nextInt(60))
+        .map(_ => alph(rnd.nextInt(alph.length))).mkString)
+    val got = inputs.toDF("t")
+      .select(AcMultiLiteralStats.stats($"t", dict).as("s"))
+      .select($"s.n_terms", $"s.n_hits")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    inputs.zip(got).foreach { case (t, (terms, hits)) =>
+      val cs = dict.map(refCount(t, _))
+      assert(terms === cs.count(_ > 0), s"n_terms for '$t'")
+      assert(hits === cs.sum.toLong, s"n_hits for '$t' (ref ${dict.zip(cs)})")
+    }
+    assert(Seq[String](null).toDF("t")
+      .select(AcMultiLiteralStats.stats($"t", dict)).collect().head.isNullAt(0))
+  }
+
+  test("CharEntropy: matches an independent BigDecimal-free reference on " +
+      "hand cases, randomized ASCII and multibyte/supplementary strings") {
+    import graft.functions.CharEntropy
+    def ref(s: String): Double = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0.0
+      else {
+        val n = cps.length.toDouble
+        cps.groupBy(identity).values.map(_.length / n)
+          .map(p => -p * math.log(p) / math.log(2.0)).sum
+      }
+    }
+    val hand = Seq("", "a", "aabb", "abab", "abcabd", "aaaa",
+      "é✓汉é", "a😀b😀", " \t\nmixed WS ")
+    val rnd = new scala.util.Random(23)
+    // sample whole code points (indexing chars would split 😀 into lone
+    // surrogates — not a valid string, and not round-trippable via UTF-8)
+    val alph = "abcdefgh 0123é✓汉😀".codePoints().toArray
+      .map(Character.toString)
+    val fuzz = Seq.fill(60)(
+      (0 until rnd.nextInt(40)).map(_ => alph(rnd.nextInt(alph.length))).mkString)
+    val inputs = hand ++ fuzz
+    val got = inputs.toDF("s")
+      .select(CharEntropy.entropy($"s").as("h")).collect().map(_.getDouble(0))
+    inputs.zip(got).foreach { case (s, h) =>
+      assert(math.abs(h - ref(s)) < 1e-12, s"entropy of '$s'")
+    }
+    // null in, null out
+    assert(Seq[String](null).toDF("s")
+      .select(CharEntropy.entropy($"s")).collect().head.isNullAt(0))
+  }
+
   test("KmvSketch exact regime: distinct < k reports the exact count, null kth hash") {
     import graft.functions.KmvSketch
     val rows = (1 to 500).map(i => i % 20).toDF("v").repartition(7)

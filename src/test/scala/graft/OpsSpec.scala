@@ -1170,6 +1170,40 @@ class OpsSpec extends SparkSuite {
     assert(sampled.size === rows.count(r => r._2 != null && r._2 > 0))
   }
 
+  test("lmScore: add-one unigram NLL matches an in-memory reference; " +
+      "OOV tokens take the smoothing floor; frozen model scores new batches") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Array("data", "hash", "join", "scan", "sort")
+    val train = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val model = TextAnalysis.lmModel(train.toDF("id", "text").repartition(5), "text")
+    // score a DIFFERENT batch: in-vocab text plus planted OOV tokens
+    val batch = Seq((1000L, "data hash qqq"), (1001L, "sort sort"),
+      (1002L, "www xxx yyy"), (1003L, ""))
+    val got = TextAnalysis.lmScore(batch.toDF("id", "text"), "id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    // independent reference with the same tokenizer contract
+    def toksOf(t: String) = t.toLowerCase.trim.split("[\\s\\x0B]+", -1).toSeq
+    val counts = train.flatMap { case (_, t) => toksOf(t) }
+      .groupBy(identity).map { case (t, g) => t -> g.size }
+    val denom = (counts.values.sum + counts.size).toDouble
+    def lp(t: String) = math.log((counts.getOrElse(t, 0) + 1).toDouble / denom)
+    val want = batch.map { case (id, t) =>
+      val ts = toksOf(t)
+      (id, ts.size, -ts.map(lp).sum / ts.size)
+    }
+    got.zip(want).foreach { case ((gi, gn, gs), (wi, wn, ws)) =>
+      assert(gi === wi && gn === wn, s"doc $wi")
+      assert(math.abs(gs - ws) < 2e-6, s"doc $wi nll: $gs vs $ws")
+    }
+    // the OOV doc must score strictly worse than the all-in-vocab doc
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1002L) > byId(1001L), "pure-OOV doc must have higher NLL")
+  }
+
   test("bm25TopK matches an in-memory Okapi reference (ties by id, " +
       "term-absent docs, blank docs)") {
     val rnd = new scala.util.Random(73)
