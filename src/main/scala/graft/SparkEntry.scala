@@ -76,7 +76,8 @@ object SparkEntry {
     "q_kmv" -> (Catalog.qKmv _),
     "ta_entropy" -> (Catalog.taEntropy _),
     "q_lm" -> (Catalog.qLm _),
-    "ta_block" -> (Catalog.taBlock _)
+    "ta_block" -> (Catalog.taBlock _),
+    "dd_semantic" -> (Catalog.ddSemantic _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,6 +156,7 @@ object SparkEntry {
     // embedding dim — both exist only after the query ran (Verify runs
     // queries first, then dumps oracleSql — the ordering this depends on).
     Catalog.lastIvfCentroids.map(c => "ann_ivf" -> Oracles.annIvf(c)).toMap ++
+    Catalog.lastSemCentroids.map(c => "dd_semantic" -> Oracles.ddSemantic(c)).toMap ++
     Map("ann_lsh" -> Oracles.annLsh(Catalog.lastLshDim.getOrElse(64)),
       "dd_cos_lsh" -> Oracles.ddCosLsh(Catalog.lastCosLshDim.getOrElse(64)))
 }

@@ -350,6 +350,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /**
+   * SemDeDup (Abbas et al., arXiv:2303.09540): embedding-space semantic
+   * deduplication — the step AFTER exact/MinHash dedup in modern LLM
+   * corpus pipelines, catching re-phrasings and boilerplate variants that
+   * share no n-grams. The paper's recipe, composed here from three
+   * already-oracled stages: (1) k-means-cluster the embeddings
+   * ([[Similarity.ivfCentroids]] — the IVF coarse index IS SemDeDup's
+   * k-means; assignment is the codegen'd [[Similarity.nearestCentroid]]
+   * argmin), (2) compare pairs only WITHIN a cluster
+   * ([[cosineNearDups]] with its degenerate-block cap), (3) connect
+   * pairs at cosine >= `threshold` into duplicate groups
+   * ([[Clustering.connectedComponents]]) and keep ONE representative per
+   * group — the MIN id, deterministically (the paper keeps the member
+   * with the LOWEST centroid similarity; that variant is the same
+   * plumbing with a different keep rule, and the output carries the
+   * cluster so callers can re-rank survivors either way).
+   *
+   * Scale shape: assignment is one shuffle-free projection (k×dim
+   * centroid doubles ride the task closure); pairing is block-local and
+   * capped, never corpus-quadratic; component closure runs on
+   * pair-graph-sized data in O(log n) rounds. Output: every input id
+   * with its `cluster`, its duplicate `component` (null = no in-cluster
+   * near-dup) and the `keep` verdict — filter on `keep` to materialize
+   * the deduplicated corpus, or aggregate `component` for group sizes.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol),
+      graft.ops.Similarity.nearestCentroid(col(vecCol), centroids).as("cluster"))
+    val pairs = cosineNearDups(assigned, idCol, vecCol, "cluster",
+      threshold, maxBlockSize)
+    val comps = graft.ops.Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    assigned.select(col(idCol), col("cluster"))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("component"),
+        (col("component").isNull || col("component") === col(idCol)).as("keep"))
+  }
+
   // --- incremental dedup (the production delta shape) ----------------------
   //
   // At 100 TB nobody re-deduplicates the corpus per ingest; the day's DELTA

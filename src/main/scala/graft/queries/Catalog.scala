@@ -510,6 +510,38 @@ object Catalog {
       .orderBy("id_a", "id_b")
   }
 
+  /** Centroids trained by the most recent [[ddSemantic]] run — data-derived
+   * like [[lastIvfCentroids]], so the oracle inlines them post-run. */
+  @volatile var lastSemCentroids: Option[Array[Array[Double]]] = None
+
+  /** SemDeDup end-to-end ([[graft.ops.Dedup.semanticDedup]]): k-means
+   * clusters (the deterministic seeded Lloyd build of [[annIvf]], k=8),
+   * in-cluster cosine pairs at >= 0.9, connected components, min-id
+   * representative — over the same planted corpus as [[ddCosPairs]]
+   * (exact clones +100000 on %25, first-element-zeroed +200000 on %40).
+   * Exact clones share a cluster BY CONSTRUCTION (identical vectors,
+   * identical argmin), so the pipeline provably removes them; zeroed
+   * clones pair up only when assigned with their original — decided
+   * identically by the oracle's inlined-centroid argmin
+   * ([[Oracles.ddSemantic]]), which restates assignment, the block cap,
+   * pair cosines, the recursive component closure and the keep rule. */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val clones = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val zeroed = e.filter(col("vec_id") % 40 === 0)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("embedding", concat(array(lit(0.0f)),
+        slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+    val corpus = e.unionByName(clones).unionByName(zeroed)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2)
+    lastSemCentroids = Some(cents)
+    Dedup.semanticDedup(corpus, "vec_id", "embedding", cents, threshold = 0.9)
+      .orderBy("vec_id")
+  }
+
   /** Embedding dim used by the most recent [[ddCosLsh]] run — the oracle
    * regenerates the same seeded hyperplanes at this dim. */
   @volatile var lastCosLshDim: Option[Int] = None

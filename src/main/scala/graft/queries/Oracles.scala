@@ -951,6 +951,62 @@ ORDER BY id_a, id_b"""
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /**
+   * Full-value oracle for [[Catalog.ddSemantic]], parameterized by the
+   * centroids the Spark query trained (inlined post-run like [[annIvf]]'s).
+   * Restates the ENTIRE SemDeDup pipeline in SQL: the planted clone corpus
+   * (as [[ddCosPairs]]), nearest-centroid assignment (expanded-dot squared
+   * L2, ties to the lower index — [[graft.ops.Similarity.nearestCentroid]]'s
+   * contract, the same formulation [[annIvf]] proved engine-exact), the
+   * degenerate-block cap, in-cluster pair cosines at round-6, the
+   * recursive-CTE component closure, and the min-id keep rule.
+   */
+  def ddSemantic(centroids: Array[Array[Double]],
+      maxBlockSize: Int = 1000): String = {
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${listLit(c)})" }.mkString(",\n    ")
+    s"""WITH RECURSIVE cents(ci, c) AS (VALUES
+       |    $cents),
+       |base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000,
+       |         list_concat([CAST(0 AS DOUBLE)], v[2:]) FROM base WHERE vec_id % 40 = 0),
+       |assign AS (
+       |  SELECT e.vec_id, e.v, cents.ci,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cents.c)
+       |        + list_dot_product(cents.c, cents.c) ASC, cents.ci ASC) AS rn
+       |  FROM e, cents),
+       |a AS (SELECT vec_id, v, ci AS cluster FROM assign WHERE rn = 1),
+       |keep_c AS (
+       |  SELECT cluster FROM a GROUP BY cluster HAVING count(*) <= $maxBlockSize),
+       |ak AS (SELECT a.* FROM a JOIN keep_c USING (cluster)),
+       |edges AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM ak x JOIN ak y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v)
+       |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+       |    >= 0.9),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |cc AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM sym
+       |  UNION
+       |  SELECT sym.src AS id, cc.comp FROM cc JOIN sym ON cc.id = sym.dst
+       |),
+       |comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+       |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, comp.component,
+       |  (comp.component IS NULL OR comp.component = a.vec_id) AS keep
+       |FROM a LEFT JOIN comp ON a.vec_id = comp.id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val mmMeta: String =
     """SELECT doc_id AS asset_id, 'text' AS modality, 'text/plain' AS mime,
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

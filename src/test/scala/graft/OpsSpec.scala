@@ -486,6 +486,64 @@ class OpsSpec extends SparkSuite {
     assert(capped.count() === 0)
   }
 
+  test("semanticDedup: matches an in-memory argmin+union-find reference; " +
+      "exact clones removed; unpaired rows keep; cross-cluster dups missed by design") {
+    val rnd = new scala.util.Random(31)
+    // three well-separated direction clusters around the first 3 axes
+    def around(axis: Int): Array[Float] = {
+      val v = Array.fill(4)((rnd.nextGaussian() * 0.05).toFloat)
+      v(axis) = 1f
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 45L).map(i => (i, around((i % 3).toInt)))
+    val clones = base.filter(_._1 % 9 == 0).map { case (i, v) => (i + 1000, v) }
+    val rows = base ++ clones
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0), Array(0.0, 0, 1, 0))
+    val got = Dedup.semanticDedup(rows.toDF("id", "vec"), "id", "vec",
+        cents, threshold = 0.999)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+      .sortBy(_._1)
+    // reference: argmin assignment (ties to lower index), in-cluster pairs
+    // at round-6 cosine >= t, union-find, keep = min id or unpaired
+    def argmin(v: Array[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (v.map(_.toDouble).zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((s, x, y), (p, q)) =>
+          (s + p.toDouble * q, x + p.toDouble * p, y + q.toDouble * q)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = rows.groupBy { case (_, v) => argmin(v) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    val paired = scala.collection.mutable.Set[Long]()
+    for ((_, members) <- byCluster; Seq((ia, va), (ib, vb)) <-
+        members.sortBy(_._1).combinations(2) if cos(va, vb) >= 0.999) {
+      paired += ia; paired += ib
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rows.map { case (i, v) =>
+      val comp = if (paired(i)) Some(find(i)) else None
+      (i, argmin(v), comp, comp.forall(_ == i))
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    // every planted exact clone is dropped (its original is the min id)
+    clones.foreach { case (i, _) =>
+      assert(!got.find(_._1 == i).get._4, s"clone $i must not survive") }
+    // non-vacuity the other way: some rows are genuinely unpaired survivors
+    assert(got.exists(g => g._3.isEmpty && g._4))
+  }
+
   test("hashSplit: deterministic, append-stable, fractions near weights") {
     import graft.ops.Sampling
     val ids = (0L until 10000L).toDF("id")
