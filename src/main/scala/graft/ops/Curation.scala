@@ -301,6 +301,54 @@ object Curation {
         (col("__s.n_terms") <= maxTerms).as("keep"))
 
   /**
+   * Domain-frequency boilerplate removal — the RefinedWeb/CCNet "line-wise
+   * correction": a line occurring in more than `maxDocFrac` of a DOMAIN's
+   * documents (and in at least `minDocs` of them — the small-domain guard)
+   * is boilerplate (cookie banners, nav bars, footers) and every copy of
+   * it is stripped; document text is reassembled from the surviving lines
+   * in original order. Distinct from [[dedupLines]], which keeps a line's
+   * FIRST corpus occurrence: boilerplate removal drops ALL occurrences,
+   * and only of lines frequent WITHIN their domain.
+   *
+   * Scale shape: two aggregations (domain doc counts — a broadcast-sized
+   * dim — and per-(domain,line) doc frequency with map-side partials over
+   * a distinct'd explode), then ONE broadcast join back onto the lines.
+   * The boilerplate table is provably broadcast-safe by pigeonhole: each
+   * boilerplate line consumes > maxDocFrac·n_docs of a domain's
+   * n_docs·avgLines line-doc incidences, so a domain can have at most
+   * avgLines/maxDocFrac such lines — dimension-scale whatever the corpus
+   * size, which is why the probe side never shuffles and hot lines never
+   * funnel. NULL-text rows are dropped ([[dedupLines]]'s contract).
+   */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, maxDocFrac: Double = 0.3,
+      minDocs: Int = 3): DataFrame = {
+    val lines = df
+      .select(col(idCol), col(domainCol).as("__dom"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__p", "__line")))
+      .select(col(idCol), col("__dom"), (col("__p") + 1).as("__idx"),
+        col("__line"))
+    val domDocs = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n_docs"))
+    val lineDf = lines.select(col(idCol), col("__dom"), col("__line"))
+      .distinct()
+      .groupBy("__dom", "__line").agg(count(lit(1)).as("__df"))
+    val boiler = lineDf.join(broadcast(domDocs), "__dom")
+      .filter(col("__df") >= minDocs &&
+        col("__df") > lit(maxDocFrac) * col("__n_docs"))
+      .select(col("__dom"), col("__line"), lit(true).as("__b"))
+    lines.join(broadcast(boiler), Seq("__dom", "__line"), "left")
+      .withColumn("__keep", col("__b").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("__keep"), 1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("text_clean"))
+  }
+
+  /**
    * The one-call curation pipeline — the corpus-hygiene counterpart of
    * [[Dedup.dedupCorpus]], composing this module's gates in the order a
    * 100 TB pass wants them:

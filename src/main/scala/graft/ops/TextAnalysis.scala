@@ -357,6 +357,48 @@ object TextAnalysis {
         col("e.id").as(idCol), round(col("e.score"), 6).as("score"))
   }
 
+  /**
+   * Bigram PMI collocations — the classic corpus-statistics pass (Church &
+   * Hanks, ACL 1989) behind phrase mining and tokenizer-vocabulary merges:
+   * adjacent token pairs scored by pointwise mutual information
+   * `ln( P(w1,w2) / (P(w1)·P(w2)) )` with the joint estimated from bigram
+   * counts and the marginals from unigram counts. High PMI = the pair
+   * co-occurs far above chance (a collocation); `minCount` floors the
+   * long tail of one-off pairs whose PMI is spuriously high.
+   *
+   * Scale shape: two map-side-combined aggregations (bigram counts via an
+   * explode of adjacent-pair structs, unigram counts), two totals reduced
+   * from the ALREADY-AGGREGATED tables (driver scalars, dimension-cost),
+   * two vocab-keyed equi-joins to attach marginals, and a
+   * TakeOrderedAndProject top-k — no global sort, no window. The double
+   * association `((c12·T1)·T1) / ((T2·c1)·c2)` is fixed so the oracle
+   * reproduces it bit-for-bit; ln's final-ulp engine skew is absorbed by
+   * the round-6 house contract (the [[bm25TopK]] precedent).
+   */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
+      k: Int = 20): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(tokensLower(col(textCol)).as("t"))
+    val big = base.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val t1 = uni.agg(sum("n_w")).head().getLong(0)
+    val t2 = big.agg(sum("n_pair")).head().getLong(0)
+    big.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * t1 * t1 /
+          (lit(t2.toDouble) * col("n_w1") * col("n_w2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Add-one-smoothed unigram token counts of a corpus, as the broadcast
    * payload [[lmScore]] consumes: token → ln((c+1)/(T+V)), plus the OOV
    * log-prob ln(1/(T+V)). Driver-memory-bounded like [[idfMap]] (one map

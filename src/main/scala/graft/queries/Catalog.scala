@@ -1055,6 +1055,45 @@ object Catalog {
       .orderBy("doc_id")
   }
 
+  /** Bigram PMI collocations ([[graft.ops.TextAnalysis.collocations]]):
+   * top-20 adjacent pairs by pointwise mutual information at n_pair >= 5.
+   * doc_id%4 appends a planted collocation ("neural network") so a pair
+   * far above chance provably tops the list; the organic word-salad
+   * corpus supplies near-independent pairs around PMI 0. The oracle
+   * restates bigram/unigram counts over the shared tokenizer and the
+   * identical double association; round-6 absorbs ln's engine ulp. */
+  def taPmi(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 4 === 0,
+      concat(col("text"), lit(" neural network"))).otherwise(col("text"))
+    TextAnalysis.collocations(
+      docs(spark, dir).filter(col("text").isNotNull).select(planted.as("text")),
+      "text", minCount = 5, k = 20)
+  }
+
+  /** Domain-frequency boilerplate removal
+   * ([[graft.ops.Curation.stripBoilerplate]]) over a planted multi-line
+   * corpus (the raw docs are single-line): doc_id%3 gains a per-source
+   * cookie-notice footer (~33% of each source's docs — boilerplate at
+   * maxDocFrac=0.2), doc_id%15 gains a SECOND copy of it (within-doc
+   * duplicate: counted once for doc frequency, both copies stripped),
+   * doc_id%31 a rare footer that stays under one gate at every SF
+   * (minDocs at small SF, the frac gate at sf0.1). The oracle restates
+   * doc frequency, both gates (double arithmetic), and ordered
+   * reassembly. */
+  def taBoiler(spark: SparkSession, dir: String): DataFrame = {
+    val cookie = concat(lit("COOKIE NOTICE "), col("source"))
+    val t = concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit("\n"), cookie)).otherwise(lit("")),
+      when(col("doc_id") % 15 === 0, concat(lit("\n"), cookie)).otherwise(lit("")),
+      when(col("doc_id") % 31 === 0,
+        concat(lit("\nRARE FOOTER "), col("source"))).otherwise(lit("")))
+    graft.ops.Curation.stripBoilerplate(
+      docs(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), t.as("text")),
+      "doc_id", "text", "source", maxDocFrac = 0.2, minDocs = 3)
+      .orderBy("doc_id")
+  }
+
   /** Morton (Z-order) sort key over (user_id, minute-of-day) for every
    * event — the [[graft.ops.Layout.zorderBy]] clustering key, checked
    * value-for-value: the oracle restates the bias + 5-step mask-shift bit

@@ -1566,6 +1566,84 @@ ORDER BY id_a, id_b"""
    * sequential leftmost replace). n_terms counts literals with a hit;
    * keep mirrors the maxTerms=0 gate.
    */
+  /**
+   * Oracle for [[Catalog.taPmi]]: bigram and unigram counts over the
+   * shared tokenizer, totals from the aggregated tables, and PMI with the
+   * SAME double association the Spark expression fixes —
+   * `((c12·T1)·T1) / ((T2·c1)·c2)` — so only ln's final ulp can differ,
+   * absorbed by round-6.
+   */
+  val taPmi: String =
+    """WITH d AS (
+      |  SELECT CASE WHEN doc_id % 4 = 0 THEN text || ' neural network'
+      |         ELSE text END AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |tk AS (SELECT regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS t
+      |       FROM d),
+      |big AS (
+      |  SELECT w1, w2, count(*) AS n_pair FROM (
+      |    SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+      |      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |        i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+      |      FROM tk WHERE len(t) >= 2))
+      |  GROUP BY w1, w2),
+      |uni AS (
+      |  SELECT w, count(*) AS n_w FROM (SELECT unnest(t) AS w FROM tk)
+      |  GROUP BY w),
+      |t1 AS (SELECT sum(n_w) AS v FROM uni),
+      |t2 AS (SELECT sum(n_pair) AS v FROM big)
+      |SELECT b.w1, b.w2, b.n_pair,
+      |  round(ln((CAST(b.n_pair AS DOUBLE) * t1.v * t1.v)
+      |    / ((CAST(t2.v AS DOUBLE) * u1.n_w) * u2.n_w)), 6) AS pmi
+      |FROM big b
+      |JOIN uni u1 ON b.w1 = u1.w
+      |JOIN uni u2 ON b.w2 = u2.w, t1, t2
+      |WHERE b.n_pair >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.taBoiler]]: rebuilds the planted multi-line
+   * corpus, recomputes per-(domain,line) doc frequency over DISTINCT
+   * (doc,line) incidences, applies both gates (`df >= 3` and
+   * `df > 0.2 * n_docs` in DOUBLE arithmetic — IEEE-identical to the
+   * Spark expression), and reassembles surviving lines in index order.
+   * string_agg skips the NULLed boilerplate lines; coalesce covers an
+   * all-boilerplate doc (Spark's array_join over an empty array is '').
+   */
+  val taBoiler: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN chr(10) || 'COOKIE NOTICE ' || source ELSE '' END
+      |    || CASE WHEN doc_id % 15 = 0
+      |         THEN chr(10) || 'COOKIE NOTICE ' || source ELSE '' END
+      |    || CASE WHEN doc_id % 31 = 0
+      |         THEN chr(10) || 'RARE FOOTER ' || source ELSE '' END AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |ls AS (SELECT doc_id, source, string_split(t, chr(10)) AS parts FROM d),
+      |l AS (
+      |  SELECT doc_id, source, u.idx AS idx, u.line AS line FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_transform(generate_series(1, len(parts)),
+      |        i -> {'idx': i, 'line': parts[i]})) AS u
+      |    FROM ls)),
+      |dom AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+      |ldf AS (
+      |  SELECT source, line, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, source, line FROM l)
+      |  GROUP BY source, line),
+      |boiler AS (
+      |  SELECT ldf.source, ldf.line FROM ldf JOIN dom USING (source)
+      |  WHERE df >= 3 AND df > CAST(0.2 AS DOUBLE) * n_docs)
+      |SELECT l.doc_id,
+      |  CAST(count(*) AS INT) AS n_lines,
+      |  CAST(count(CASE WHEN b.line IS NULL THEN 1 END) AS INT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+      |    chr(10) ORDER BY l.idx), '') AS text_clean
+      |FROM l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+      |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+
   val taBlock: String =
     """WITH p AS (
       |  SELECT doc_id,

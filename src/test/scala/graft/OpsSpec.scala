@@ -1228,6 +1228,68 @@ class OpsSpec extends SparkSuite {
     assert(sampled.size === rows.count(r => r._2 != null && r._2 > 0))
   }
 
+  test("stripBoilerplate: both gates, all-copies removal, within-doc dup " +
+      "counted once, per-domain isolation, all-boiler doc yields empty text") {
+    import graft.ops.Curation
+    // domain A: 4 docs; 'FOOT' in 3/4 (df=3 >= minDocs=2, frac 0.75 > 0.5)
+    // 'rare' in 2/4 (df=2 >= 2 but frac 0.5, NOT > 0.5 -> kept)
+    // domain B: 2 docs; 'FOOT' in 1/2 (df=1 < minDocs -> kept there)
+    val rows = Seq(
+      (1L, "A", "alpha\nFOOT\nbeta"),
+      (2L, "A", "FOOT\nFOOT"), // within-doc dup: df counts it once; all-boiler doc
+      (3L, "A", "gamma\nrare\nFOOT"),
+      (4L, "A", "delta\nrare"),
+      (5L, "B", "epsilon\nFOOT"),
+      (6L, "B", "zeta"))
+    val got = Curation.stripBoilerplate(rows.toDF("id", "dom", "text"),
+        "id", "text", "dom", maxDocFrac = 0.5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    val want = Seq(
+      (1L, 3, 2, "alpha\nbeta"),
+      (2L, 2, 0, ""), // every copy stripped, not just the dup
+      (3L, 3, 2, "gamma\nrare"),
+      (4L, 2, 2, "delta\nrare"),
+      (5L, 2, 2, "epsilon\nFOOT"), // B's FOOT is under minDocs
+      (6L, 1, 1, "zeta"))
+    assert(got.toSeq === want)
+  }
+
+  test("collocations: PMI matches an in-memory reference; minCount floors " +
+      "one-off pairs; planted collocation outranks independent pairs") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Array("scan", "sort", "hash", "join", "agg", "key")
+    val organic = (0 until 120).map { _ =>
+      Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // plant 'neural network' in a third of docs; 'rare pair' exactly once
+    val docs = organic.zipWithIndex.map { case (t, i) =>
+      if (i % 3 == 0) s"$t neural network" else t
+    } :+ "rare pair"
+    val got = TextAnalysis.collocations(docs.toDF("text"), "text",
+        minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // reference with the same tokenizer and association
+    def toks(t: String) = t.toLowerCase.trim.split("[\\s\\x0B]+", -1).toSeq
+    val all = docs.map(toks)
+    val uni = all.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bi = all.filter(_.size >= 2).flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val t1 = uni.values.sum
+    val t2 = bi.values.sum
+    val want = bi.filter(_._2 >= 5).map { case ((w1, w2), c12) =>
+      val pmi = math.log(c12.toDouble * t1 * t1 /
+        (t2.toDouble * uni(w1) * uni(w2)))
+      (w1, w2, c12,
+        BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(10)
+    assert(got.toSeq === want)
+    // the planted collocation is the top pair; the one-off never appears
+    assert(got.head._1 === "neural" && got.head._2 === "network")
+    assert(!got.exists(g => g._1 == "rare"))
+  }
+
   test("lmScore: add-one unigram NLL matches an in-memory reference; " +
       "OOV tokens take the smoothing floor; frozen model scores new batches") {
     val rnd = new scala.util.Random(41)
