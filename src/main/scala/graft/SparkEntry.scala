@@ -79,7 +79,8 @@ object SparkEntry {
     "ta_block" -> (Catalog.taBlock _),
     "dd_semantic" -> (Catalog.ddSemantic _),
     "ta_boiler" -> (Catalog.taBoiler _),
-    "ta_pmi" -> (Catalog.taPmi _)
+    "ta_pmi" -> (Catalog.taPmi _),
+    "ann_pq" -> (Catalog.annPq _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,6 +162,7 @@ object SparkEntry {
     // queries first, then dumps oracleSql — the ordering this depends on).
     Catalog.lastIvfCentroids.map(c => "ann_ivf" -> Oracles.annIvf(c)).toMap ++
     Catalog.lastSemCentroids.map(c => "dd_semantic" -> Oracles.ddSemantic(c)).toMap ++
+    Catalog.lastPqCodebooks.map(c => "ann_pq" -> Oracles.annPq(c)).toMap ++
     Map("ann_lsh" -> Oracles.annLsh(Catalog.lastLshDim.getOrElse(64)),
       "dd_cos_lsh" -> Oracles.ddCosLsh(Catalog.lastCosLshDim.getOrElse(64)))
 }

@@ -104,18 +104,30 @@ object Similarity {
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 3, seed: Long = 42L, maxSample: Int = 4096): Array[Array[Double]] = {
     require(maxSample >= k, s"maxSample=$maxSample must be >= k=$k")
-    val sample: Array[Array[Double]] = df
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)))
-      .limit(maxSample)
-      .collect()
-      .map(_.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+    val sample = hashSample(df, idCol, vecCol, seed, maxSample)
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
-    // seeds = first k of the hash order (identical to the old seeding);
-    // a corpus smaller than k simply yields fewer centroids, as before
+    lloyd(sample, k, iters)
+  }
+
+  /** Deterministic pseudo-random top-`maxSample` by `xxhash64(id, seed)` —
+   * a TakeOrderedAndProject, never a full shuffle; the one distributed
+   * pass behind every driver-side Lloyd here. */
+  private def hashSample(df: DataFrame, idCol: String, vecCol: String,
+      seed: Long, maxSample: Int): Array[Array[Double]] = df
+    .select(col(idCol), col(vecCol))
+    .orderBy(xxhash64(col(idCol), lit(seed)))
+    .limit(maxSample)
+    .collect()
+    .map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+
+  /** Driver-side Lloyd refinement; seeds = the sample's first k vectors
+   * (hash order), so the result is deterministic. A sample smaller than k
+   * simply yields fewer centroids. Empty clusters keep their centroid. */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     var cents = sample.take(k).map(_.clone())
     val kEff = cents.length
     for (_ <- 1 to iters) {
@@ -146,6 +158,58 @@ object Similarity {
       }
     }
     cents
+  }
+
+  // --- product quantization (the FAISS PQ compression path) ----------------
+
+  /**
+   * PQ codebook training (Jégou/Douze/Schmid, TPAMI 2011): the SAME
+   * bounded hash-ordered sample as [[ivfCentroids]] (ONE distributed
+   * pass), sliced into `m` subspaces, each refined by an independent
+   * driver-side Lloyd. Requires the dimension divisible by `m`. The
+   * result (m × k × d/m doubles) is broadcast-scale lookup data, the
+   * [[ivfCentroids]] bound.
+   */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, iters: Int = 2, seed: Long = 42L,
+      maxSample: Int = 4096): Array[Array[Array[Double]]] = {
+    require(m > 0 && maxSample >= k, s"need m > 0 and maxSample >= k=$k")
+    val sample = hashSample(df, idCol, vecCol, seed, maxSample)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      lloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)), k, iters)
+    }
+  }
+
+  /**
+   * ADC approximate nearest neighbors over PQ codes: encode is one
+   * codegen'd projection ([[graft.functions.PqEncode]] — at m=8 the
+   * 64-dim float vector shrinks 32× to 8 code ints, which is the 100 TB
+   * point: the reranking scan touches codes, not floats), the query cost
+   * is an m×k lookup table built ONCE on the driver, scoring is one
+   * table-lookup sum per row ([[graft.functions.PqAdcScore]]), and the
+   * top-k reduces via TakeOrderedAndProject — no global sort. Returns
+   * (id, code0, adc): `code0` pins the code assignment bit-for-bit
+   * against the oracle, `adc` ascending is the approximate ranking
+   * (rerank survivors with exact [[Dedup.cosine]] when recall matters —
+   * the standard two-stage shape).
+   */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], topK: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val lut = graft.functions.PqKernels.adcLut(query.map(_.toDouble), codebooks)
+    val k = codebooks(0).length
+    df.select(col(idCol),
+      graft.functions.PqKernels.encode(col(vecCol), codebooks).as("codes"))
+      .select(col(idCol),
+        element_at(col("codes"), 1).as("code0"),
+        round(graft.functions.PqKernels.adcScore(col("codes"), lut, k), 6).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(topK)
   }
 
   /** IVF ANN top-k: probe only the `nprobe` clusters nearest the query —

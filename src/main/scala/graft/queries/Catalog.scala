@@ -622,6 +622,28 @@ object Catalog {
     Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nprobe = 2)
   }
 
+  /** Codebooks trained by the most recent [[annPq]] run — data-derived
+   * like [[lastIvfCentroids]], inlined into the oracle post-run. */
+  @volatile var lastPqCodebooks: Option[Array[Array[Array[Double]]]] = None
+
+  /** Product-quantization ANN ([[graft.ops.Similarity.pqAdcTopK]]):
+   * m=8 subspaces × k=16 codes over the 64-dim embeddings (8 code ints
+   * per vector — a 32× scan shrink), ADC top-10 for the vec_id=0 query.
+   * The oracle ([[Oracles.annPq]]) inlines the trained codebooks and
+   * recomputes code assignment (expanded-dot argmin, ties to the lower
+   * code — the kernel uses the same arithmetic) and the ADC sum; `code0`
+   * pins the assignment bit-for-bit, round-6 absorbs the sum-order ulp. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    lastPqCodebooks = Some(cbs)
+    Similarity.pqAdcTopK(corpus, "vec_id", "embedding", q, 10, cbs)
+  }
+
   /** Multimodal metadata pass: payload stays unread (column pruning). */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(

@@ -952,6 +952,52 @@ ORDER BY id_a, id_b"""
   }
 
   /**
+   * Oracle for [[Catalog.annPq]], parameterized by the trained codebooks
+   * (inlined post-run like [[annIvf]]'s centroids). Recomputes per-subspace
+   * code assignment — expanded-dot squared L2 via `list_dot_product`, ties
+   * to the lower code, the EXACT arithmetic [[graft.functions.PqEncode]]
+   * performs, so codes match bit-for-bit — and the ADC distance as the sum
+   * of per-subspace expanded-dot distances from the query's slices to the
+   * chosen codes (the lookup table the kernel sums, restated as SQL);
+   * round-6 absorbs the aggregate-vs-sequential sum-order ulp.
+   */
+  def annPq(codebooks: Array[Array[Array[Double]]]): String = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => s"($j, $c, ${listLit(cent)})" }
+    }.mkString(",\n    ")
+    s"""WITH cb(j, c, cent) AS (VALUES
+       |    $cb),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       |sub AS (
+       |  SELECT vec_id, j, v[j * $dsub + 1 : (j + 1) * $dsub] AS sv
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id <> 0), js),
+       |assign AS (
+       |  SELECT vec_id, j, c, cent,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY
+       |      list_dot_product(sv, sv) - 2 * list_dot_product(sv, cent)
+       |        + list_dot_product(cent, cent) ASC, c ASC) AS rn
+       |  FROM sub JOIN cb USING (j)),
+       |ch AS (SELECT vec_id, j, c, cent FROM assign WHERE rn = 1),
+       |qs AS (
+       |  SELECT j, qv[j * $dsub + 1 : (j + 1) * $dsub] AS sv
+       |  FROM (SELECT v AS qv FROM e WHERE vec_id = 0), js),
+       |adc AS (
+       |  SELECT ch.vec_id,
+       |    round(sum(list_dot_product(qs.sv, qs.sv)
+       |      - 2 * list_dot_product(qs.sv, ch.cent)
+       |      + list_dot_product(ch.cent, ch.cent)), 6) AS adc,
+       |    max(CASE WHEN ch.j = 0 THEN ch.c END) AS code0
+       |  FROM ch JOIN qs USING (j) GROUP BY ch.vec_id)
+       |SELECT vec_id, CAST(code0 AS INT) AS code0, adc
+       |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /**
    * Full-value oracle for [[Catalog.ddSemantic]], parameterized by the
    * centroids the Spark query trained (inlined post-run like [[annIvf]]'s).
    * Restates the ENTIRE SemDeDup pipeline in SQL: the planted clone corpus

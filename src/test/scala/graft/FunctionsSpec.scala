@@ -598,6 +598,58 @@ class FunctionsSpec extends SparkSuite {
       .select(CharEntropy.entropy($"s")).collect().head.isNullAt(0))
   }
 
+  test("PqEncode/PqAdcScore: argmin codes match a scalar reference on random " +
+      "float and double vectors; duplicate codes tie to the lower index; " +
+      "ADC equals the lut sum; null in, null out") {
+    import graft.functions.PqKernels
+    val rnd = new scala.util.Random(67)
+    val m = 4; val k = 5; val dsub = 3
+    val cbs = Array.fill(m, k, dsub)(rnd.nextGaussian())
+    // plant an exact duplicate code: subspace 1's code 3 == code 1
+    cbs(1)(3) = cbs(1)(1).clone()
+    val vecsF = Seq.fill(40)(Array.fill(m * dsub)(rnd.nextGaussian().toFloat))
+    // one vector sitting EXACTLY on subspace 1's duplicated code
+    val onDup = Array.fill(m * dsub)(rnd.nextGaussian().toFloat)
+    for (i <- 0 until dsub) onDup(dsub + i) = cbs(1)(1)(i).toFloat
+    val inputs = vecsF :+ onDup
+    def refCodes(v: Array[Double]): Seq[Int] = (0 until m).map { j =>
+      val sv = v.slice(j * dsub, (j + 1) * dsub)
+      (0 until k).minBy(c => (sv.zip(cbs(j)(c)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum, c))
+    }
+    val got = inputs.toDF("v")
+      .select(PqKernels.encode($"v", cbs).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    inputs.zip(got).foreach { case (v, g) =>
+      assert(g === refCodes(v.map(_.toDouble)), s"codes for ${v.toSeq}")
+    }
+    // the planted exact-match picks code 1, not its duplicate 3
+    assert(got.last(1) === 1)
+    // double-typed vectors take the other accessor path
+    val vecsD = inputs.take(5).map(_.map(_.toDouble))
+    val gotD = vecsD.toDF("v")
+      .select(PqKernels.encode($"v", cbs).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    vecsD.zip(gotD).foreach { case (v, g) => assert(g === refCodes(v)) }
+    // ADC == lut sum at the reference codes
+    val q = Array.fill(m * dsub)(rnd.nextGaussian())
+    val lut = PqKernels.adcLut(q, cbs)
+    val gotAdc = inputs.toDF("v")
+      .select(PqKernels.adcScore(PqKernels.encode($"v", cbs), lut, k))
+      .collect().map(_.getDouble(0))
+    inputs.zip(gotAdc).foreach { case (v, a) =>
+      val want = refCodes(v.map(_.toDouble)).zipWithIndex
+        .map { case (c, j) => lut(j * k + c) }.sum
+      assert(math.abs(a - want) < 1e-12)
+    }
+    // null in, null out on both kernels
+    val nulls = Seq[Array[Float]](null).toDF("v")
+      .select(PqKernels.encode($"v", cbs).as("c"))
+    assert(nulls.collect().head.isNullAt(0))
+    assert(nulls.select(PqKernels.adcScore($"c", lut, k))
+      .collect().head.isNullAt(0))
+  }
+
   test("KmvSketch exact regime: distinct < k reports the exact count, null kth hash") {
     import graft.functions.KmvSketch
     val rows = (1 to 500).map(i => i % 20).toDF("v").repartition(7)

@@ -544,6 +544,40 @@ class OpsSpec extends SparkSuite {
     assert(got.exists(g => g._3.isEmpty && g._4))
   }
 
+  test("pqAdcTopK: end-to-end ADC ranking matches a driver reference built " +
+      "from the trained codebooks; dim must divide into subspaces") {
+    import graft.ops.Similarity
+    import graft.functions.PqKernels
+    val rnd = new scala.util.Random(71)
+    val dim = 8; val m = 4; val k = 4
+    val rows = (1L to 60L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val cbs = Similarity.pqCodebooks(df, "id", "vec", m = m, k = k, iters = 2)
+    assert(cbs.length === m && cbs.forall(_.length == k) &&
+      cbs.forall(_.forall(_.length == dim / m)))
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val got = Similarity.pqAdcTopK(df, "id", "vec", q, 5, cbs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // driver reference: same expanded-form argmin + lut sum + round 6
+    val dsub = dim / m
+    val lut = PqKernels.adcLut(q.map(_.toDouble), cbs)
+    val want = rows.map { case (id, v) =>
+      val codes = (0 until m).map { j =>
+        val sv = v.slice(j * dsub, (j + 1) * dsub).map(_.toDouble)
+        (0 until k).minBy(c => (sv.zip(cbs(j)(c)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum, c))
+      }
+      val adc = codes.zipWithIndex.map { case (c, j) => lut(j * k + c) }.sum
+      (id, codes.head,
+        BigDecimal(adc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, a) => (a, id) }.take(5)
+    assert(got === want)
+    // a non-divisible subspace count fails fast, not silently
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqCodebooks(df, "id", "vec", m = 3, k = k)
+    }
+  }
+
   test("hashSplit: deterministic, append-stable, fractions near weights") {
     import graft.ops.Sampling
     val ids = (0L until 10000L).toDF("id")
