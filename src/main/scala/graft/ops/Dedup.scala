@@ -351,6 +351,40 @@ object Dedup {
   }
 
   /**
+   * Duplicate-span profiling — the doc-level signal behind exact substring
+   * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better", ACL 2022): for every document, the fraction of its distinct
+   * k-token spans that also occur in ANOTHER document. High dup_frac =
+   * the doc is largely assembled from corpus-repeated material (mirrors,
+   * quote farms, template spam) even when no single whole-doc near-dup
+   * pair exists — which is exactly what [[minhashCandidates]] misses and
+   * span-level dedup catches.
+   *
+   * Scale shape: spans are the FIXED-WIDTH int64 [[shingleHashes]] (no
+   * string shuffles), one map-side-combined doc-frequency aggregation,
+   * one equi-join of the span table against the df>=2 set, one per-doc
+   * re-aggregation — the [[graft.ops.Curation.dedupLines]] shape, with
+   * the same honest skew note: a corpus-hot span funnels its copies to
+   * one partition on the probe join; AQE's skew split handles it, and
+   * extreme scale salts the join key. Blank/NULL docs have no spans and
+   * are absent from the output ([[graft.ops.Curation.dedupLines]]'s
+   * contract).
+   */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(shingleHashes(col(textCol), k)).as("__h"))
+    val dup = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("__h"), lit(true).as("__d"))
+    sh.join(dup, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        count(when(col("__d"), 1)).cast("int").as("n_dup"),
+        round(count(when(col("__d"), 1)).cast("double") / count(lit(1)), 6)
+          .as("dup_frac"))
+  }
+
+  /**
    * SemDeDup (Abbas et al., arXiv:2303.09540): embedding-space semantic
    * deduplication — the step AFTER exact/MinHash dedup in modern LLM
    * corpus pipelines, catching re-phrasings and boilerplate variants that

@@ -399,6 +399,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * CCNet's head/middle/tail split (Wenzek et al., LREC 2020): bucket every
+   * document by which third of the corpus's LM-score distribution its
+   * `avg_nll` falls into — head = most fluent/typical, tail = most
+   * gibberish/out-of-domain; CCNet trains on head+middle and drops tail.
+   * Takes [[lmScore]]'s output (or any (id, score) frame).
+   *
+   * Scale shape: ONE exact-percentile aggregation produces the two
+   * thresholds (driver scalars, rounded to the house round-6 so the
+   * oracle's `quantile_cont` reproduces them), then bucketing is a
+   * shuffle-free projection — no global sort, no ntile window (an
+   * `ntile(3)` would funnel the corpus through a single-partition Window;
+   * thresholds-then-filter is the distributed form of the same cut). At
+   * the 10^10-row regime swap the exact percentile for
+   * [[graft.quality.ColumnStats.approxPercentiles]]; the cut stays a
+   * projection.
+   */
+  def lmBuckets(scored: DataFrame, idCol: String,
+      nllCol: String = "avg_nll"): DataFrame = {
+    val t = graft.quality.ColumnStats
+      .percentiles(scored, nllCol, Seq.empty, Seq(1.0 / 3, 2.0 / 3))
+      .head()
+    val (t1, t2) = (t.getDouble(0), t.getDouble(1))
+    scored.select(col(idCol), col(nllCol),
+      when(col(nllCol) <= t1, "head")
+        .when(col(nllCol) <= t2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
   /** Add-one-smoothed unigram token counts of a corpus, as the broadcast
    * payload [[lmScore]] consumes: token → ln((c+1)/(T+V)), plus the OOV
    * log-prob ln(1/(T+V)). Driver-memory-bounded like [[idfMap]] (one map

@@ -1055,6 +1055,21 @@ object Catalog {
       .orderBy("doc_id")
   }
 
+  /** CCNet head/middle/tail split ([[graft.ops.TextAnalysis.lmBuckets]])
+   * over [[qLm]]'s scored corpus: thresholds = round-6 exact tertiles of
+   * avg_nll, bucketing a shuffle-free projection. The oracle recomputes
+   * the same LM scores, takes `quantile_cont` tertiles (round-6), and
+   * restates the cut. */
+  def qLmSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = graft.ops.TextAnalysis.lmModel(d, "text")
+    val scoreDf = d.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(col("text"), lit(" zq9xoov")))
+        .otherwise(col("text")).as("text"))
+    val scored = graft.ops.TextAnalysis.lmScore(scoreDf, "doc_id", "text", model)
+    graft.ops.TextAnalysis.lmBuckets(scored, "doc_id").orderBy("doc_id")
+  }
+
   /** Code-point Shannon entropy ([[graft.functions.CharEntropy]]) — the
    * Gopher/C4-style gibberish gate. Planted rows exercise every regime
    * the kernel dispatches on: multibyte single-code-point graphemes
@@ -1076,6 +1091,17 @@ object Catalog {
           .as("char_entropy"))
       .orderBy("doc_id")
   }
+
+  /** Duplicate-span profiling ([[graft.ops.Dedup.dupSpanStats]], k=3):
+   * per-doc fraction of distinct 3-token span hashes shared with another
+   * document. The word-salad corpus organically repeats 3-grams across
+   * docs, so the signal is non-vacuous without planting. The oracle
+   * recomputes the span hashes from raw text with the same staged-SQL
+   * XXH64 as dd_minhash and restates doc frequency and the per-doc
+   * counts. */
+  def taDupspan(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id")
 
   /** Bigram PMI collocations ([[graft.ops.TextAnalysis.collocations]]):
    * top-20 adjacent pairs by pointwise mutual information at n_pair >= 5.

@@ -1613,6 +1613,42 @@ ORDER BY id_a, id_b"""
    * keep mirrors the maxTerms=0 gate.
    */
   /**
+   * Oracle for [[Catalog.taDupspan]]: rebuilds each doc's DISTINCT 3-token
+   * span hashes from raw text — the same tokenizer, shingling and
+   * staged-SQL XXH64 as [[ddMinhash]] — then restates doc frequency, the
+   * df>=2 dup set, and the per-doc counts/fraction (double division,
+   * round-6). The hash values never reach the output, so the unsigned
+   * UBIGINT form groups as well as Spark's signed longs.
+   */
+  def taDupspan: String = {
+    import SqlXxh64._
+    s"""WITH RECURSIVE
+corp AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+dsh AS (
+  SELECT id, list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 3, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM corp),
+shs AS (SELECT DISTINCT unnest(shingles) AS s FROM dsh),
+shid AS (SELECT row_number() OVER (ORDER BY s) AS sid, s FROM shs),
+${xxh64Cte("shid", "sx", 42L)},
+dhd AS (
+  SELECT DISTINCT d.id, x.h
+  FROM (SELECT id, unnest(shingles) AS s FROM dsh) d
+  JOIN sxdone x USING (s)),
+dupes AS (SELECT h FROM dhd GROUP BY h HAVING count(*) >= 2)
+SELECT dhd.id AS doc_id,
+  CAST(count(*) AS INT) AS n_spans,
+  CAST(count(CASE WHEN dupes.h IS NOT NULL THEN 1 END) AS INT) AS n_dup,
+  round(CAST(count(CASE WHEN dupes.h IS NOT NULL THEN 1 END) AS DOUBLE)
+    / count(*), 6) AS dup_frac
+FROM dhd LEFT JOIN dupes ON dhd.h = dupes.h
+GROUP BY dhd.id ORDER BY doc_id"""
+  }
+
+  /**
    * Oracle for [[Catalog.taPmi]]: bigram and unigram counts over the
    * shared tokenizer, totals from the aggregated tables, and PMI with the
    * SAME double association the Spark expression fixes —
@@ -1741,6 +1777,48 @@ ORDER BY id_a, id_b"""
       |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
       |  round(-sum(l) / count(*), 6) AS avg_nll
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /**
+   * Oracle for [[Catalog.qLmSplit]]: [[qLm]]'s scoring restated, then
+   * round-6 `quantile_cont` tertiles (the p literals are the shortest
+   * round-trip forms of Scala's `1.0/3` and `2.0/3` doubles, so both
+   * engines interpolate at the identical double) and the same
+   * `<=`-threshold cut.
+   */
+  val qLmSplit: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')) AS token
+      |  FROM documents WHERE text IS NOT NULL
+      |), cnt AS (
+      |  SELECT token, count(*) AS c FROM tok GROUP BY token
+      |), tot AS (
+      |  SELECT sum(c) AS t, count(*) AS v FROM cnt
+      |), sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' zq9xoov' ELSE text END AS t2
+      |  FROM documents WHERE text IS NOT NULL
+      |), st AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(t2)), '[\s\x0b]+')) AS token
+      |  FROM sc
+      |), lp AS (
+      |  SELECT st.doc_id,
+      |    ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + tot.v)) AS l
+      |  FROM st LEFT JOIN cnt USING (token), tot
+      |), s AS (
+      |  SELECT doc_id, round(-sum(l) / count(*), 6) AS avg_nll
+      |  FROM lp GROUP BY doc_id
+      |), th AS (
+      |  SELECT
+      |    round(quantile_cont(avg_nll, CAST(0.3333333333333333 AS DOUBLE)), 6) AS t1,
+      |    round(quantile_cont(avg_nll, CAST(0.6666666666666666 AS DOUBLE)), 6) AS t2
+      |  FROM s)
+      |SELECT doc_id, avg_nll,
+      |  CASE WHEN avg_nll <= t1 THEN 'head'
+      |       WHEN avg_nll <= t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM s, th ORDER BY doc_id""".stripMargin
 
   /**
    * Oracle for [[Catalog.taEntropy]]: the same planted corpus (multibyte

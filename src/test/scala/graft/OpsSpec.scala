@@ -544,6 +544,35 @@ class OpsSpec extends SparkSuite {
     assert(got.exists(g => g._3.isEmpty && g._4))
   }
 
+  test("dupSpanStats: per-doc shared-span fractions match a string-level " +
+      "reference; within-doc repeats don't count; blank docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // spans: abc bcd cde
+      (2L, "x a b c y"),          // shares 'a b c' with 1
+      (3L, "a b c a b c"),        // distinct spans incl 'a b c'; self-repeat counted once
+      (4L, "p q r s"),            // no shared span
+      (5L, "  "), (6L, null.asInstanceOf[String]))
+    val got = Dedup.dupSpanStats(docs.toDF("id", "text"), "id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1)
+    def spans(t: String): Set[String] = {
+      val toks = t.toLowerCase.trim.split("[\\s\\x0B]+", -1).toSeq
+      (0 to math.max(toks.size - 3, 0)).map(i =>
+        toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val valid = docs.filter(d => d._2 != null && d._2.trim.nonEmpty)
+    val all = valid.map { case (id, t) => id -> spans(t) }
+    val want = all.map { case (id, sp) =>
+      val dup = sp.count(s => all.exists { case (o, os) => o != id && os(s) })
+      (id, sp.size, dup,
+        BigDecimal(dup.toDouble / sp.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L)) // blank/null absent
+    assert(got.find(_._1 == 4L).get._3 === 0)
+  }
+
   test("pqAdcTopK: end-to-end ADC ranking matches a driver reference built " +
       "from the trained codebooks; dim must divide into subspaces") {
     import graft.ops.Similarity
@@ -1356,6 +1385,36 @@ class OpsSpec extends SparkSuite {
     // the OOV doc must score strictly worse than the all-in-vocab doc
     val byId = got.map(r => r._1 -> r._3).toMap
     assert(byId(1002L) > byId(1001L), "pure-OOV doc must have higher NLL")
+  }
+
+  test("lmBuckets: R-7 tertile thresholds and <=-cut match a driver " +
+      "reference; thirds are near-equal; the cut is a projection, not a window") {
+    val rnd = new scala.util.Random(83)
+    val scored = (1L to 200L).map(i =>
+      (i, BigDecimal(rnd.nextDouble() * 10)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val got = TextAnalysis.lmBuckets(scored.toDF("id", "avg_nll"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // R-7: h = (n-1)p, threshold = x[floor(h)] + (h - floor(h)) * (x[h+1] - x[h])
+    val xs = scored.map(_._2).sorted.toIndexedSeq
+    def r7(p: Double): Double = {
+      val h = (xs.size - 1) * p
+      val lo = math.floor(h).toInt
+      val v = if (lo + 1 < xs.size) xs(lo) + (h - lo) * (xs(lo + 1) - xs(lo))
+        else xs(lo)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (t1, t2) = (r7(1.0 / 3), r7(2.0 / 3))
+    scored.foreach { case (id, v) =>
+      val want = if (v <= t1) "head" else if (v <= t2) "middle" else "tail"
+      assert(got(id) === want, s"doc $id at $v (t1=$t1 t2=$t2)")
+    }
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s >= 60 && s <= 73), sizes.toMap.toString)
+    // scale-shape pin: no Window (ntile) anywhere in the bucketing plan
+    val plan = TextAnalysis.lmBuckets(scored.toDF("id", "avg_nll"), "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
   }
 
   test("bm25TopK matches an in-memory Okapi reference (ties by id, " +
