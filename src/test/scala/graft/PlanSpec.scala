@@ -323,6 +323,37 @@ class PlanSpec extends SparkSuite {
       plans(1)._2.contains("top_k_by_score"))
   }
 
+  test("round-5 plans: PQ ADC is projection + TakeOrderedAndProject; " +
+      "boilerplate probe join broadcasts; PQ/semantic assignment shuffle-free") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = Array.fill(8, 4, 8)(0.1)
+    val pq = graft.ops.Similarity.pqAdcTopK(e, "vec_id", "embedding",
+      Array.fill(64)(0.1f), 10, cbs)
+    val pqPlan = physical(pq)
+    assert(pqPlan.contains("TakeOrderedAndProject"), s"PQ top-k:\n$pqPlan")
+    assert(!pqPlan.contains("Exchange"), s"encode+score must not shuffle:\n$pqPlan")
+    assert(pqPlan.contains("pq_encode") && pqPlan.contains("pq_adc_score"))
+
+    // the boilerplate table is pigeonhole-bounded — both its dim join and
+    // the probe join back onto the lines must be broadcasts, so the big
+    // lines side is never exchanged for the join (only the aggregations
+    // and final per-doc groupBy shuffle)
+    val bp = graft.ops.Curation.stripBoilerplate(
+      docs.filter($"text".isNotNull), "doc_id", "text", "lang")
+    val bpPlan = physical(bp).split("== Initial Plan ==").head
+    assert(bpPlan.contains("BroadcastHashJoin"), s"probe join:\n$bpPlan")
+    assert(!bpPlan.contains("SortMergeJoin"), s"no sort-merge probe:\n$bpPlan")
+
+    // semantic-dedup cluster assignment: one codegen'd projection, the
+    // centroids ride the closure — no join, no shuffle before pairing
+    val assigned = e.select($"vec_id",
+      graft.ops.Similarity.nearestCentroid($"embedding", Array.fill(4)(
+        Array.fill(64)(0.05))).as("cluster"))
+    val aPlan = physical(assigned)
+    assert(!aPlan.contains("Exchange") && aPlan.contains("l2sq_to"),
+      s"assignment must be a shuffle-free kernel projection:\n$aPlan")
+  }
+
   test("partition filter prunes input partitions in the checkpoint slice") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CodeFiles.generate(spark, 200)
