@@ -379,14 +379,19 @@ object TextAnalysis {
       k: Int = 20): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
       .select(tokensLower(col(textCol)).as("t"))
+    // both aggregates are vocab-scale and each feeds TWO consumers (its
+    // total below + the final join) — localCheckpoint materializes each
+    // once so the corpus is tokenized exactly twice, not per consumer
     val big = base.filter(size(col("t")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
         i => struct(element_at(col("t"), i + 1).as("w1"),
           element_at(col("t"), i + 2).as("w2")))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
     val uni = base.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .localCheckpoint()
     val t1 = uni.agg(sum("n_w")).head().getLong(0)
     val t2 = big.agg(sum("n_pair")).head().getLong(0)
     big.filter(col("n_pair") >= minCount)
