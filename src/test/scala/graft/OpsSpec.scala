@@ -544,6 +544,58 @@ class OpsSpec extends SparkSuite {
     assert(got.exists(g => g._3.isEmpty && g._4))
   }
 
+  test("TrainingPipeline.prepare: stages compose — clones collapse, PII " +
+      "scrubs, repetition drops, contaminant drops, splits label, chunk " +
+      "arithmetic holds per shard group; deterministic across runs") {
+    import graft.ops.TrainingPipeline
+    val rnd = new scala.util.Random(97)
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    def doc(i: Int): String =
+      Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ") + s" unique$i"
+    val organic = (1L to 40L).map(i => (i, doc(i.toInt)))
+    val clone = (100L, organic.head._2) // exact clone of doc 1
+    val pii = (101L, "contact us at bob@example.com for details " + doc(101))
+    val junk = (102L, Seq.fill(12)("same line").mkString("\n")) // dup-line frac 11/12
+    val contam = (103L, doc(103))
+    val bench = graft.ops.Curation.benchmarkShingles(
+      Seq(contam._2).toDF("text"), "text")
+    val rows = organic ++ Seq(clone, pii, junk, contam)
+    def run() = TrainingPipeline.prepare(rows.toDF("id", "text"), "id", "text",
+      bench = Some(bench), estJaccard = 0.5,
+      splits = Seq("train" -> 0.8, "val" -> 0.2),
+      packBudget = 16, packShards = 2, lineDedup = false)
+    val out = run().collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("text"), r.getAs[String]("split"), r.getAs[Int]("shard"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_first"),
+      r.getAs[Long]("chunk_last"), r.getAs[Long]("chunk_offset")))
+      .sortBy(_._1)
+    val ids = out.map(_._1).toSet
+    assert(ids(1L) && !ids(100L), "exact clone keeps the min id only")
+    assert(!ids(102L), "dup-line doc dropped by the repetition gate")
+    assert(!ids(103L), "benchmark contaminant dropped")
+    assert(ids(101L) && out.find(_._1 == 101L).get._2.contains("<EMAIL>"),
+      "PII scrubbed, doc kept")
+    assert(out.forall(r => Set("train", "val")(r._3)))
+    assert(out.forall(r => r._4 == 0 || r._4 == 1))
+    // chunk arithmetic: per (split, shard), cumulative sums in id order
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_._1).foreach { case (id, _, _, _, n, cf, cl, off) =>
+        assert(cf === cum / 16 && off === cum % 16, s"doc $id chunk_first/offset")
+        cum += n
+        assert(cl === math.max(cf, (cum - 1) / 16), s"doc $id chunk_last")
+      }
+    }
+    // deterministic end-to-end (incl. the lineDedup=true default path)
+    assert(run().collect().map(_.toString).sorted
+      === run().collect().map(_.toString).sorted)
+    val full = TrainingPipeline.prepare(rows.toDF("id", "text"), "id", "text",
+      bench = Some(bench), packBudget = 16, packShards = 2)
+    assert(full.count() > 0)
+  }
+
   test("dupSpanStats: per-doc shared-span fractions match a string-level " +
       "reference; within-doc repeats don't count; blank docs absent") {
     val docs = Seq(
