@@ -100,6 +100,23 @@ object GraftFunctions {
       require(args.size == 1, "char_entropy(str)")
       CharEntropy(Cast(args(0), StringType))
     },
+    fn("ac_multi_literal_stats", "_FUNC_(str, array('a','b',...)) - " +
+      "struct(n_terms, n_hits): distinct dictionary literals present and " +
+      "total greedy non-overlapping hits, one Aho-Corasick pass") { args =>
+      require(args.size == 2, "ac_multi_literal_stats(str, dict_array)")
+      require(args(1).foldable,
+        "ac_multi_literal_stats: the dictionary must be a literal array " +
+          "(it compiles into the scan automaton)")
+      val arr = Cast(args(1),
+          org.apache.spark.sql.types.ArrayType(StringType)).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr != null && arr.numElements() > 0, "empty dictionary")
+      val dict = (0 until arr.numElements()).map { i =>
+        require(!arr.isNullAt(i), "null literal in dictionary")
+        arr.getUTF8String(i).toString
+      }
+      AcMultiLiteralStats(Cast(args(0), StringType), dict)
+    },
     fn("kmv_distinct", "_FUNC_(hash, k) - aggregate: KMV distinct-count " +
       "sketch over an already-hashed bigint (pass xxhash64(col)): " +
       "struct(n_kept, kth_hash, est_distinct); exact when distinct < k") { args =>

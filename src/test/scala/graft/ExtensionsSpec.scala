@@ -139,6 +139,25 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.isNullAt(2))
   }
 
+  test("ac_multi_literal_stats + char_entropy from SQL match the Column API") {
+    val r = spark.sql(
+      "SELECT ac_multi_literal_stats('aba bad abab', array('ab', 'bad')) AS s, " +
+        "round(char_entropy('aabb'), 6) AS h, " +
+        "ac_multi_literal_stats(NULL, array('x')) AS n").collect().head
+    val s = r.getStruct(0)
+    assert(s.getInt(0) === 2)  // both literals present
+    assert(s.getLong(1) === 4L) // 'ab' x3 (greedy non-overlap) + 'bad' x1
+    assert(r.getDouble(1) === 1.0)
+    assert(r.isNullAt(2))
+    // non-literal dictionary is an analysis-time error, not a runtime one
+    val err = intercept[Exception] {
+      spark.sql("SELECT ac_multi_literal_stats('x', array(cast(rand() AS string)))")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal array") ||
+      err.getMessage.contains("foldable"))
+  }
+
   test("GraftExtensions injector applies cleanly (config-time path)") {
     // full end-to-end needs a fresh session with spark.sql.extensions set
     // (getOrCreate reuses the test session), but the injector itself must
