@@ -238,4 +238,43 @@ object Joins {
       explode(sequence(lit(0), lit(numSalts - 1))))
     bigSalted.join(smallReplicated, keyCols :+ "__salt", "inner").drop("__salt")
   }
+
+  /**
+   * Join-size pre-flight: the EXACT inner-join output cardinality per key
+   * (`n_a · n_b`), hottest keys first — what a 100 TB join runs BEFORE
+   * executing to decide its strategy (broadcast vs shuffle, whether a key
+   * needs [[saltedJoin]]'s salting, whether a top key is a data bug). The
+   * classic estimator sketch (a KMV/sample join) trades exactness for one
+   * pass; this is the exact form, and it is already cheap: two map-side-
+   * combined per-key count aggregations, an aggregate-sized equi-join
+   * (per-key counts, never rows), and a TakeOrderedAndProject — the join
+   * itself is never materialized. Ties order by key ascending.
+   */
+  def joinSizeProfile(a: DataFrame, b: DataFrame, keyA: String,
+      keyB: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val ca = a.filter(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.filter(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("key")).agg(count(lit(1)).as("n_b"))
+    ca.join(cb, "key")
+      .select(col("key"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_out"))
+      .orderBy(col("n_out").desc, col("key").asc)
+      .limit(topK)
+  }
+
+  /** Exact total inner-join cardinality — Σ n_a·n_b over matching keys —
+   * as a driver scalar (one extra aggregate over [[joinSizeProfile]]'s
+   * intermediate; 0 for no matches). */
+  def joinSize(a: DataFrame, b: DataFrame, keyA: String,
+      keyB: String): Long = {
+    val ca = a.filter(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.filter(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("key")).agg(count(lit(1)).as("n_b"))
+    ca.join(cb, "key")
+      .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)))
+      .head().getLong(0)
+  }
 }

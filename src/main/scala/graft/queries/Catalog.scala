@@ -1092,6 +1092,17 @@ object Catalog {
       .orderBy("doc_id")
   }
 
+  /** Join-size pre-flight ([[graft.ops.Joins.joinSizeProfile]]): exact
+   * per-key output cardinality of lineitem ⋈ lineitem[qty > 25] on
+   * l_partkey, hottest 10 keys — the skew detector a 100 TB join runs
+   * before choosing broadcast/salting. The oracle restates the per-key
+   * counts, product and tie order. */
+  def qJoinprof(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    graft.ops.Joins.joinSizeProfile(
+      li, li.filter(col("l_quantity") > 25), "l_partkey", "l_partkey")
+  }
+
   /** Duplicate-span profiling ([[graft.ops.Dedup.dupSpanStats]], k=3):
    * per-doc fraction of distinct 3-token span hashes shared with another
    * document. The word-salad corpus organically repeats 3-grams across

@@ -1612,6 +1612,19 @@ ORDER BY id_a, id_b"""
    * sequential leftmost replace). n_terms counts literals with a hit;
    * keep mirrors the maxTerms=0 gate.
    */
+  /** Oracle for [[Catalog.qJoinprof]]: per-key counts on both sides, the
+   * product, and the (n_out DESC, key ASC) top-10. */
+  val qJoinprof: String =
+    """WITH ca AS (
+      |  SELECT l_partkey AS key, count(*) AS n_a FROM lineitem
+      |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |cb AS (
+      |  SELECT l_partkey AS key, count(*) AS n_b FROM lineitem
+      |  WHERE l_partkey IS NOT NULL AND l_quantity > 25 GROUP BY 1)
+      |SELECT ca.key, ca.n_a, cb.n_b, ca.n_a * cb.n_b AS n_out
+      |FROM ca JOIN cb USING (key)
+      |ORDER BY n_out DESC, key ASC LIMIT 10""".stripMargin
+
   /**
    * Oracle for [[Catalog.taDupspan]]: rebuilds each doc's DISTINCT 3-token
    * span hashes from raw text — the same tokenizer, shingling and

@@ -544,6 +544,29 @@ class OpsSpec extends SparkSuite {
     assert(got.exists(g => g._3.isEmpty && g._4))
   }
 
+  test("joinSizeProfile/joinSize: per-key products equal the real join's " +
+      "group sizes; total equals the real join's count; nulls never match") {
+    import graft.ops.Joins
+    val rnd = new scala.util.Random(89)
+    val a = (1 to 300).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(100)))
+      .map { case (k, v) => (if (k == 11) null else Long.box(k), v) }
+      .toDF("k", "va")
+    val b = (1 to 200).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(100)))
+      .map { case (k, v) => (if (k == 14) null else Long.box(k), v) }
+      .toDF("k", "vb")
+    val prof = Joins.joinSizeProfile(a, b, "k", "k", topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val real = a.join(b, "k").groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prof.map(p => p._1 -> p._4).toMap === real)
+    prof.foreach { case (_, na, nb, out) => assert(na * nb === out) }
+    // descending n_out, key-asc ties
+    assert(prof.map(p => (-p._4, p._1)).toSeq === prof.map(p => (-p._4, p._1)).sorted)
+    assert(Joins.joinSize(a, b, "k", "k") === a.join(b, "k").count())
+    // disjoint keys -> zero
+    assert(Joins.joinSize(a.filter($"k" < 3), b.filter($"k" > 5), "k", "k") === 0L)
+  }
+
   test("TrainingPipeline.prepare: stages compose — clones collapse, PII " +
       "scrubs, repetition drops, contaminant drops, splits label, chunk " +
       "arithmetic holds per shard group; deterministic across runs") {
