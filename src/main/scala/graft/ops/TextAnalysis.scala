@@ -244,15 +244,32 @@ object TextAnalysis {
    * token spaces beyond driver memory (identifiers, URLs) use an
    * explode + shuffle-join formulation instead of this map path.
    */
+  /** Default ceiling for the driver-map vocabulary builders. Natural-
+   * language vocabularies sit well under it; an identifier-shaped code
+   * vocabulary blows past it — which is exactly when the join-path
+   * formulations ([[tfidfKeywordsJoin]], [[lmScoreJoin]]) must take over
+   * instead of OOMing the driver mid-collect. */
+  val DefaultMaxVocab: Int = 4000000
+
   def idfMap(df: DataFrame, idCol: String, textCol: String,
-      nDocs: Option[Long] = None): Map[String, Double] = {
+      nDocs: Option[Long] = None,
+      maxVocab: Int = DefaultMaxVocab): Map[String, Double] = {
     val base = df.filter(col(textCol).isNotNull)
     val n = nDocs.getOrElse(base.count())
-    base
+    // limit(maxVocab+1) bounds DRIVER memory even on the failure path —
+    // the guard trips after maxVocab+1 rows stream back, not after the
+    // full billion-token vocabulary has been materialized driver-side
+    val rows = base
       .select(explode(array_distinct(tokensLower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
-      .collect().map(r => r.getString(0) ->
-        math.log(n.toDouble / r.getLong(1))).toMap
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"idfMap: vocabulary exceeds maxVocab=$maxVocab distinct tokens — " +
+        "an open token space (identifiers, URLs) does not fit a driver " +
+        "map; use tfidfKeywordsJoin, the explode+join formulation")
+    rows.map(r => r.getString(0) ->
+      math.log(n.toDouble / r.getLong(1))).toMap
   }
 
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
@@ -283,6 +300,67 @@ object TextAnalysis {
       .select(col(idCol), (col("__r") + 1).cast("int").as("rank"),
         col("__kw.token").as("token"),
         round(-col("__kw.n"), 6).as("score"))
+  }
+
+  /**
+   * OPEN-VOCABULARY per-document TF-IDF keywords — the distributed twin of
+   * [[tfidfKeywords]] for token spaces beyond driver memory (a 100 TB code
+   * corpus's identifier vocabulary is effectively unbounded; the map path's
+   * collect is a driver OOM there). Same output contract:
+   * (idCol, rank 1..k, token, score round-6), ties score-DESC token-ASC.
+   *
+   * Scale shape: ONE explode feeds a (doc, token) tf aggregate that is
+   * materialized once (localCheckpoint) and consumed twice — re-aggregated
+   * by token into the document-frequency table, then equi-joined back on
+   * the token key (both sides shuffle-partitioned by token; no driver map,
+   * no broadcast of the vocabulary). The per-doc top-k is the bounded
+   * [[graft.functions.TopKTokens]] aggregate: map-side k-heaps, shuffle
+   * <= #docs x #partitions x k entries — NOT a row_number window, which
+   * would funnel every scored token of a document through one reducer.
+   * Every stage is vocabulary-size independent on the driver.
+   */
+  def tfidfKeywordsJoin(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nDocs: Option[Long] = None): DataFrame = {
+    require(k >= 1, "keyword count must be >= 1")
+    val base = df.filter(col(textCol).isNotNull)
+    val n = nDocs.getOrElse(base.count())
+    val pairs = base
+      .select(col(idCol), explode(tokensLower(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two consumers below — tokenize the corpus ONCE
+    // pairs is already distinct per (doc, token), so doc_freq = row count
+    val dfTable = pairs.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    // idf as a COLUMN over the same double ln the map path computes
+    // driver-side (java.lang.Math.log either way — identical IEEE result)
+    val scored = pairs.join(dfTable, "token")
+      .select(col(idCol),
+        (col("tf").cast("double") *
+          log(lit(n.toDouble) / col("doc_freq"))).as("score"),
+        col("token"))
+    scored.groupBy(col(idCol))
+      .agg(graft.functions.TopKTokens.topK(col("score"), col("token"), k).as("tk"))
+      .select(col(idCol), posexplode(col("tk")).as(Seq("__r", "__kw")))
+      .select(col(idCol), (col("__r") + 1).cast("int").as("rank"),
+        col("__kw.token").as("token"),
+        round(col("__kw.score"), 6).as("score"))
+  }
+
+  /** Auto-dispatching front door: ONE cheap HyperLogLog aggregation
+   * estimates the distinct-token count (sketch merge — no token shuffle),
+   * then picks the broadcast-map path (small vocab: zero joins, fastest)
+   * or the join path (open vocab: driver-safe). The 0.9 haircut keeps the
+   * 2%-rsd estimate from steering a just-over-the-line vocabulary into
+   * [[idfMap]]'s hard require. */
+  def tfidfKeywordsAuto(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val est = base
+      .select(explode(array_distinct(tokensLower(col(textCol)))).as("token"))
+      .agg(approx_count_distinct(col("token")).as("v"))
+      .head().getLong(0)
+    if (est <= (maxVocab * 0.9).toLong) tfidfKeywords(df, idCol, textCol, k)
+    else tfidfKeywordsJoin(df, idCol, textCol, k)
   }
 
   /** All text features in one projection over (idCol, textCol). */
@@ -437,14 +515,80 @@ object TextAnalysis {
    * payload [[lmScore]] consumes: token → ln((c+1)/(T+V)), plus the OOV
    * log-prob ln(1/(T+V)). Driver-memory-bounded like [[idfMap]] (one map
    * entry per distinct token); build once, score any number of batches. */
-  def lmModel(train: DataFrame, textCol: String): (Map[String, Double], Double) = {
-    val counts = train.filter(col(textCol).isNotNull)
+  def lmModel(train: DataFrame, textCol: String,
+      maxVocab: Int = DefaultMaxVocab): (Map[String, Double], Double) = {
+    // limit-bounded collect: the guard fails fast after maxVocab+1 rows,
+    // never materializing an open vocabulary driver-side (see [[idfMap]])
+    val rows = train.filter(col(textCol).isNotNull)
       .select(explode(tokensLower(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"lmModel: vocabulary exceeds maxVocab=$maxVocab distinct tokens — " +
+        "use lmModelDf + lmScoreJoin, the explode+join open-vocabulary path")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val denom = (counts.values.sum + counts.size).toDouble
     (counts.map { case (t, c) => t -> math.log((c + 1).toDouble / denom) },
       math.log(1.0 / denom))
+  }
+
+  /**
+   * OPEN-VOCABULARY unigram LM — the distributed twin of [[lmModel]]:
+   * the model stays a DataFrame (token, logp) partitioned across the
+   * cluster; only the smoothing denominator T+V (two scalars off the
+   * ALREADY-AGGREGATED counts table) ever reaches the driver. Returns the
+   * model frame plus the OOV log-prob ln(1/(T+V)). The counts table is
+   * localCheckpoint-materialized so the training corpus is tokenized once
+   * (the totals pass reads the checkpoint, not the lineage).
+   */
+  def lmModelDf(train: DataFrame, textCol: String): (DataFrame, Double) = {
+    val counts = train.filter(col(textCol).isNotNull)
+      .select(explode(tokensLower(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("c").as("t"), count(lit(1)).as("v")).head()
+    val denom = (tot.getLong(0) + tot.getLong(1)).toDouble
+    // (c+1) in LONG then one cast — the identical double the map path's
+    // (c + 1).toDouble / denom produces, so both paths emit equal scores
+    (counts.select(col("token"),
+      log((col("c") + 1L).cast("double") / lit(denom)).as("logp")),
+      math.log(1.0 / denom))
+  }
+
+  /**
+   * Score documents against a DataFrame-resident LM ([[lmModelDf]]) —
+   * same output contract as [[lmScore]]: (idCol, n_tokens, avg_nll
+   * round-6). Shape: explode -> LEFT equi-join on the token key (misses
+   * take the OOV log-prob) -> per-doc sum/count aggregate. Two shuffles
+   * (join + doc agg), zero driver state — the path that survives an
+   * unbounded vocabulary; summation order differs from the map path's
+   * in-document fold only below the round-6 contract.
+   */
+  def lmScoreJoin(score: DataFrame, idCol: String, textCol: String,
+      model: (DataFrame, Double)): DataFrame = {
+    val (modelDf, oov) = model
+    score.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokensLower(col(textCol))).as("token"))
+      .join(modelDf, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(-sum(coalesce(col("logp"), lit(oov))) / count(lit(1)), 6)
+          .as("avg_nll"))
+  }
+
+  /** Auto-dispatching LM scorer (the [[tfidfKeywordsAuto]] contract): one
+   * HLL estimate of the training vocabulary picks broadcast-map scoring
+   * (small vocab) or the join path (open vocab). */
+  def lmScoreAuto(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    val est = train.filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(tokensLower(col(textCol)))).as("token"))
+      .agg(approx_count_distinct(col("token")).as("v"))
+      .head().getLong(0)
+    if (est <= (maxVocab * 0.9).toLong)
+      lmScore(score, idCol, textCol, lmModel(train, textCol, maxVocab))
+    else lmScoreJoin(score, idCol, textCol, lmModelDf(train, textCol))
   }
 
   /**

@@ -446,6 +446,17 @@ object Catalog {
     TextAnalysis.tfidfKeywords(docs(spark, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** The OPEN-VOCABULARY TF-IDF keyword path
+   * ([[graft.ops.TextAnalysis.tfidfKeywordsJoin]]): same corpus, same
+   * output contract as [[taKeywords]], computed with zero driver-resident
+   * vocabulary — explode + token-keyed join + bounded
+   * [[graft.functions.TopKTokens]] per-doc top-k. Oracle: identical SQL to
+   * [[Oracles.taKeywords]]; PASSing both queries proves map path == join
+   * path == oracle on the same corpus. */
+  def taKeywordsJoin(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywordsJoin(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard blocked
    * ngram pair graph, each member labeled with its component's min id (the
    * canonical-doc choice of a dedup pass). The raw corpus has no organic
@@ -1052,6 +1063,23 @@ object Catalog {
       when(col("doc_id") % 6 === 0, concat(col("text"), lit(" zq9xoov")))
         .otherwise(col("text")).as("text"))
     graft.ops.TextAnalysis.lmScore(scoreDf, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  /** The OPEN-VOCABULARY LM scoring path ([[graft.ops.TextAnalysis
+   * .lmScoreJoin]] over [[graft.ops.TextAnalysis.lmModelDf]]): same
+   * planted corpus and output contract as [[qLm]], with the model held as
+   * a distributed (token, logp) frame and scoring via left equi-join —
+   * no driver-resident vocabulary. Oracle: identical SQL to
+   * [[Oracles.qLm]] (round-6 absorbs the summation-order ulp skew the
+   * join shape introduces vs the map path's in-document fold). */
+  def qLmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = graft.ops.TextAnalysis.lmModelDf(d, "text")
+    val scoreDf = d.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(col("text"), lit(" zq9xoov")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.TextAnalysis.lmScoreJoin(scoreDf, "doc_id", "text", model)
       .orderBy("doc_id")
   }
 

@@ -534,6 +534,11 @@ object Oracles {
       |SELECT doc_id, CAST(rank AS INT) AS rank, token, round(score, 6) AS score
       |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Oracle for [[Catalog.taKeywordsJoin]] — by construction the SAME SQL
+   * as [[taKeywords]]: the join path must produce byte-identical output to
+   * the map path, so one oracle adjudicates both. */
+  val taKeywordsJoin: String = taKeywords
+
   /**
    * Oracle for [[Catalog.qMixture]]: the copy-selection hash is Spark's
    * `xxhash64(~doc_id)` — the complement's unsigned value is
@@ -1790,6 +1795,11 @@ GROUP BY dhd.id ORDER BY doc_id"""
       |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
       |  round(-sum(l) / count(*), 6) AS avg_nll
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[Catalog.qLmJoin]] — the SAME SQL as [[qLm]]: the
+   * join-shape scorer must emit the map path's values at round-6 (the
+   * summation-order ulp skew lives below the rounding contract). */
+  val qLmJoin: String = qLm
 
   /**
    * Oracle for [[Catalog.qLmSplit]]: [[qLm]]'s scoring restated, then

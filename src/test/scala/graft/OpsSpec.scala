@@ -1725,4 +1725,47 @@ class OpsSpec extends SparkSuite {
       .as[Seq[Byte]].head()
     assert(qOut(0) === 127.toByte)
   }
+
+  test("tfidfKeywordsJoin: the open-vocabulary join path equals the " +
+      "broadcast-map path row-for-row; the driver-map guard fails fast") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mapPath = TextAnalysis.tfidfKeywords(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val joinPath = TextAnalysis.tfidfKeywordsJoin(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(joinPath === mapPath)
+    // the auto dispatcher picks SOME path and returns the same rows
+    val auto = TextAnalysis.tfidfKeywordsAuto(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(auto === mapPath)
+    // guard: a vocabulary larger than maxVocab dies with the named error,
+    // and the limit-bounded collect means it dies FAST, not at OOM
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.idfMap(d, "doc_id", "text", maxVocab = 10)
+    }
+    assert(err.getMessage.contains("maxVocab"))
+    assert(err.getMessage.contains("tfidfKeywordsJoin"))
+  }
+
+  test("lmScoreJoin: DataFrame-resident model scores equal the map path " +
+      "at round-6; OOV takes the smoothing floor; lmModel guard fires") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = d.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(col("text"), lit(" zq9xoov")))
+        .otherwise(col("text")).as("text"))
+    val mapPath = TextAnalysis.lmScore(batch, "doc_id", "text",
+      TextAnalysis.lmModel(d, "text"))
+      .orderBy("doc_id").collect().toSeq
+    val joinPath = TextAnalysis.lmScoreJoin(batch, "doc_id", "text",
+      TextAnalysis.lmModelDf(d, "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(joinPath === mapPath)
+    val auto = TextAnalysis.lmScoreAuto(d, batch, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(auto === mapPath)
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.lmModel(d, "text", maxVocab = 10)
+    }
+    assert(err.getMessage.contains("lmModelDf"))
+  }
 }

@@ -364,4 +364,25 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("part#"),
       s"partition filter must prune directories:\n$plan")
   }
+
+  test("open-vocabulary TF-IDF/LM join paths: no driver map, no Window — " +
+      "token-keyed joins plus bounded per-doc top-k") {
+    val kw = graft.ops.TextAnalysis.tfidfKeywordsJoin(docs, "doc_id", "text", 3)
+    val kp = physical(kw)
+    // the whole point of the path: the vocabulary NEVER becomes a driver
+    // map (broadcast_map_lookup is the map path's kernel) and per-doc
+    // top-k is the bounded aggregate, not a row_number window funnel
+    assert(!kp.contains("broadcast_map_lookup"),
+      s"join path must not ship a driver vocab map:\n$kp")
+    assert(!kp.contains("Window"), s"top-k must not be a window:\n$kp")
+    assert(kp.contains("ObjectHashAggregate") && kp.contains("partial_top_k_tokens"),
+      s"per-doc top-k must partial-aggregate map-side:\n$kp")
+    val (modelDf, oov) = graft.ops.TextAnalysis.lmModelDf(docs, "text")
+    val lm = graft.ops.TextAnalysis.lmScoreJoin(docs, "doc_id", "text",
+      (modelDf, oov))
+    val lp = physical(lm)
+    assert(!lp.contains("broadcast_map_lookup"),
+      s"lm join path must not ship a driver vocab map:\n$lp")
+    assert(!lp.contains("Window"), s"lm join path must not window:\n$lp")
+  }
 }
