@@ -25,6 +25,65 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /**
+   * Measurement-window quality probe — the round-3 lesson: an official
+   * bench record taken in a contended window overstated cost ~2x and the
+   * JSON carried nothing to defend itself with. Samples /proc/stat
+   * (hypervisor steal + whole-host busy) and this JVM's own CPU around a
+   * leg, so every emitted number is paired with the evidence of how quiet
+   * the host was while it was taken. Thresholds match the scaling
+   * harness's pre-registered rule (tools/run_scaling_quiet.py):
+   * steal < 1.5% of machine capacity and < 1.0 external busy cores.
+   */
+  object WindowProbe {
+    final case class Stat(total: Long, idle: Long, steal: Long)
+    final case class Window(wallSec: Double, stealPct: Double,
+        extCores: Double, loadavg: Double, clean: Boolean) {
+      def json: String =
+        f"""{"wall_sec":$wallSec%.2f,"steal_pct":$stealPct%.3f,"ext_cores":$extCores%.2f,"loadavg":$loadavg%.2f,"clean":$clean}"""
+    }
+
+    val StealPctMax = 1.5
+    val ExtCoresMax = 1.0
+
+    def cpuStat(): Stat = {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val v = line.split("\\s+").drop(1).map(_.toLong)
+      Stat(v.take(8).sum, v(3) + v(4), if (v.length > 7) v(7) else 0L)
+    }
+
+    def loadavg(): Double =
+      scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split("\\s+")(0).toDouble
+
+    /** This JVM's cumulative CPU seconds (Spark local mode = the whole
+     * job lives in this one process, so host busy minus this is external
+     * load). -1-unsupported degrades to "everything looks external". */
+    def selfCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          val ns = os.getProcessCpuTime
+          if (ns < 0) 0.0 else ns / 1e9
+        case _ => 0.0
+      }
+
+    /** Run `f`, returning its result plus the window telemetry. /proc/stat
+     * ticks are USER_HZ = 100 on Linux. */
+    def around[A](f: => A): (A, Window) = {
+      val s0 = cpuStat(); val p0 = selfCpuSec(); val w0 = System.nanoTime()
+      val a = f
+      val wall = (System.nanoTime() - w0) / 1e9
+      val s1 = cpuStat(); val p1 = selfCpuSec()
+      val hostBusy = ((s1.total - s0.total) - (s1.idle - s0.idle)) / 100.0
+      val stealPct = 100.0 * (s1.steal - s0.steal) /
+        math.max(1L, s1.total - s0.total)
+      val extCores = math.max(0.0, (hostBusy - (p1 - p0)) / math.max(wall, 1e-9))
+      val w = Window(wall, stealPct, extCores, loadavg(),
+        clean = stealPct < StealPctMax && extCores < ExtCoresMax)
+      (a, w)
+    }
+  }
+
   /** Materialize the synthetic code_files table once per (rows, seed). */
   def codeFilesParquet(spark: SparkSession, rows: Long): String = {
     val path = s"/tmp/graft_bench/code_files_${rows}_v2"
@@ -119,14 +178,16 @@ object Bench {
     // queries otherwise absorbs the whole JVM warm-up (codegen compiler,
     // parquet reader init, C2) — round-2 measured the alphabetically-first
     // query at ~9x its warm time purely from that cold-start tax.
-    val results: Seq[(String, Double)] = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        def onePass(): Double = timeIt {
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
-        }._2
-        val t = math.min(onePass(), onePass())
-        name -> t
+    val (results: Seq[(String, Double)], queriesWindow) = WindowProbe.around {
+      selected.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          def onePass(): Double = timeIt {
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+          }._2
+          val t = math.min(onePass(), onePass())
+          name -> t
+      }
     }
 
     if (only.isDefined) { // single-query timing mode: skip the headline job
@@ -134,10 +195,31 @@ object Bench {
       spark.stop(); return
     }
 
-    // headline: validated rows/sec on code_files (adaptive warm-up inside)
+    // headline: validated rows/sec on code_files (adaptive warm-up inside).
+    // The leg retries until it lands in a CLEAN host window (steal/external
+    // load under the scaling harness's pre-registered thresholds) or the
+    // attempt cap — then the best attempt ships marked "dirty": the record
+    // defends itself instead of silently absorbing a noisy neighbor
+    // (round 3's official bench was ~2x inflated by exactly that).
     val path = codeFilesParquet(spark, benchRows)
-    val runs = timedRuns(spark, path, 3)
-    val med = runs.map(_._4).sorted.apply(1)
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_WINDOW_RETRIES", "3").toInt
+    var attempts = List.empty[(Seq[(Long, Long, Long, Double)], WindowProbe.Window)]
+    var attempt = 0
+    while (attempt < maxAttempts &&
+        !attempts.headOption.exists(_._2.clean)) {
+      attempts ::= WindowProbe.around { timedRuns(spark, path, 3) }
+      attempt += 1
+      if (!attempts.head._2.clean)
+        System.err.println(s"[bench] dirty window on attempt $attempt: " +
+          attempts.head._2.json)
+    }
+    // prefer the clean attempt; else best (fastest median) of the dirty ones
+    def medOf(rs: Seq[(Long, Long, Long, Double)]): Double =
+      rs.map(_._4).sorted.apply(rs.size / 2)
+    val (runs, validateWindow) = attempts.find(_._2.clean)
+      .getOrElse(attempts.minBy(a => medOf(a._1)))
+    val dirty = !validateWindow.clean
+    val med = medOf(runs)
     val rps = runs.head._1 / med
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -145,7 +227,7 @@ object Bench {
     val total = f"${results.map(_._2).sum + med}%.3f"
     val medS = f"$med%.3f"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows_per_sec":${rps.toLong},"bench_rows":$benchRows,"bench_invalid":${runs.head._2},"bench_violations":${runs.head._3},"validate_sec":$medS}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows_per_sec":${rps.toLong},"bench_rows":$benchRows,"bench_invalid":${runs.head._2},"bench_violations":${runs.head._3},"validate_sec":$medS,"window_queries":${queriesWindow.json},"window_validate":${validateWindow.json},"validate_attempts":$attempt,"dirty":$dirty}"""
     println(json)
     // Round 1's BENCH json went unparsed (sbt [info] prefixes buried it in
     // the log tail) — also persist it where a file-reading driver finds it.
