@@ -78,6 +78,117 @@ object Joins {
   }
 
   /**
+   * SKEW-SAFE as-of join — the compound-key time-bucket chunking
+   * [[asofJoin]]'s scale note describes, implemented. The plain form
+   * partitions the window by `keyCol` alone, so a hot key (one user id
+   * with 10^9 events — the canonical 100x-scale killer) serializes its
+   * entire history through ONE partition's sort. Here the partition key
+   * is (key, floor(ts / bucketWidth)): a hot key's rows spread across its
+   * time buckets, and every window sort is bucket-local.
+   *
+   * Correctness hinges on the carry-forward state being exactly ONE row:
+   * the latest right row at or before a bucket's start is, for every left
+   * row in that bucket, the best candidate from ALL earlier buckets. So:
+   *  1. per (key, bucket): max right-struct — a map-side-combinable
+   *     aggregate over bucket-LEVEL granularity;
+   *  2. per key: the EXCLUSIVE running max over buckets in order (a
+   *     window over #buckets rows per key — dimension-scale, not
+   *     row-scale; 10^9 events at day buckets is ~10^3 window rows);
+   *  3. per (key, bucket): the in-bucket carry-forward window (the plain
+   *     formulation, now bucket-local), final best = greatest(in-bucket
+   *     running max, carried-in bucket max) — `greatest` ranks the
+   *     structs by ts first and ignores NULLs, and any in-bucket right
+   *     row out-ranks every carried row by construction (later bucket =
+   *     strictly later ts).
+   * Output is row-for-row identical to [[asofJoin]] (OpsSpec-pinned on a
+   * planted 50%-hot key). Same column contracts; ts columns must be
+   * timestamps (bucketWidth in MICROSECONDS) or integral (bucketWidth in
+   * key units). NULL left timestamps bucket to NULL and keep NULL right
+   * columns via a null-safe bucket join. Pick bucketWidth so a hot key
+   * yields 10^2-10^4 buckets: wide enough that the carry table stays
+   * dimension-scale, fine enough that no single bucket recreates the
+   * funnel.
+   */
+  def asofJoinSkewSafe(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val rightPayload = right.columns.filterNot(_ == keyCol).toSeq
+    require(rightPayload.contains(rightTsCol),
+      s"right side must contain its timestamp column '$rightTsCol'")
+    val leftCols = left.columns.toSeq
+    val clash = rightPayload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"left/right column names must be disjoint apart from '$keyCol'; " +
+        s"clashing: ${clash.mkString(", ")}")
+
+    val rStructNames = rightTsCol +: rightPayload.filterNot(_ == rightTsCol)
+    val rTagged = right.filter(col(rightTsCol).isNotNull).select(
+      col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__side"),
+      struct(rStructNames.map(col): _*).as("__r"))
+    val rType = rTagged.schema("__r").dataType
+    val lTagged = left.select(
+      col(keyCol), col(leftTsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(rType).as("__r"), struct(leftCols.map(col): _*).as("__l"))
+    val unioned = rTagged
+      .withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
+      .unionByName(lTagged)
+    val bucketed = unioned.withColumn("__tb",
+      floorDiv(tsAsLong(unioned, "__ts"), bucketWidth))
+
+    // bucket-level carry: per-(key,bucket) max right row, then per key the
+    // EXCLUSIVE prefix max over buckets — all at bucket granularity
+    val carry = bucketed.groupBy(col(keyCol).as("__ck"), col("__tb").as("__cb"))
+      .agg(max(col("__r")).as("__bmax"))
+      .select(col("__ck"), col("__cb"),
+        max(col("__bmax")).over(
+          Window.partitionBy(col("__ck")).orderBy(col("__cb"))
+            .rowsBetween(Window.unboundedPreceding, -1)).as("__carry"))
+
+    // row-level window, now BUCKET-LOCAL: the hot key's sort is split
+    // across its (key, bucket) groups instead of one partition
+    val wIn = Window.partitionBy(col(keyCol), col("__tb"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = bucketed.join(carry,
+      bucketed(keyCol) === carry("__ck") && bucketed("__tb") <=> carry("__cb"),
+      "left")
+    val outLeft = leftCols.map(c => col(s"__l.$c").as(c))
+    val outRight = rStructNames.map(c => col(s"__best.$c").as(c))
+    joined
+      .withColumn("__best", greatest(max(col("__r")).over(wIn), col("__carry")))
+      .filter(col("__side") === 1)
+      .select(outLeft ++ outRight: _*)
+  }
+
+  /** Integral-or-timestamp column as a long (timestamps in MICROSECONDS) —
+   * the shared domain conversion of [[rangeJoin]] and
+   * [[asofJoinSkewSafe]]. */
+  private def tsAsLong(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      // parquet walltime timestamps surface as NTZ; the session runs UTC,
+      // so the TZ cast is a pure reinterpretation, never a wall shift
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"temporal-join column '$c' must be integral or timestamp, got ${dt.simpleString}")
+    }
+  }
+
+  /** Exact floor division on longs: pmod keeps the remainder non-negative
+   * (negative domains bucket correctly) and the division is an INTEGRAL
+   * divide of the exact multiple — Column `/` is double division, which
+   * rounds above 2^53 (nanosecond epochs) and would put a point and its
+   * interval in adjacent buckets. */
+  private def floorDiv(x: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dividend = ColumnBridge.expression(x - pmod(x, lit(w)))
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(dividend, ColumnBridge.expression(lit(w))))
+  }
+
+  /**
    * Point-in-interval range join: every left row whose `pointCol` falls in
    * `[startCol, endCol]` (inclusive both ends) of a right interval with the
    * same key is paired with that interval — "which promotion windows was
@@ -132,30 +243,8 @@ object Joins {
     require(!(points.columns ++ intervals.columns).contains("__pb"),
       "'__pb' is the range join's internal bucket column; rename it first")
 
-    def asLong(df: DataFrame, c: String): Column = {
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        // parquet walltime timestamps surface as NTZ; the session runs UTC,
-        // so the TZ cast is a pure reinterpretation, never a wall shift
-        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
-        case dt => throw new IllegalArgumentException(
-          s"range-join column '$c' must be integral or timestamp, got ${dt.simpleString}")
-      }
-    }
-    // exact floor division on longs: pmod keeps the remainder non-negative
-    // (so negative values land in the correct bucket), and the division is
-    // an INTEGRAL divide of the exact multiple — Column `/` is double
-    // division, which rounds above 2^53 (nanosecond epochs) and would put
-    // a point and its interval in adjacent buckets
-    def bucketOf(x: Column): Column = {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      val dividend = ColumnBridge.expression(x - pmod(x, lit(bucketWidth)))
-      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
-        .IntegralDivide(dividend,
-          ColumnBridge.expression(lit(bucketWidth))))
-    }
+    def bucketOf(x: Column): Column = floorDiv(x, bucketWidth)
+    def asLong(df: DataFrame, c: String): Column = tsAsLong(df, c)
 
     val pBucketed = points.withColumn("__pb", bucketOf(asLong(points, pointCol)))
     val s = asLong(intervals, startCol)

@@ -198,6 +198,25 @@ object Catalog {
       .orderBy("event_id")
   }
 
+  /** The SKEW-SAFE as-of join ([[graft.ops.Joins.asofJoinSkewSafe]],
+   * 1-day time buckets): same inputs and output contract as [[qAsof]],
+   * with the row-level window partitioned by (user, day) so a hot user
+   * never funnels through one partition. Oracle: identical SQL to
+   * [[Oracles.qAsof]] — the chunked form must equal the plain form. */
+  def qAsofSkew(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val quotes = spark.read.parquet(s"$dir/orders.parquet").select(
+      (col("o_custkey") % 150).as("user_id"),
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, cast(o_orderkey % 43200 as int), 0)").as("qts"),
+      col("o_orderkey").as("order_key"),
+      round(col("o_totalprice"), 2).as("px"))
+    graft.ops.Joins.asofJoinSkewSafe(events, quotes, "user_id", "ts", "qts",
+      bucketWidth = 86400L * 1000000L)
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization ([[graft.ops.Sessionize.sessions]], native
    * session_window): 4-hour inactivity gap over the events stream shape —
    * ~6.9k sessions at sf0.01, ~30% multi-event. Oracle:

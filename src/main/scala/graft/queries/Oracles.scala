@@ -1281,6 +1281,10 @@ ORDER BY id_a, id_b"""
       |  best.order_key AS order_key, best.px AS px
       |FROM carried WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin
 
+  /** Oracle for [[Catalog.qAsofSkew]] — the SAME SQL as [[qAsof]]: the
+   * time-bucket-chunked form must be row-identical to the plain form. */
+  val qAsofSkew: String = qAsof
+
   /**
    * Oracle for [[Catalog.evSessions]]: Spark's session_window merges
    * ADJACENT windows — an event exactly `gap` after the previous one

@@ -1768,4 +1768,60 @@ class OpsSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("lmModelDf"))
   }
+
+  test("asofJoinSkewSafe: row-identical to asofJoin on a planted 50%-hot " +
+      "key; the hot key's rows span many time buckets") {
+    val rnd = new scala.util.Random(7)
+    // one key owns half the left side AND half the right side — the shape
+    // that funnels the plain window through a single partition
+    val left = (1L to 2000L).map { i =>
+      val key = if (i % 2 == 0) 1L else 1L + (i % 97)
+      (i, key, (rnd.nextInt(100000)).toLong)
+    }.toDF("event_id", "k", "ts")
+    val right = (1L to 1000L).map { i =>
+      val key = if (i % 2 == 0) 1L else 1L + (i % 97)
+      (key, (rnd.nextInt(100000)).toLong, i * 10)
+    }.toDF("k", "qts", "payload")
+    val plain = Joins.asofJoin(left, right, "k", "ts", "qts")
+      .orderBy("event_id").collect().toSeq
+    val skewSafe = Joins.asofJoinSkewSafe(left, right, "k", "ts", "qts",
+      bucketWidth = 1000L)
+      .orderBy("event_id").collect().toSeq
+    assert(skewSafe === plain)
+    // the funnel is actually gone: the hot key's rows land in many
+    // (key, bucket) partition groups, not one
+    val hotBuckets = left.filter(col("k") === 1L)
+      .select((col("ts") - pmod(col("ts"), lit(1000L))).divide(1000L))
+      .distinct().count()
+    assert(hotBuckets > 50, s"hot key must span many buckets, got $hotBuckets")
+    // edge parity: NULL left ts keeps NULL right columns in both forms
+    val leftN = Seq((9001L, 1L, null.asInstanceOf[java.lang.Long]),
+      (9002L, 999L, java.lang.Long.valueOf(5L))).toDF("event_id", "k", "ts")
+    val pN = Joins.asofJoin(leftN, right, "k", "ts", "qts")
+      .orderBy("event_id").collect().toSeq
+    val sN = Joins.asofJoinSkewSafe(leftN, right, "k", "ts", "qts", 1000L)
+      .orderBy("event_id").collect().toSeq
+    assert(sN === pN)
+    assert(sN.forall(r => r.isNullAt(r.fieldIndex("qts"))))
+  }
+
+  test("asofJoinSkewSafe: timestamp columns bucket in microseconds and " +
+      "match the plain form on the q_asof corpus shape") {
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val quotes = spark.read.parquet(s"$dir/orders.parquet").select(
+      (col("o_custkey") % 150).as("user_id"),
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, cast(o_orderkey % 43200 as int), 0)")
+        .as("qts"),
+      col("o_orderkey").as("order_key"),
+      round(col("o_totalprice"), 2).as("px"))
+    val plain = Joins.asofJoin(events, quotes, "user_id", "ts", "qts")
+      .orderBy("event_id").collect().toSeq
+    val skewSafe = Joins.asofJoinSkewSafe(events, quotes, "user_id", "ts",
+      "qts", bucketWidth = 86400L * 1000000L) // 1-day buckets in micros
+      .orderBy("event_id").collect().toSeq
+    assert(skewSafe === plain)
+  }
 }

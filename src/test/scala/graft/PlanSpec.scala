@@ -385,4 +385,24 @@ class PlanSpec extends SparkSuite {
       s"lm join path must not ship a driver vocab map:\n$lp")
     assert(!lp.contains("Window"), s"lm join path must not window:\n$lp")
   }
+
+  test("asofJoinSkewSafe: the row-level window partitions by (key, bucket) " +
+      "— no single-partition funnel for a hot key") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val q = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select((col("o_custkey") % 150).as("user_id"),
+        col("o_orderdate").cast("timestamp").as("qts"),
+        col("o_orderkey").as("order_key"))
+    val p = physical(graft.ops.Joins.asofJoinSkewSafe(
+      ev, q, "user_id", "ts", "qts", 86400L * 1000000L))
+    // the expensive window (rows-scale carry-forward) must hash-partition
+    // on BOTH the key and the time bucket; only the bucket-scale carry
+    // window may partition on the key alone
+    val rowWindow = p.linesIterator.find(l =>
+      l.contains("Window") && l.contains("__ts"))
+    assert(rowWindow.isDefined, s"row-level window missing:\n$p")
+    assert(rowWindow.get.contains("__tb"),
+      s"row-level window must partition by the time bucket too:\n${rowWindow.get}")
+  }
 }
