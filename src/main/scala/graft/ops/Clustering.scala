@@ -50,14 +50,25 @@ object Clustering {
    *                half-merged clusters.
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, reliableCheckpoint: Boolean = false): DataFrame = {
+    // localCheckpoint is executor-local and NON-RESILIENT: on a real
+    // cluster a lost executor kills the whole iterative job. For cluster
+    // runs pass reliableCheckpoint=true (with spark.sparkContext
+    // .setCheckpointDir pointing at durable storage, e.g. HDFS/S3) so each
+    // round's lineage cut survives executor loss; local[k] keeps the
+    // cheaper executor-local cut as the default.
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    if (reliableCheckpoint)
+      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
+          "pointing at durable storage")
     val e = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val sym = cut(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
 
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
@@ -66,9 +77,8 @@ object Clustering {
     // aggregation: comp0(u) = min(u, min N(u)). Starting from the identity
     // labeling instead costs a full union + two-join round whose doubling
     // term is a no-op (comp(comp(id)) == comp(id) on identity labels).
-    var labels = sym.groupBy("src").agg(min(col("dst")).as("m"))
-      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
-      .localCheckpoint()
+    var labels = cut(sym.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))
     // No edges (or only self-loops/nulls) -> no endpoints: the sum over
     // zero rows is NULL — that IS the emptiness probe, so the check rides
     // the first fixpoint sum instead of costing a separate isEmpty job.
@@ -85,9 +95,8 @@ object Clustering {
         .join(labels.withColumnRenamed("id", "hop")
           .withColumnRenamed("comp", "comp2"), "hop")
         .select(col("id"), col("comp2").as("comp"))
-      labels = labels.unionByName(viaEdge).unionByName(viaDouble)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      labels = cut(labels.unionByName(viaEdge).unionByName(viaDouble)
+        .groupBy("id").agg(min("comp").as("comp")))
       // NB the convergence sum stays a separate tiny job over the
       // checkpointed frame ON PURPOSE: riding it on the checkpoint
       // materialization as an observe() metric measured ~0.1 s SLOWER per

@@ -1824,4 +1824,34 @@ class OpsSpec extends SparkSuite {
       .orderBy("event_id").collect().toSeq
     assert(skewSafe === plain)
   }
+
+  test("connectedComponents: reliableCheckpoint path converges to the same " +
+      "labels and requires a checkpoint dir") {
+    import graft.ops.Clustering
+    val edges = Seq((10L, 7L), (7L, 22L), (22L, 31L), (100L, 90L))
+      .toDF("id_a", "id_b")
+    // no checkpoint dir configured -> named fast failure, not a mid-job one
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val err = intercept[IllegalArgumentException] {
+      Clustering.connectedComponents(edges, "id_a", "id_b",
+        reliableCheckpoint = true)
+    }
+    assert(err.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val got = Clustering.connectedComponents(edges, "id_a", "id_b",
+        reliableCheckpoint = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(7L -> 7L, 10L -> 7L, 22L -> 7L, 31L -> 7L,
+        90L -> 90L, 100L -> 90L))
+      // the reliable cut actually wrote durable round snapshots
+      assert(java.nio.file.Files.list(dir).count() > 0)
+    } finally {
+      // SparkContext has no unsetCheckpointDir; the shared session keeps
+      // the temp dir for the JVM's remaining suites (harmless)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
 }
