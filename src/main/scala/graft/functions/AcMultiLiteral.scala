@@ -67,93 +67,197 @@ object AcMultiLiteralStats {
 }
 
 /**
- * Byte-level Aho–Corasick with the goto function closed into a full DFA
- * (BFS over fail links), so the match loop is one array load per input
- * byte. Serializes as the dictionary alone; the DFA rebuilds lazily.
+ * Byte-level Aho–Corasick. Two representations behind one match contract:
+ *
+ *  - DENSE (default for small dictionaries): the goto function closed into
+ *    a full DFA (BFS over fail links) — one array load per input byte,
+ *    but ~1 KiB of int[] per trie node.
+ *  - SPARSE (above [[AcAutomaton.DenseNodeMax]] nodes): sorted per-node
+ *    edge arrays + classic fail-link chasing. A 10k-term dictionary at
+ *    ~10 bytes/term is ~100k nodes = ~100 MiB dense PER EXPRESSION
+ *    INSTANCE per executor — the sparse automaton holds the same
+ *    dictionary in a few MiB at the cost of amortized-O(1) (worst-case
+ *    fail-chain) transitions. The crossover is a memory guard, not a
+ *    speed choice: dense wins the hot loop, sparse wins survivability.
+ *
+ * Serializes as the dictionary alone; the automaton rebuilds lazily per
+ * executor either way.
  */
-final class AcAutomaton(val dict: Array[String]) extends Serializable {
+final class AcAutomaton(val dict: Array[String],
+    denseMax: Int = AcAutomaton.DenseNodeMax) extends Serializable {
 
-  // dfa(state * 256 + byte) = next state; out(state) = literal indices
-  // ending at state (own output + fail-chain outputs, precomputed).
-  @transient private lazy val (dfa, outs, patLen): (Array[Int], Array[Array[Int]], Array[Int]) = {
-    val pats = dict.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // trie build over a growable node table
-    var cap = 16
-    var goto_ = Array.fill(cap * 256)(-1)
-    var nNodes = 1
-    val outLists = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[Int])
-    def ensure(n: Int): Unit = if (n > cap) {
-      val nc = math.max(cap * 2, n)
-      goto_ = java.util.Arrays.copyOf(goto_, nc * 256)
-      java.util.Arrays.fill(goto_, cap * 256, nc * 256, -1)
-      cap = nc
-    }
-    for (pi <- pats.indices) {
-      var s = 0
-      for (b <- pats(pi)) {
-        val c = b & 0xFF
-        if (goto_(s * 256 + c) < 0) {
-          ensure(nNodes + 1)
-          goto_(s * 256 + c) = nNodes
-          outLists += scala.collection.mutable.ArrayBuffer.empty[Int]
-          nNodes += 1
-        }
-        s = goto_(s * 256 + c)
-      }
-      outLists(s) += pi
-    }
-    // BFS: fail links + DFA closure + output merge down fail chains
-    val fail = new Array[Int](nNodes)
-    val queue = new java.util.ArrayDeque[Integer]()
-    for (c <- 0 until 256) {
-      val nxt = goto_(c)
-      if (nxt < 0) goto_(c) = 0
-      else { fail(nxt) = 0; queue.add(nxt) }
-    }
-    while (!queue.isEmpty) {
-      val s = queue.poll().intValue()
-      outLists(s) ++= outLists(fail(s))
-      for (c <- 0 until 256) {
-        val nxt = goto_(s * 256 + c)
-        if (nxt < 0) goto_(s * 256 + c) = goto_(fail(s) * 256 + c)
-        else { fail(nxt) = goto_(fail(s) * 256 + c); queue.add(nxt) }
-      }
-    }
-    (java.util.Arrays.copyOf(goto_, nNodes * 256),
-      outLists.map(_.toArray.sorted).toArray, pats.map(_.length))
-  }
+  @transient private lazy val built: AcAutomaton.Built =
+    AcAutomaton.build(dict, denseMax)
 
   /** One pass; greedy non-overlapping count per literal (== the count a
    * sequential `replace(text, lit, '')` computes), plus distinct-literal
    * count. Returns the struct row (n_terms, n_hits). */
   def run(s: UTF8String): InternalRow = {
-    val d = dfa; val o = outs // force lazy once
+    val b = built
     val n = s.numBytes
     val lastEnd = new Array[Int](dict.length) // 0 = no match yet (ends are 1-based)
     var hits = 0L
     var terms = 0
     var st = 0
     var i = 0
-    while (i < n) {
-      st = d(st * 256 + (s.getByte(i) & 0xFF))
-      val out = o(st)
-      if (out.length > 0) {
-        val end = i + 1
-        var j = 0
-        while (j < out.length) {
-          val p = out(j)
-          val start = end - patLen(p)
-          if (lastEnd(p) == 0) terms += 1
-          if (start >= (if (lastEnd(p) == 0) 0 else lastEnd(p))) {
-            hits += 1L
-            lastEnd(p) = end
+    if (b.dense != null) {
+      val d = b.dense
+      while (i < n) {
+        st = d(st * 256 + (s.getByte(i) & 0xFF))
+        val out = b.outs(st)
+        if (out.length > 0) {
+          val end = i + 1
+          var j = 0
+          while (j < out.length) {
+            val p = out(j)
+            val start = end - b.patLen(p)
+            if (lastEnd(p) == 0) terms += 1
+            if (start >= (if (lastEnd(p) == 0) 0 else lastEnd(p))) {
+              hits += 1L
+              lastEnd(p) = end
+            }
+            j += 1
           }
-          j += 1
         }
+        i += 1
       }
-      i += 1
+    } else {
+      while (i < n) {
+        st = b.stepSparse(st, s.getByte(i) & 0xFF)
+        val out = b.outs(st)
+        if (out.length > 0) {
+          val end = i + 1
+          var j = 0
+          while (j < out.length) {
+            val p = out(j)
+            val start = end - b.patLen(p)
+            if (lastEnd(p) == 0) terms += 1
+            if (start >= (if (lastEnd(p) == 0) 0 else lastEnd(p))) {
+              hits += 1L
+              lastEnd(p) = end
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     new GenericInternalRow(Array[Any](terms, hits))
+  }
+}
+
+object AcAutomaton {
+
+  /** Above this trie-node count the closed DFA (256 ints = 1 KiB per
+   * node) is a memory hazard — 65536 nodes = 64 MiB per expression
+   * instance per executor — and the automaton switches to the sparse
+   * fail-link form. */
+  val DenseNodeMax: Int = 65536
+
+  /** Built automaton: dense != null => DFA mode; otherwise the sparse
+   * arrays drive [[stepSparse]]. outs/patLen are shared. */
+  final class Built(
+      val dense: Array[Int],
+      val edgeBytes: Array[Array[Int]], // sorted byte values per node
+      val edgeTo: Array[Array[Int]],    // targets aligned with edgeBytes
+      val fail: Array[Int],
+      val outs: Array[Array[Int]],
+      val patLen: Array[Int]) {
+
+    private def lookup(st: Int, c: Int): Int = {
+      val keys = edgeBytes(st)
+      var lo = 0
+      var hi = keys.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = keys(mid)
+        if (k == c) return edgeTo(st)(mid)
+        else if (k < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
+    /** goto*(st, c): chase fail links until a node with an out-edge on c
+     * (root misses land back at root). */
+    def stepSparse(st: Int, c: Int): Int = {
+      var s = st
+      while (true) {
+        val t = lookup(s, c)
+        if (t >= 0) return t
+        if (s == 0) return 0
+        s = fail(s)
+      }
+      0 // unreachable
+    }
+  }
+
+  private[functions] def build(dict: Array[String], denseMax: Int): Built = {
+    val pats = dict.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // sparse trie first (cheap for both modes)
+    val edges = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.LinkedHashMap.empty[Int, Int])
+    val outLists = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (pi <- pats.indices) {
+      var s = 0
+      for (b <- pats(pi)) {
+        val c = b & 0xFF
+        s = edges(s).getOrElseUpdate(c, {
+          edges += scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+          outLists += scala.collection.mutable.ArrayBuffer.empty[Int]
+          edges.size - 1
+        })
+      }
+      outLists(s) += pi
+    }
+    val nNodes = edges.size
+    val fail = new Array[Int](nNodes)
+    val queue = new java.util.ArrayDeque[Integer]()
+
+    if (nNodes <= denseMax) {
+      // close the goto function into a dense DFA (the original fast path)
+      val goto_ = Array.fill(nNodes * 256)(-1)
+      for (s <- 0 until nNodes; (c, t) <- edges(s)) goto_(s * 256 + c) = t
+      for (c <- 0 until 256) {
+        val nxt = goto_(c)
+        if (nxt < 0) goto_(c) = 0
+        else { fail(nxt) = 0; queue.add(nxt) }
+      }
+      while (!queue.isEmpty) {
+        val s = queue.poll().intValue()
+        outLists(s) ++= outLists(fail(s))
+        for (c <- 0 until 256) {
+          val nxt = goto_(s * 256 + c)
+          if (nxt < 0) goto_(s * 256 + c) = goto_(fail(s) * 256 + c)
+          else { fail(nxt) = goto_(fail(s) * 256 + c); queue.add(nxt) }
+        }
+      }
+      new Built(goto_, null, null, null,
+        outLists.map(_.toArray.sorted).toArray, pats.map(_.length))
+    } else {
+      // sparse: fail links + output merge only; edges become sorted arrays
+      val eb = new Array[Array[Int]](nNodes)
+      val et = new Array[Array[Int]](nNodes)
+      for (s <- 0 until nNodes) {
+        val sorted = edges(s).toArray.sortBy(_._1)
+        eb(s) = sorted.map(_._1)
+        et(s) = sorted.map(_._2)
+      }
+      val pre = new Built(null, eb, et, fail, null, null)
+      for ((_, t) <- edges(0)) { fail(t) = 0; queue.add(t) }
+      while (!queue.isEmpty) {
+        val s = queue.poll().intValue()
+        outLists(s) ++= outLists(fail(s))
+        for ((c, t) <- edges(s)) {
+          // fail(t) = goto*(fail(s), c) — BFS order guarantees fail(s)'s
+          // own fail chain is already final
+          fail(t) = pre.stepSparse(fail(s), c)
+          queue.add(t)
+        }
+      }
+      new Built(null, eb, et, fail,
+        outLists.map(_.toArray.sorted).toArray, pats.map(_.length))
+    }
   }
 }

@@ -124,12 +124,18 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override protected def nullSafeEval(value: Any): Any = {
     val arr = value.asInstanceOf[ArrayData]
+    // fail-fast contract (matches pqCodebooks' dim % m require): a
+    // dimension-mismatched vector would otherwise encode from PARTIAL dot
+    // products and yield quietly wrong codes
+    if (arr.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${arr.numElements()} dims, codebook wants ${m * dsub}")
     val isFloat = elemIsFloat
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
       val base = j * dsub
-      val n = math.min(math.max(arr.numElements() - base, 0), dsub)
+      val n = dsub
       var vv = 0.0
       var i = 0
       while (i < n) {
@@ -171,10 +177,14 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     val cross = ctx.freshName("cross"); val t = ctx.freshName("t")
     val d = ctx.freshName("d"); val x = ctx.freshName("x")
     nullSafeCodeGen(ctx, ev, in => s"""
+      |if ($in.numElements() != ${m * dsub}) {
+      |  throw new IllegalArgumentException(
+      |    "pq_encode: vector has " + $in.numElements() + " dims, codebook wants ${m * dsub}");
+      |}
       |int[] $codes = new int[$m];
       |for (int $j = 0; $j < $m; $j++) {
       |  int $base = $j * $dsub;
-      |  int $n = java.lang.Math.min(java.lang.Math.max($in.numElements() - $base, 0), $dsub);
+      |  int $n = $dsub;
       |  double $vv = 0.0;
       |  for (int $i = 0; $i < $n; $i++) {
       |    double $x = (double) $in.$get($base + $i);
@@ -215,7 +225,14 @@ case class PqAdcScore(child: Expression, lut: Array[Double], k: Int)
     var s = 0.0
     var j = 0
     while (j < m) {
-      s += lut(j * k + codes.getInt(j))
+      val c = codes.getInt(j)
+      // a code produced by a DIFFERENT codebook (c >= k) must be a clear
+      // error, not an ArrayIndexOutOfBounds from deep inside generated code
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc_score: code $c at subspace $j out of range [0, $k) — " +
+            "codes were produced by a different codebook")
+      s += lut(j * k + c)
       j += 1
     }
     s
@@ -226,10 +243,19 @@ case class PqAdcScore(child: Expression, lut: Array[Double], k: Int)
     val mMax = lut.length / k
     val s = ctx.freshName("s"); val j = ctx.freshName("j")
     val m = ctx.freshName("m")
+    val c = ctx.freshName("code")
     nullSafeCodeGen(ctx, ev, in => s"""
       |int $m = java.lang.Math.min($in.numElements(), $mMax);
       |double $s = 0.0;
-      |for (int $j = 0; $j < $m; $j++) $s += $lutRef[$j * $k + $in.getInt($j)];
+      |for (int $j = 0; $j < $m; $j++) {
+      |  int $c = $in.getInt($j);
+      |  if ($c < 0 || $c >= $k) {
+      |    throw new IllegalArgumentException(
+      |      "pq_adc_score: code " + $c + " at subspace " + $j +
+      |      " out of range [0, $k) — codes were produced by a different codebook");
+      |  }
+      |  $s += $lutRef[$j * $k + $c];
+      |}
       |${ev.value} = $s;""".stripMargin)
   }
 

@@ -412,8 +412,12 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       maxBlockSize: Int = 1000): DataFrame = {
+    // two consumers below (pair generation + the final select/join):
+    // without the lineage cut the embedding scan and the argmin assignment
+    // kernel — the most expensive pass — run twice
     val assigned = df.select(col(idCol), col(vecCol),
       graft.ops.Similarity.nearestCentroid(col(vecCol), centroids).as("cluster"))
+      .localCheckpoint()
     val pairs = cosineNearDups(assigned, idCol, vecCol, "cluster",
       threshold, maxBlockSize)
     val comps = graft.ops.Clustering.connectedComponents(pairs, "id_a", "id_b")

@@ -566,6 +566,30 @@ class FunctionsSpec extends SparkSuite {
       .select(AcMultiLiteralStats.stats($"t", dict)).collect().head.isNullAt(0))
   }
 
+  test("AcAutomaton: sparse fail-link mode (forced) is hit-for-hit " +
+      "identical to the dense DFA on randomized corpora and dictionaries") {
+    import graft.functions.AcAutomaton
+    val rnd = new scala.util.Random(113)
+    val alph = "abcz é✓"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alph(rnd.nextInt(alph.length))).mkString
+    // 60 random literals incl. prefixes/nests; dedupe to satisfy the
+    // dictionary contract
+    val dict = (Seq("a", "ab", "aba", "zz z", "é✓") ++
+      Seq.fill(60)(randStr(1 + rnd.nextInt(6)))).distinct.filter(_.nonEmpty)
+    val dense = new AcAutomaton(dict.toArray) // default threshold: dense
+    val sparse = new AcAutomaton(dict.toArray, denseMax = 1) // forced sparse
+    val inputs = Seq("", "a", "ababa zz zzz é✓é✓") ++
+      Seq.fill(200)(randStr(rnd.nextInt(120)))
+    inputs.foreach { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val d = dense.run(u)
+      val sp = sparse.run(u)
+      assert(sp.getInt(0) === d.getInt(0), s"n_terms diverged on '$t'")
+      assert(sp.getLong(1) === d.getLong(1), s"n_hits diverged on '$t'")
+    }
+  }
+
   test("CharEntropy: matches an independent BigDecimal-free reference on " +
       "hand cases, randomized ASCII and multibyte/supplementary strings") {
     import graft.functions.CharEntropy

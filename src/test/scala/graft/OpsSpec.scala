@@ -555,16 +555,17 @@ class OpsSpec extends SparkSuite {
       .map { case (k, v) => (if (k == 14) null else Long.box(k), v) }
       .toDF("k", "vb")
     val prof = Joins.joinSizeProfile(a, b, "k", "k", topK = 100)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact()))
     val real = a.join(b, "k").groupBy("k").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(prof.map(p => p._1 -> p._4).toMap === real)
     prof.foreach { case (_, na, nb, out) => assert(na * nb === out) }
     // descending n_out, key-asc ties
     assert(prof.map(p => (-p._4, p._1)).toSeq === prof.map(p => (-p._4, p._1)).sorted)
-    assert(Joins.joinSize(a, b, "k", "k") === a.join(b, "k").count())
+    assert(Joins.joinSize(a, b, "k", "k") === BigDecimal(a.join(b, "k").count()))
     // disjoint keys -> zero
-    assert(Joins.joinSize(a.filter($"k" < 3), b.filter($"k" > 5), "k", "k") === 0L)
+    assert(Joins.joinSize(a.filter($"k" < 3), b.filter($"k" > 5), "k", "k") === BigDecimal(0))
   }
 
   test("TrainingPipeline.prepare: stages compose — clones collapse, PII " +
