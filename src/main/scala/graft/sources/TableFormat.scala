@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The table-format seam: the narrow surface the engine needs from a
+ * snapshot-isolated, partition-pruned, incrementally-scannable table —
+ * exactly what Apache Iceberg provides and what [[SnapshotTable]]
+ * reproduces in-sandbox (no Iceberg jars ship here). Everything in the
+ * engine that touches table state (CheckpointRunner's partition
+ * discovery and idempotent re-commits, incremental validation over a
+ * snapshot delta) should reach the table through this trait, so an
+ * Iceberg DataSourceV2 binding is a drop-in when the jars exist.
+ *
+ * Iceberg mapping (the drop-in implementation, documented so the binding
+ * is mechanical):
+ *
+ *  - `root`                 ↔ the table identifier (`catalog.db.tbl`);
+ *    the string stays opaque to callers either way.
+ *  - `currentVersion`       ↔ `table.currentSnapshot().snapshotId()`.
+ *  - `commit(overwritePartitions = true)`
+ *                           ↔ `df.writeTo(t).overwritePartitions()`
+ *    (dynamic partition overwrite); `false` ↔ `df.writeTo(t).append()`.
+ *    Both return the new snapshot id.
+ *  - `read(version = Some(v))`
+ *                           ↔ `spark.read.option("snapshot-id", v)
+ *    .table(t)` / SQL `VERSION AS OF v` (time travel);
+ *    `partitionFilter` ↔ an ordinary `.filter` on the partition columns —
+ *    Iceberg prunes manifests the way [[SnapshotTable.read]] prunes its
+ *    file list.
+ *  - `changesBetween(a, b)` ↔ the incremental append scan
+ *    (`option("start-snapshot-id", a).option("end-snapshot-id", b)`);
+ *    row-level deletes are out of scope in both implementations.
+ *  - `partitions`           ↔ the `t.partitions` metadata table.
+ *
+ * Version ids are Long (Iceberg snapshot ids are 64-bit; [[SnapshotTable]]
+ * versions are small ints widened losslessly).
+ */
+trait TableFormat {
+
+  /** Current committed snapshot id, or None for an uninitialized table. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long]
+
+  /** Commit `df` as a new snapshot; returns the new snapshot id.
+   * `overwritePartitions = true` = dynamic partition overwrite (replace
+   * every partition value present in `df`), `false` = append. */
+  def commit(df: DataFrame, root: String, partitionCols: Seq[String],
+      overwritePartitions: Boolean = true): Long
+
+  /** Scan the table at `version` (None = current), pruned MANIFEST-SIDE
+   * to the partitions matching `partitionFilter`. */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty): DataFrame
+
+  /** Rows ADDED between the two snapshot ids (incremental append scan);
+   * `from == to` yields an empty frame with the table schema. */
+  def changesBetween(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame
+
+  /** Distinct partition values of a snapshot, from pure metadata. */
+  def partitions(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[Map[String, String]]
+}
+
+/** [[SnapshotTable]] bound to the [[TableFormat]] seam — the in-sandbox
+ * implementation; behavior is byte-identical to calling the object
+ * directly (the conformance spec pins it). */
+object SnapshotTableFormat extends TableFormat {
+
+  override def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    SnapshotTable.currentVersion(spark, root).map(_.toLong)
+
+  override def commit(df: DataFrame, root: String, partitionCols: Seq[String],
+      overwritePartitions: Boolean = true): Long =
+    SnapshotTable.commit(df, root, partitionCols, overwritePartitions)
+      .version.toLong
+
+  override def read(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty): DataFrame =
+    SnapshotTable.read(spark, root, version.map(_.toInt), partitionFilter)
+
+  override def changesBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    SnapshotTable.changesBetween(spark, root, fromVersion.toInt, toVersion.toInt)
+
+  override def partitions(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[Map[String, String]] =
+    SnapshotTable.partitions(spark, root, version.map(_.toInt))
+}

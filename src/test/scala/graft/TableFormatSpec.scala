@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapshotTableFormat, TableFormat}
+
+/**
+ * Conformance spec for the [[graft.sources.TableFormat]] seam, written
+ * against the TRAIT so an Iceberg binding runs the identical contract
+ * when its jars exist. [[graft.sources.SnapshotTableFormat]] is the
+ * in-sandbox implementation under test; behavior must match calling
+ * SnapshotTable directly (no behavior change — the seam is pure
+ * indirection).
+ */
+class TableFormatSpec extends SparkSuite {
+  import spark.implicits._
+
+  val fmt: TableFormat = SnapshotTableFormat
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("tablefmt").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def corpus(tag: String) = Seq(
+    (1L, "src0", s"a-$tag"), (2L, "src0", s"b-$tag"),
+    (3L, "src1", s"c-$tag"), (4L, "src1", s"d-$tag"))
+    .toDF("id", "source", "payload")
+
+  test("conformance: commit/read/currentVersion round-trip") {
+    val root = freshRoot()
+    assert(fmt.currentVersion(spark, root).isEmpty)
+    val v1 = fmt.commit(corpus("v1"), root, Seq("source"))
+    assert(fmt.currentVersion(spark, root) === Some(v1))
+    val df = fmt.read(spark, root)
+    assert(df.count() === 4)
+    // manifest-side pruning through the seam
+    val pruned = fmt.read(spark, root, partitionFilter = Map("source" -> "src0"))
+    assert(pruned.count() === 2)
+    assert(pruned.inputFiles.length < df.inputFiles.length)
+  }
+
+  test("conformance: dynamic overwrite, time travel and incremental scan") {
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1"), root, Seq("source"))
+    // overwrite ONE partition; the other carries forward
+    val v2 = fmt.commit(Seq((9L, "src0", "x-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = true)
+    assert(v2 === v1 + 1)
+    val now = fmt.read(spark, root).orderBy("id")
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(now === Seq("c-v1", "d-v1", "x-v2"))
+    // time travel: v1 stays fully readable
+    assert(fmt.read(spark, root, version = Some(v1)).count() === 4)
+    // incremental: exactly the delta's rows
+    val delta = fmt.changesBetween(spark, root, v1, v2)
+    assert(delta.select("payload").collect().map(_.getString(0)).toSeq
+      === Seq("x-v2"))
+    // empty range keeps the schema
+    val none = fmt.changesBetween(spark, root, v2, v2)
+    assert(none.count() === 0 && none.columns.toSeq.sorted
+      === Seq("id", "payload", "source"))
+    // metadata-only partition discovery
+    assert(fmt.partitions(spark, root).map(_("source")).sorted
+      === Seq("src0", "src1"))
+  }
+}
