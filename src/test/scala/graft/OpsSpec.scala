@@ -1855,4 +1855,68 @@ class OpsSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
+
+  test("termGate corpus property: n_terms/n_hits/keep match a sequential " +
+      "greedy indexOf reference on the sf0.001 documents corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    // dictionary mixes real corpus tokens (frequent hits), a phrase, an
+    // overlapping pair, and a never-present term
+    val dict = Seq("data", "the", "hash join", "ha", "zzqq-never")
+    val got = Curation.termGate(d, "doc_id", "text", dict, maxTerms = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    def refCount(t: String, w: String): Long = {
+      var i = 0; var c = 0L
+      var j = t.indexOf(w, i)
+      while (j >= 0) { c += 1; i = j + w.length; j = t.indexOf(w, i) }
+      c
+    }
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      val low = t.toLowerCase
+      val counts = dict.map(w => refCount(low, w.toLowerCase))
+      val (gotTerms, gotHits, gotKeep) = got(id)
+      assert(gotTerms === counts.count(_ > 0), s"n_terms for doc $id")
+      assert(gotHits === counts.sum, s"n_hits for doc $id")
+      assert(gotKeep === (counts.count(_ > 0) <= 1), s"keep for doc $id")
+    }
+    // sanity: the planted never-term contributes nowhere; real terms hit
+    assert(got.values.exists(_._1 > 0))
+  }
+
+  test("KmvSketch corpus property: estimates track exact distincts within " +
+      "4-sigma KMV error across randomized cardinality regimes") {
+    import graft.functions.KmvSketch
+    val rnd = new scala.util.Random(67)
+    // groups with planted distinct cardinalities spanning the exact
+    // regime (< k), the boundary, and 50x over the sketch size
+    val cards = Seq(10, 200, 256, 1000, 12800)
+    val rows = cards.zipWithIndex.flatMap { case (card, g) =>
+      // duplicates: each distinct value appears 1-3 times
+      (0 until card).flatMap(v =>
+        Seq.fill(1 + rnd.nextInt(3))((g, v.toLong + g * 1000000L)))
+    }
+    val df = rows.toDF("g", "v")
+    val k = 256
+    val got = df.groupBy("g")
+      .agg(KmvSketch.sketch(xxhash64(col("v")), k).as("s"),
+        countDistinct(col("v")).as("exact"))
+      .select(col("g"), col("exact"), col("s.est_distinct").as("est"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === cards.length)
+    got.foreach { case (g, exact, est) =>
+      if (exact < k) {
+        // exact regime: the sketch holds every distinct hash
+        assert(est === exact.toDouble, s"group $g must be exact")
+      } else {
+        // KMV relative standard error ~ 1/sqrt(k-2); allow 4 sigma
+        val rse = 1.0 / math.sqrt(k - 2.0)
+        assert(math.abs(est - exact) / exact <= 4 * rse,
+          s"group $g: est $est vs exact $exact beyond 4 sigma")
+      }
+    }
+  }
 }
