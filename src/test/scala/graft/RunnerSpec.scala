@@ -342,4 +342,62 @@ class RunnerSpec extends SparkSuite {
     assert(graft.engine.Validator.report("f.csv", 3) ===
       ("'f.csv' is invalid. Found 3 invalid rows", 1))
   }
+
+  test("streaming near-dup == batch-incremental LSH on a planted stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "scan", "join",
+      "hash", "sort", "merge", "spill", "page", "tuple")
+    def doc(): String =
+      (0 until 30 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    // three micro-batches; batch 2 and 3 contain near-clones of batch-1
+    // docs (one token swapped) AND of docs within their own batch
+    val b1 = (1L to 20L).map(id => (id, doc()))
+    def clone1(t: String) = "zzz " + t.substring(t.indexOf(' ') + 1)
+    val b2 = (21L to 30L).map(id => (id, doc())) ++
+      b1.take(5).map { case (id, t) => (id + 100, clone1(t)) }
+    val b3 = (41L to 50L).map(id => (id, doc())) ++
+      b2.take(3).map { case (id, t) => (id + 200, clone1(t)) }
+    val batches = Seq(b1, b2, b3)
+
+    val in = MemoryStream[(Long, String)]
+    val cands = graft.streaming.StreamingNearDup.candidates(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = cands.writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = spark.sql(
+        "select distinct new_id, old_id, round(est_jaccard, 6) from snd")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // batch-incremental reference with the SAME parameters: per batch,
+      // in-batch pairs (later id = the "new" side) + the probe against
+      // the accumulated index of all earlier batches
+      val want = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+      batches.zipWithIndex.foreach { case (b, t) =>
+        val bDf = b.toDF("doc_id", "text")
+        val inBatch = Dedup.minhashCandidates(bDf, "doc_id", "text")
+          .select(col("id_b"), col("id_a"), round(col("est_jaccard"), 6))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        want ++= inBatch
+        if (t > 0) {
+          val prior = batches.take(t).flatten.toDF("doc_id", "text")
+          val index = Dedup.minhashIndex(prior, "doc_id", "text")
+          val cross = Dedup.minhashCandidatesAgainst(bDf, "doc_id", "text", index)
+            .select(col("new_id"), col("old_id"), round(col("est_jaccard"), 6))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          want ++= cross
+        }
+      }
+      assert(got === want.toSet)
+      // the planted clones were actually caught across batches
+      assert(got.exists { case (n, o, _) => n == 101L && o == 1L })
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
