@@ -436,6 +436,71 @@ object TextAnalysis {
   }
 
   /**
+   * BATCH BM25 search — thousands of queries against the corpus in ONE
+   * distributed job, the inverted-index formulation [[bm25TopK]]'s doc
+   * points at ("batch scoring of thousands of queries belongs on
+   * [[vocabulary]] + a join"). `queries` is a (queryIdCol, termCol) frame,
+   * one row per query term (terms repeated across queries are fine).
+   *
+   * Scale shape: ONE corpus tokenize+explode feeds a (doc, token, tf, dl)
+   * aggregate RESTRICTED to the distinct query-term set (semi-join before
+   * the groupBy, so the posting table is query-vocabulary-sized, not
+   * corpus-vocabulary-sized); per-term document frequencies re-aggregate
+   * the same postings; corpus size and average doc length are two driver
+   * scalars off one agg. Scoring joins postings × queries on the term key,
+   * sums per (query, doc), and takes each query's top-k through the
+   * bounded [[graft.functions.TopKByScore]] aggregate — no Window, no
+   * global sort, nothing driver-resident but the two scalars.
+   *
+   * Contract differences vs [[bm25TopK]] (documented, oracle-restated):
+   * NULL-text rows are excluded from the corpus statistics, and only
+   * documents sharing >= 1 term with a query are ranked for it (a zero
+   * score carries no information; the single-query form pads with zero
+   * scores when k exceeds the match count). Same formula, same
+   * (score DESC, id ASC) tie order, round-6 emitted scores.
+   */
+  def bm25SearchJoin(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokensLower(col(textCol)).as("__toks"))
+    val st = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("__toks"))).as("avgdl")).head()
+    val n = st.getLong(0)
+    require(n > 0, "cannot score an empty corpus")
+    val avgdl = st.getDouble(1)
+    val qTerms = queries.select(col(termCol).as("__tok")).distinct()
+    // postings restricted to query terms BEFORE the tf aggregate: the
+    // explode stream drops every non-query token at the join, so the
+    // shuffled volume is (docs x query-vocabulary hits), not the corpus
+    // token stream
+    val postings = toks
+      .select(col("__id"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__tok"))
+      .join(qTerms, Seq("__tok"))
+      .groupBy(col("__id"), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+      .localCheckpoint() // consumed twice: df aggregate + the scoring join
+    val dfTable = postings.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__df")) // postings are distinct per (doc, token)
+    val idf = log((lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val contrib = idf * (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    postings
+      .join(dfTable, Seq("__tok"))
+      .join(queries.select(col(queryIdCol).as("__qid"), col(termCol).as("__tok")),
+        Seq("__tok"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(sum(contrib).as("__score"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopKByScore.topK(col("__score"), col("__id"), k).as("tk"))
+      .select(col("__qid").as(queryIdCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), round(col("e.score"), 6).as("score"))
+  }
+
+  /**
    * Bigram PMI collocations — the classic corpus-statistics pass (Church &
    * Hanks, ACL 1989) behind phrase mining and tokenizer-vocabulary merges:
    * adjacent token pairs scored by pointwise mutual information

@@ -827,6 +827,29 @@ object Catalog {
     graft.sources.TaxTree.toDim(spark, tree).orderBy("tax_id")
   }
 
+  /** The DISTRIBUTED nested-set build ([[graft.sources.TaxTree
+   * .buildDistributed]]): the same region/nation hierarchy as [[qTaxtree]]
+   * constructed as DataFrames (never collected) and numbered by the
+   * height-bounded size/lft rounds — must equal the driver DFS exactly.
+   * Oracle: identical SQL to [[Oracles.qTaxtree]]. */
+  def qTaxtreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val rootId = 1000L
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val nodes = spark.range(1).select(lit(rootId).as("tax_id"),
+        lit(rootId).as("parent_tax_id"), lit("root").as("rank"))
+      .unionByName(region.select((col("r_regionkey") + 100L).as("tax_id"),
+        lit(rootId).as("parent_tax_id"), lit("region").as("rank")))
+      .unionByName(nation.select(col("n_nationkey").cast("long").as("tax_id"),
+        (col("n_regionkey") + 100L).as("parent_tax_id"), lit("nation").as("rank")))
+    val names = spark.range(1).select(lit(rootId).as("tax_id"), lit("ROOT").as("name"))
+      .unionByName(region.select((col("r_regionkey") + 100L).as("tax_id"),
+        col("r_name").as("name")))
+      .unionByName(nation.select(col("n_nationkey").cast("long").as("tax_id"),
+        col("n_name").as("name")))
+    graft.sources.TaxTree.buildDistributed(nodes, names).orderBy("tax_id")
+  }
+
   /** Subtree membership via the nested-set invariant — descendants of the
    * region node 102 are exactly the rows with a.lft < d.lft AND d.rgt <
    * a.rgt (one broadcast of the single ancestor row; the descendant test is
@@ -967,6 +990,23 @@ object Catalog {
   def qBm25(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.bm25TopK(docs(spark, dir), "doc_id", "text",
       Seq("hash", "join", "spark"), k = 10)
+
+  /** BATCH BM25 ([[graft.ops.TextAnalysis.bm25SearchJoin]]): three queries
+   * scored in ONE distributed job over query-term-restricted postings —
+   * the inverted-index shape for thousands of queries. Stats exclude
+   * NULL-text rows and only docs sharing >= 1 query term rank (the
+   * documented batch contract); oracle restates formula, restriction and
+   * (score DESC, doc_id) ties. */
+  def qBm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "hash"), (1L, "join"), (1L, "spark"),
+      (2L, "data"), (2L, "scan"), (3L, "the"))
+      .toDF("query_id", "term")
+    graft.ops.TextAnalysis.bm25SearchJoin(docs(spark, dir), "doc_id", "text",
+      queries, "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
 
   /** Incremental exact dedup ([[graft.ops.Dedup.incrementalExact]]) — the
    * production delta-vs-catalog shape: even doc_ids re-arrive at +500000

@@ -1229,6 +1229,10 @@ ORDER BY id_a, id_b"""
     |WHERE a.tax_id = 102 AND d.lft > a.lft AND d.rgt < a.rgt
     |ORDER BY d.tax_id""".stripMargin
 
+  /** Oracle for [[Catalog.qTaxtreeDist]] — the SAME SQL as [[qTaxtree]]:
+   * the distributed build must reproduce the driver DFS numbering. */
+  val qTaxtreeDist: String = qTaxtree
+
   val evWindow: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
       |  round(sum(value), 6) AS sum_value
@@ -1542,6 +1546,49 @@ ORDER BY id_a, id_b"""
        |  doc_id, round(score, 6) AS score
        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
+
+  /**
+   * Oracle for [[Catalog.qBm25Batch]]: the same Okapi formula over
+   * query-term-restricted postings — N/avgdl over non-NULL-text rows,
+   * per-term df = distinct docs containing the term, per-(query, doc)
+   * sum of term contributions, rank per query by (score DESC, doc_id).
+   * Literals match the engine exactly (k1+1 = 2.2, 1-b = 0.25).
+   */
+  val qBm25Batch: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), st AS (
+      |  SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t
+      |), q(query_id, term) AS (
+      |  VALUES (1, 'hash'), (1, 'join'), (1, 'spark'),
+      |         (2, 'data'), (2, 'scan'), (3, 'the')
+      |), post AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |    CAST(len(toks) AS DOUBLE) AS dl
+      |  FROM t
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+      |  FROM post WHERE tok IN (SELECT DISTINCT term FROM q)
+      |  GROUP BY doc_id, tok
+      |), dfq AS (
+      |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+      |), sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))
+      |      AS score
+      |  FROM tf JOIN dfq USING (tok) JOIN q ON q.term = tf.tok, st
+      |  GROUP BY q.query_id, tf.doc_id
+      |), r AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+      |  doc_id, round(score, 6) AS score
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /**
    * Oracle for [[Catalog.ddInc]]: the same two derived delta batches, the

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions.col
  *    manifest document, never from recursive directory listing — at
  *    10^12 files the object-store LIST call is the scan-planning
  *    bottleneck, which is the core reason table formats exist.
+ *  - **File-level data skipping**: `commit(statsCols = ...)` records
+ *    per-file min/max column bounds in the manifest (ONE aggregate over
+ *    the commit's own delta — the Iceberg manifest-stats shape), and
+ *    `read(rangeFilter = ...)` drops every file whose [min,max] interval
+ *    misses the requested range before Spark plans a byte of I/O. The
+ *    residual row-level predicate stays the caller's ordinary `.filter`
+ *    (which parquet pushdown then applies within surviving files).
  *  - **Manifest-side partition pruning**: a partition predicate prunes
  *    whole FILES out of the scan before Spark ever sees a path
  *    (complementing parquet footer/row-group pruning below it). The
@@ -41,10 +48,12 @@ import org.apache.spark.sql.functions.col
 object SnapshotTable {
 
   final case class FileEntry(path: String, partition: Map[String, String],
-      rows: Long, bytes: Long)
+      rows: Long, bytes: Long,
+      stats: Map[String, (String, String)] = Map.empty)
 
   final case class Snapshot(version: Int, partitionCols: Seq[String],
-      files: Seq[FileEntry])
+      files: Seq[FileEntry],
+      statsKinds: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,6 +86,10 @@ object SnapshotTable {
     node.put("version", s.version)
     val pc = node.putArray("partitionCols")
     s.partitionCols.foreach(pc.add)
+    if (s.statsKinds.nonEmpty) {
+      val kn = node.putObject("statsKinds")
+      s.statsKinds.foreach { case (k, v) => kn.put(k, v) }
+    }
     val fl = node.putArray("files")
     s.files.foreach { f =>
       val fn = fl.addObject()
@@ -85,6 +98,12 @@ object SnapshotTable {
       fn.put("bytes", f.bytes)
       val pn = fn.putObject("partition")
       f.partition.foreach { case (k, v) => pn.put(k, v) }
+      if (f.stats.nonEmpty) {
+        val sn = fn.putObject("stats")
+        f.stats.foreach { case (c, (lo, hi)) =>
+          val cn = sn.putObject(c); cn.put("min", lo); cn.put("max", hi)
+        }
+      }
     }
     val dir = new Path(root, "metadata")
     val f = fs(spark, dir)
@@ -131,15 +150,29 @@ object SnapshotTable {
     val node = try mapper.readTree(in) finally in.close()
     val pcols = (0 until node.get("partitionCols").size())
       .map(node.get("partitionCols").get(_).asText())
+    val kinds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (node.has("statsKinds")) {
+      val it = node.get("statsKinds").fields()
+      while (it.hasNext) { val e = it.next(); kinds(e.getKey) = e.getValue.asText() }
+    }
     val files = (0 until node.get("files").size()).map { i =>
       val fn = node.get("files").get(i)
       val part = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val it = fn.get("partition").fields()
       while (it.hasNext) { val e = it.next(); part(e.getKey) = e.getValue.asText() }
+      val stats = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+      if (fn.has("stats")) {
+        val si = fn.get("stats").fields()
+        while (si.hasNext) {
+          val e = si.next()
+          stats(e.getKey) = (e.getValue.get("min").asText(),
+            e.getValue.get("max").asText())
+        }
+      }
       FileEntry(fn.get("path").asText(), part.toMap,
-        fn.get("rows").asLong(), fn.get("bytes").asLong())
+        fn.get("rows").asLong(), fn.get("bytes").asLong(), stats.toMap)
     }
-    Snapshot(v, pcols, files)
+    Snapshot(v, pcols, files, kinds.toMap)
   }
 
   // --- commit --------------------------------------------------------------
@@ -158,13 +191,31 @@ object SnapshotTable {
    * list anything.
    */
   def commit(df: DataFrame, root: String, partitionCols: Seq[String],
-      overwritePartitions: Boolean = true): Snapshot = {
+      overwritePartitions: Boolean = true,
+      statsCols: Seq[String] = Seq.empty): Snapshot = {
     require(partitionCols.nonEmpty, "snapshot tables are partitioned")
     val spark = df.sparkSession
+    statsCols.foreach { c =>
+      require(!partitionCols.contains(c),
+        s"stats column '$c' is a partition column — partition pruning already covers it")
+      require(df.columns.contains(c), s"stats column '$c' not in the frame")
+    }
+    val kinds: Map[String, String] = statsCols.map { c =>
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => c -> "long"
+        case StringType => c -> "string"
+        case dt => throw new IllegalArgumentException(
+          s"stats column '$c' must be integral or string, got ${dt.simpleString}")
+      }
+    }.toMap
     val prev = currentVersion(spark, root).map(v => snapshot(spark, root, Some(v)))
     prev.foreach { s =>
       require(s.partitionCols == partitionCols,
         s"partition spec mismatch: table has ${s.partitionCols}, got $partitionCols")
+      require(s.statsKinds.isEmpty || statsCols.isEmpty ||
+        s.statsKinds == kinds,
+        s"stats spec mismatch: table has ${s.statsKinds}, got $kinds")
     }
     val version = prev.map(_.version + 1).getOrElse(1)
     val dataDir = s"$root/data/s$version"
@@ -189,11 +240,38 @@ object SnapshotTable {
       }
     walk(base, Map.empty)
 
+    // per-file column bounds (the Iceberg manifest min/max): ONE aggregate
+    // pass over the freshly written delta keyed on the file-path metadata
+    // column — bounded by this commit's own output, never the table. Keyed
+    // by file NAME (part-xxxxx-<uuid>.parquet is globally unique) so the
+    // scheme-normalization of file:/ vs file:/// paths can't miss.
+    val statted: Seq[FileEntry] = if (statsCols.isEmpty) newFiles.toSeq else {
+      import org.apache.spark.sql.functions.{col, element_at, max, min, split}
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+      val byName = spark.read.parquet(dataDir)
+        .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          r.getString(0) -> statsCols.flatMap { c =>
+            val lo = r.getAs[String](s"__min_$c")
+            val hi = r.getAs[String](s"__max_$c")
+            if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+          }.toMap
+        }.toMap
+      newFiles.toSeq.map { fe =>
+        fe.copy(stats = byName.getOrElse(new Path(fe.path).getName, Map.empty))
+      }
+    }
+
     val overwritten: Set[Map[String, String]] =
       if (overwritePartitions) newFiles.map(_.partition).toSet else Set.empty
     val carried = prev.map(_.files.filterNot(fe => overwritten.contains(fe.partition)))
       .getOrElse(Seq.empty)
-    val snap = Snapshot(version, partitionCols, carried ++ newFiles)
+    val snap = Snapshot(version, partitionCols, carried ++ statted,
+      if (statsCols.nonEmpty) kinds
+      else prev.map(_.statsKinds).getOrElse(Map.empty))
     writeManifest(spark, root, snap)
     snap
   }
@@ -208,10 +286,22 @@ object SnapshotTable {
    * the read path; an empty survivor set still returns the right schema.
    */
   def read(spark: SparkSession, root: String, version: Option[Int] = None,
-      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame = {
     val snap = snapshot(spark, root, version)
+    rangeFilter.keys.foreach(c => require(snap.statsKinds.contains(c),
+      s"no committed stats for column '$c' (statsKinds: ${snap.statsKinds.keySet})"))
     val survivors = snap.files.filter(fe =>
-      partitionFilter.forall { case (k, v) => fe.partition.get(k).contains(v) })
+      partitionFilter.forall { case (k, v) => fe.partition.get(k).contains(v) } &&
+        rangeFilter.forall { case (c, (lo, hi)) =>
+          fe.stats.get(c) match {
+            case None => true // no bounds recorded for this file: keep
+            case Some((fLo, fHi)) => snap.statsKinds(c) match {
+              case "long" => !(fHi.toLong < lo.toLong || fLo.toLong > hi.toLong)
+              case _ => !(fHi < lo || fLo > hi)
+            }
+          }
+        })
     if (survivors.isEmpty) {
       // schema from any file of the snapshot, filtered to no rows
       val any = snap.files.headOption.getOrElse(

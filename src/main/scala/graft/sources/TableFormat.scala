@@ -43,14 +43,25 @@ trait TableFormat {
 
   /** Commit `df` as a new snapshot; returns the new snapshot id.
    * `overwritePartitions = true` = dynamic partition overwrite (replace
-   * every partition value present in `df`), `false` = append. */
+   * every partition value present in `df`), `false` = append.
+   * `statsCols` records per-file min/max bounds for those columns in the
+   * manifest (Iceberg writers collect these automatically; the in-sandbox
+   * implementation runs one aggregate over the commit's own delta). */
   def commit(df: DataFrame, root: String, partitionCols: Seq[String],
-      overwritePartitions: Boolean = true): Long
+      overwritePartitions: Boolean = true,
+      statsCols: Seq[String] = Seq.empty): Long
 
   /** Scan the table at `version` (None = current), pruned MANIFEST-SIDE
-   * to the partitions matching `partitionFilter`. */
+   * to the partitions matching `partitionFilter` and (when per-file
+   * column stats were committed) to the files whose [min,max] bounds
+   * intersect every `rangeFilter` interval — Iceberg's manifest-stats
+   * data skipping, which an Iceberg binding gets from an ordinary
+   * `.filter` pushdown; the explicit map keeps the in-sandbox
+   * implementation honest about WHAT got skipped. Callers still apply
+   * the row-level residual filter. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
-      partitionFilter: Map[String, String] = Map.empty): DataFrame
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame
 
   /** Rows ADDED between the two snapshot ids (incremental append scan);
    * `from == to` yields an empty frame with the table schema. */
@@ -71,14 +82,17 @@ object SnapshotTableFormat extends TableFormat {
     SnapshotTable.currentVersion(spark, root).map(_.toLong)
 
   override def commit(df: DataFrame, root: String, partitionCols: Seq[String],
-      overwritePartitions: Boolean = true): Long =
-    SnapshotTable.commit(df, root, partitionCols, overwritePartitions)
+      overwritePartitions: Boolean = true,
+      statsCols: Seq[String] = Seq.empty): Long =
+    SnapshotTable.commit(df, root, partitionCols, overwritePartitions, statsCols)
       .version.toLong
 
   override def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
-      partitionFilter: Map[String, String] = Map.empty): DataFrame =
-    SnapshotTable.read(spark, root, version.map(_.toInt), partitionFilter)
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame =
+    SnapshotTable.read(spark, root, version.map(_.toInt), partitionFilter,
+      rangeFilter)
 
   override def changesBetween(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame =

@@ -70,4 +70,114 @@ object TaxTree {
    * membership becomes a range test usable in a broadcast range join. */
   def isDescendant(dLft: Long, aLft: Long, aRgt: Long): Boolean =
     aLft < dLft && dLft < aRgt
+
+  /**
+   * DISTRIBUTED nested-set build — for hierarchies past broadcast scale
+   * (the driver [[build]] holds every node in memory; a billion-node
+   * catalog tree does not fit). Produces the IDENTICAL numbering: DFS
+   * entry/exit with children in ascending-id order.
+   *
+   * The sequential DFS decomposes into closed-form arithmetic over two
+   * tree statistics, each computable in O(depth) distributed rounds of
+   * dimension-scale joins (never row-scale shuffles of the corpus):
+   *
+   *  1. SUBTREE SIZES, leaves up: size(n) = 1 + Σ size(children). Round t
+   *     finalizes every node whose children are all finalized, so the
+   *     round count is the tree HEIGHT (taxonomies ~40; fail-loud at
+   *     `maxDepth` — a cap hit means a cycle or a pathological chain).
+   *  2. LFT, root down: lft(root) = 1 and
+   *     lft(c) = lft(parent) + offset(c), where
+   *     offset(c) = 1 + 2·Σ size(earlier siblings) — the prefix sum runs
+   *     in ONE window over siblings (partitioned by parent, ordered by
+   *     id: sibling-group granularity, the only skew point — a node with
+   *     10^8 children funnels; document, don't hide). Then
+   *     rgt(n) = lft(n) + 2·size(n) - 1, a projection.
+   *
+   * Input frames: `nodes(tax_id, parent_tax_id, rank)` with the root
+   * self-parenting (the [[build]] contract), `names(tax_id, name)`.
+   * Output matches [[toDim]]: (tax_id, name, lft, rgt, parent_tax_id).
+   * Each round localCheckpoints (pass reliable=true semantics via the
+   * session checkpoint dir if cluster resilience is needed — the
+   * [[graft.ops.Clustering.connectedComponents]] precedent).
+   */
+  def buildDistributed(nodes: DataFrame, names: DataFrame,
+      maxDepth: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base = nodes.select(col("tax_id").cast("long").as("id"),
+      col("parent_tax_id").cast("long").as("pid")).localCheckpoint()
+    val edges = base.filter(col("id") =!= col("pid")) // (pid, id): parent->child
+    val childCount = edges.groupBy(col("pid").as("id"))
+      .agg(count(lit(1)).as("n_children"))
+
+    // ---- phase 1: subtree sizes, leaves up (height-bounded rounds) ----
+    var done = base.join(childCount, Seq("id"), "left_anti")
+      .select(col("id"), lit(1L).as("size")).localCheckpoint()
+    var doneCount = done.count()
+    val total = base.count()
+    var round = 0
+    while (doneCount < total) {
+      round += 1
+      if (round > maxDepth)
+        throw new IllegalStateException(
+          s"buildDistributed: sizes did not converge in $maxDepth rounds — " +
+            "cycle in parent pointers or a deeper-than-expected hierarchy")
+      // parents whose children are ALL finalized this round
+      val agg = edges.join(done.withColumnRenamed("id", "cid"),
+          edges("id") === col("cid"))
+        .groupBy(col("pid").as("id"))
+        .agg(count(lit(1)).as("n_done"), sum(col("size")).as("child_sum"))
+      val newDone = agg.join(childCount, Seq("id"))
+        .filter(col("n_done") === col("n_children"))
+        .join(done, Seq("id"), "left_anti")
+        .select(col("id"), (col("child_sum") + 1L).as("size"))
+      done = done.unionByName(newDone).localCheckpoint()
+      val c = done.count()
+      if (c == doneCount)
+        throw new IllegalStateException(
+          "buildDistributed: no progress — parent pointers contain a cycle " +
+            "or reference missing nodes")
+      doneCount = c
+    }
+
+    // ---- phase 2: lft, root down (depth-bounded rounds) ----
+    // offset within the sibling group: 1 + 2 * prefix sizes (id-asc order)
+    val off = edges.join(done, Seq("id"))
+      .withColumn("__prev", coalesce(sum(col("size")).over(
+        Window.partitionBy(col("pid")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), col("pid"), (lit(1L) + lit(2L) * col("__prev")).as("off"))
+      .localCheckpoint()
+    var lft = base.filter(col("id") === col("pid"))
+      .select(col("id"), lit(1L).as("lft")).localCheckpoint()
+    require(lft.count() == 1,
+      "buildDistributed needs exactly one self-parenting root node")
+    var frontier = lft
+    var lftCount = 1L
+    round = 0
+    while (lftCount < total) {
+      round += 1
+      if (round > maxDepth)
+        throw new IllegalStateException(
+          s"buildDistributed: lft propagation did not converge in $maxDepth rounds")
+      frontier = off.join(frontier.withColumnRenamed("id", "pid")
+          .withColumnRenamed("lft", "plft"), Seq("pid"))
+        .select(col("id"), (col("plft") + col("off")).as("lft"))
+        .localCheckpoint()
+      lft = lft.unionByName(frontier).localCheckpoint()
+      val c = lft.count()
+      if (c == lftCount)
+        throw new IllegalStateException(
+          "buildDistributed: lft propagation stalled — disconnected nodes?")
+      lftCount = c
+    }
+
+    lft.join(done, Seq("id"))
+      .join(base, Seq("id"))
+      .join(names.select(col("tax_id").cast("long").as("id"),
+        col("name")), Seq("id"), "left")
+      .select(col("id").as("tax_id"), col("name"), col("lft"),
+        (col("lft") + lit(2L) * col("size") - 1L).as("rgt"),
+        col("pid").as("parent_tax_id"))
+  }
 }

@@ -1919,4 +1919,34 @@ class OpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("bm25SearchJoin: single-query batch equals bm25TopK on a null-free " +
+      "corpus; multi-query results are per-query independent") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val terms = Seq("hash", "join", "spark")
+    val single = TextAnalysis.bm25TopK(d, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val queries = terms.map(t => (7L, t)).toDF("qid", "term")
+    val batch = TextAnalysis.bm25SearchJoin(d, "doc_id", "text",
+      queries, "qid", "term", k = 10)
+      .select("rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(batch === single)
+    // two queries in one job score independently: each equals its own
+    // single-query run
+    val q2terms = Seq("data", "scan")
+    val two = TextAnalysis.bm25SearchJoin(d, "doc_id", "text",
+      (terms.map(t => (1L, t)) ++ q2terms.map(t => (2L, t))).toDF("qid", "term"),
+      "qid", "term", k = 10)
+    val got1 = two.filter(col("qid") === 1).select("rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got1 === single)
+    val single2 = TextAnalysis.bm25TopK(d, "doc_id", "text", q2terms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got2 = two.filter(col("qid") === 2).select("rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got2 === single2)
+  }
 }

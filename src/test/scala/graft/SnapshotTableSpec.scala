@@ -133,4 +133,52 @@ class SnapshotTableSpec extends SparkSuite {
       SnapshotTable.commit(bad, root, Seq("id"))
     }
   }
+
+  test("file-level stats + data skipping: commit records per-file min/max; " +
+      "rangeFilter prunes files typed-numerically, results stay exact") {
+    val root = freshRoot()
+    // range-partition by id so each parquet file covers a disjoint id range
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 200) "src0" else "src1", f"p$i%04d"))
+      .toDF("id", "source", "payload")
+      .repartitionByRange(4, col("id"))
+    val snap = SnapshotTable.commit(df, root, Seq("source"),
+      statsCols = Seq("id", "payload"))
+    assert(snap.statsKinds === Map("id" -> "long", "payload" -> "string"))
+    assert(snap.files.forall(_.stats.keySet === Set("id", "payload")))
+    // bounds really are per-file bounds
+    snap.files.foreach { fe =>
+      val (lo, hi) = fe.stats("id")
+      assert(lo.toLong <= hi.toLong)
+    }
+    val full = SnapshotTable.read(spark, root)
+    val skip = SnapshotTable.read(spark, root,
+      rangeFilter = Map("id" -> (("50", "60"))))
+    assert(skip.inputFiles.length < full.inputFiles.length,
+      s"skipping must drop files: ${skip.inputFiles.length} vs ${full.inputFiles.length}")
+    // pruned-plus-residual == exact answer (skipping returns a superset)
+    assert(skip.filter(col("id").between(50, 60)).count() === 11)
+    assert(skip.count() >= 11)
+    // long kind compares NUMERICALLY: lexicographic "9" > "10" would
+    // wrongly prune everything here
+    val skip2 = SnapshotTable.read(spark, root,
+      rangeFilter = Map("id" -> (("9", "10"))))
+    assert(skip2.filter(col("id").between(9, 10)).count() === 2)
+    // string stats skip too (payload is zero-padded, lexicographic == numeric)
+    val skipS = SnapshotTable.read(spark, root,
+      rangeFilter = Map("payload" -> (("p0350", "p0360"))))
+    assert(skipS.inputFiles.length < full.inputFiles.length)
+    assert(skipS.filter(col("payload").between("p0350", "p0360")).count() === 11)
+    // un-statted column -> named error
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, rangeFilter = Map("nope" -> (("a", "b"))))
+    }
+    assert(err.getMessage.contains("no committed stats"))
+    // old manifests (no stats) still read: append WITHOUT stats keeps kinds
+    val s2 = SnapshotTable.commit(
+      Seq((999L, "src0", "pZ")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    assert(s2.statsKinds === Map("id" -> "long", "payload" -> "string"))
+    assert(SnapshotTable.read(spark, root).count() === 401)
+  }
 }

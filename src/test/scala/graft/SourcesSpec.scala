@@ -167,4 +167,36 @@ class SourcesSpec extends SparkSuite {
     // nested-set descendant predicate
     assert(TaxTree.isDescendant(dLft = 3, aLft = 2, aRgt = 5)) // leaf5 under node two
   }
+
+  test("TaxTree.buildDistributed == driver DFS numbering on the reference " +
+      "fixture shape and on randomized trees; cycle fails loudly") {
+    import graft.sources.TaxTree
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // randomized tree: parent(i) uniformly among earlier ids (acyclic by
+    // construction), ids shuffled so child order != build order
+    val ids = rnd.shuffle((2L to 150L).toVector)
+    val nodes: Seq[(Long, Long, String)] = Seq((1L, 1L, "root")) ++
+      ids.map { id =>
+        val earlier = (Seq(1L) ++ ids.takeWhile(_ != id)).toVector
+        (id, earlier(rnd.nextInt(earlier.size)), "node")
+      }
+    val names = nodes.map { case (id, _, _) => id -> s"n$id" }.toMap
+    val want = TaxTree.nodeValues(TaxTree.build(nodes, names)).sortBy(_._1)
+    val got = TaxTree.buildDistributed(
+      nodes.toDF("tax_id", "parent_tax_id", "rank"),
+      names.toSeq.toDF("tax_id", "name"))
+      .orderBy("tax_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    // a parent cycle (2 <-> 3) must fail with the named error, not hang
+    val cyc = Seq((1L, 1L, "root"), (2L, 3L, "a"), (3L, 2L, "b"))
+    val err = intercept[IllegalStateException] {
+      TaxTree.buildDistributed(cyc.toDF("tax_id", "parent_tax_id", "rank"),
+        names.toSeq.toDF("tax_id", "name"), maxDepth = 8)
+    }
+    assert(err.getMessage.contains("cycle") || err.getMessage.contains("progress"))
+  }
 }

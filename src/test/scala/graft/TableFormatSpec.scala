@@ -65,4 +65,16 @@ class TableFormatSpec extends SparkSuite {
     assert(fmt.partitions(spark, root).map(_("source")).sorted
       === Seq("src0", "src1"))
   }
+
+  test("conformance: per-file stats at commit + range-filtered read") {
+    val root = freshRoot()
+    val df = (1L to 100L).map(i => (i, "src0", s"p$i"))
+      .toDF("id", "source", "payload")
+      .repartitionByRange(4, col("id"))
+    fmt.commit(df, root, Seq("source"), statsCols = Seq("id"))
+    val full = fmt.read(spark, root)
+    val skip = fmt.read(spark, root, rangeFilter = Map("id" -> (("10", "15"))))
+    assert(skip.inputFiles.length < full.inputFiles.length)
+    assert(skip.filter(col("id").between(10, 15)).count() === 6)
+  }
 }
