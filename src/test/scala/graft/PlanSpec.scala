@@ -405,4 +405,16 @@ class PlanSpec extends SparkSuite {
     assert(rowWindow.get.contains("__tb"),
       s"row-level window must partition by the time bucket too:\n${rowWindow.get}")
   }
+
+  test("bm25SearchJoin: no Window, bounded per-query top-k, query-term " +
+      "restriction joins before the tf aggregate") {
+    import spark.implicits._
+    val queries = Seq((1L, "hash"), (1L, "join"), (2L, "data"))
+      .toDF("qid", "term")
+    val p = physical(graft.ops.TextAnalysis.bm25SearchJoin(
+      docs, "doc_id", "text", queries, "qid", "term", k = 10))
+    assert(!p.contains("Window"), s"batch bm25 must not window:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"per-query top-k must partial-aggregate map-side:\n$p")
+  }
 }

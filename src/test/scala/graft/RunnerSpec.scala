@@ -400,4 +400,42 @@ class RunnerSpec extends SparkSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("incremental validation over a snapshot delta: validates exactly " +
+      "the added rows, skips completed deltas, checklist change re-runs") {
+    import graft.sources.{CodeFiles, SnapshotTable}
+    val base = Files.createTempDirectory("graft_inc").toString
+    val root = s"$base/table"
+    val all = CodeFiles.generate(spark, 300)
+      .withColumn("part", (col("id") % 2).cast("string"))
+    SnapshotTable.commit(all.filter(col("id") < 200), root, Seq("part"))
+    SnapshotTable.commit(all.filter(col("id") >= 200), root, Seq("part"),
+      overwritePartitions = false) // v2 appends 100 rows
+    val r1 = CheckpointRunner.runIncremental(spark, CodeFiles.checklist,
+      root, 1L, 2L, s"$base/out", s"$base/viol", s"$base/manifest",
+      rowIdCol = Some("id"))
+    assert(!r1.skipped && r1.nRows === 100)
+    // metrics match a direct validation of the same delta
+    val direct = graft.engine.Validator.validate(
+      SnapshotTable.changesBetween(spark, root, 1, 2), CodeFiles.checklist,
+      graft.engine.Validator.Options(rowIdCol = Some("id")))
+    val nInvalidDirect = direct
+      .filter(!col(graft.engine.Validator.PassedCol)).count()
+    assert(r1.nInvalid === nInvalidDirect)
+    // violation rows landed, derived from the written output
+    val viols = spark.read.parquet(s"$base/viol/delta=v1_v2")
+    assert(viols.count() > 0)
+    // re-run: skipped via the manifest lineage
+    val r2 = CheckpointRunner.runIncremental(spark, CodeFiles.checklist,
+      root, 1L, 2L, s"$base/out", s"$base/viol", s"$base/manifest",
+      rowIdCol = Some("id"))
+    assert(r2.skipped)
+    // a changed checklist invalidates the delta and re-validates
+    val changed = CodeFiles.checklist.copy(
+      fields = CodeFiles.checklist.fields.filterNot(_.name == "lang"))
+    val r3 = CheckpointRunner.runIncremental(spark, changed,
+      root, 1L, 2L, s"$base/out", s"$base/viol", s"$base/manifest",
+      rowIdCol = Some("id"))
+    assert(!r3.skipped && r3.nRows === 100)
+  }
 }
