@@ -202,7 +202,10 @@ object Bench {
     // defends itself instead of silently absorbing a noisy neighbor
     // (round 3's official bench was ~2x inflated by exactly that).
     val path = codeFilesParquet(spark, benchRows)
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_WINDOW_RETRIES", "3").toInt
+    // clamped to >= 1: zero attempts would leave nothing to report and
+    // crash minBy after the whole query leg already ran
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_WINDOW_RETRIES", "3").toInt)
     var attempts = List.empty[(Seq[(Long, Long, Long, Double)], WindowProbe.Window)]
     var attempt = 0
     while (attempt < maxAttempts &&

@@ -91,62 +91,66 @@ final class AcAutomaton(val dict: Array[String],
 
   /** One pass; greedy non-overlapping count per literal (== the count a
    * sequential `replace(text, lit, '')` computes), plus distinct-literal
-   * count. Returns the struct row (n_terms, n_hits). */
+   * count. Returns the struct row (n_terms, n_hits). The transition
+   * differs between the dense and sparse automata, but the greedy
+   * counting CONTRACT lives in exactly one place ([[MatchCounter]]) —
+   * diverging copies would be the precise bug class the forced-sparse
+   * parity test exists to catch. */
   def run(s: UTF8String): InternalRow = {
     val b = built
     val n = s.numBytes
-    val lastEnd = new Array[Int](dict.length) // 0 = no match yet (ends are 1-based)
-    var hits = 0L
-    var terms = 0
+    val m = new AcAutomaton.MatchCounter(dict.length, b.outs, b.patLen)
     var st = 0
     var i = 0
     if (b.dense != null) {
       val d = b.dense
       while (i < n) {
         st = d(st * 256 + (s.getByte(i) & 0xFF))
-        val out = b.outs(st)
-        if (out.length > 0) {
-          val end = i + 1
-          var j = 0
-          while (j < out.length) {
-            val p = out(j)
-            val start = end - b.patLen(p)
-            if (lastEnd(p) == 0) terms += 1
-            if (start >= (if (lastEnd(p) == 0) 0 else lastEnd(p))) {
-              hits += 1L
-              lastEnd(p) = end
-            }
-            j += 1
-          }
-        }
+        m.onState(st, i)
         i += 1
       }
     } else {
       while (i < n) {
         st = b.stepSparse(st, s.getByte(i) & 0xFF)
-        val out = b.outs(st)
-        if (out.length > 0) {
-          val end = i + 1
-          var j = 0
-          while (j < out.length) {
-            val p = out(j)
-            val start = end - b.patLen(p)
-            if (lastEnd(p) == 0) terms += 1
-            if (start >= (if (lastEnd(p) == 0) 0 else lastEnd(p))) {
-              hits += 1L
-              lastEnd(p) = end
-            }
-            j += 1
-          }
-        }
+        m.onState(st, i)
         i += 1
       }
     }
-    new GenericInternalRow(Array[Any](terms, hits))
+    new GenericInternalRow(Array[Any](m.terms, m.hits))
   }
 }
 
 object AcAutomaton {
+
+  /** Greedy non-overlapping per-literal match bookkeeping, shared by the
+   * dense and sparse match loops: for each automaton state reached at
+   * byte position i, count ends-here literals under the sequential
+   * replace-count contract (a literal's next match must start at or
+   * after its previous match's end). */
+  final class MatchCounter(nPats: Int, outs: Array[Array[Int]],
+      patLen: Array[Int]) {
+    private val lastEnd = new Array[Int](nPats) // 0 = no match yet (1-based ends)
+    var hits = 0L
+    var terms = 0
+
+    def onState(st: Int, i: Int): Unit = {
+      val out = outs(st)
+      if (out.length > 0) {
+        val end = i + 1
+        var j = 0
+        while (j < out.length) {
+          val p = out(j)
+          val start = end - patLen(p)
+          if (lastEnd(p) == 0) terms += 1
+          if (start >= (if (lastEnd(p) == 0) 0 else lastEnd(p))) {
+            hits += 1L
+            lastEnd(p) = end
+          }
+          j += 1
+        }
+      }
+    }
+  }
 
   /** Above this trie-node count the closed DFA (256 ints = 1 KiB per
    * node) is a memory hazard — 65536 nodes = 64 MiB per expression

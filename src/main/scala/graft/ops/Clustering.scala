@@ -58,7 +58,15 @@ object Clustering {
     // round's lineage cut survives executor loss; local[k] keeps the
     // cheaper executor-local cut as the default.
     def cut(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      if (reliableCheckpoint) {
+        // persist first: Dataset.checkpoint() runs one job to materialize
+        // and a SECOND to write checkpoint files — without the cache the
+        // whole round's join+aggregate lineage would execute twice
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
     if (reliableCheckpoint)
       require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +

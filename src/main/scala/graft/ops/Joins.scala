@@ -149,8 +149,11 @@ object Joins {
     val wIn = Window.partitionBy(col(keyCol), col("__tb"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // <=> on BOTH join legs: Window.partitionBy groups NULL keys into one
+    // partition (so the plain asofJoin matches within a NULL-key group),
+    // and an === here would silently drop the NULL-key group's carry
     val joined = bucketed.join(carry,
-      bucketed(keyCol) === carry("__ck") && bucketed("__tb") <=> carry("__cb"),
+      bucketed(keyCol) <=> carry("__ck") && bucketed("__tb") <=> carry("__cb"),
       "left")
     val outLeft = leftCols.map(c => col(s"__l.$c").as(c))
     val outRight = rStructNames.map(c => col(s"__best.$c").as(c))

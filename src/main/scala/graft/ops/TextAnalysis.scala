@@ -349,9 +349,11 @@ object TextAnalysis {
   /** Auto-dispatching front door: ONE cheap HyperLogLog aggregation
    * estimates the distinct-token count (sketch merge — no token shuffle),
    * then picks the broadcast-map path (small vocab: zero joins, fastest)
-   * or the join path (open vocab: driver-safe). The 0.9 haircut keeps the
-   * 2%-rsd estimate from steering a just-over-the-line vocabulary into
-   * [[idfMap]]'s hard require. */
+   * or the join path (open vocab: driver-safe). The 0.9 haircut is ~2
+   * sigma of approx_count_distinct's default 5% rsd — a borderline
+   * estimate errs toward the join path, never into [[idfMap]]'s hard
+   * require (whose maxVocab this dispatcher FORWARDS, so a caller-raised
+   * budget raises both the dispatch threshold and the guard). */
   def tfidfKeywordsAuto(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxVocab: Int = DefaultMaxVocab): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
@@ -359,7 +361,9 @@ object TextAnalysis {
       .select(explode(array_distinct(tokensLower(col(textCol)))).as("token"))
       .agg(approx_count_distinct(col("token")).as("v"))
       .head().getLong(0)
-    if (est <= (maxVocab * 0.9).toLong) tfidfKeywords(df, idCol, textCol, k)
+    if (est <= (maxVocab * 0.9).toLong)
+      tfidfKeywords(df, idCol, textCol, k,
+        idf = Some(idfMap(df, idCol, textCol, maxVocab = maxVocab)))
     else tfidfKeywordsJoin(df, idCol, textCol, k)
   }
 

@@ -118,7 +118,6 @@ object CheckpointRunner {
     partitions.map { p =>
       if (done.contains(p)) PartitionResult(p, 0, 0, 0, skipped = true)
       else {
-        val startedAt = java.time.Instant.now().toString
         // snapshot tables prune the slice's FILE SET manifest-side; hive
         // layout pushes the partition filter down to the parquet scan
         val slice =
@@ -126,34 +125,47 @@ object CheckpointRunner {
             graft.sources.SnapshotTable.read(spark, cfg.inputPath,
               partitionFilter = Map(cfg.partitionCol -> p))
           else input.filter(col(cfg.partitionCol) === p)
-        val validated = Validator.validate(slice, checklist,
-          Validator.Options(cfg.rowIdCol, cfg.contentCol))
-        // ONE compute pass per partition: the manifest metrics ride the
-        // validated write as CollectMetrics (observe) accumulators instead
-        // of a second aggregation job, and nothing is cached — a 100 TB
-        // partition cannot be pinned in executor memory.
-        val obs = org.apache.spark.sql.Observation(s"graft_metrics_$p")
-        val outDir = s"${cfg.outputPath}/${cfg.partitionCol}=$p"
-        validated.observe(obs,
-          count(lit(1)).as("n_rows"),
-          count(when(!col(Validator.PassedCol), 1)).as("n_invalid"),
-          sum(size(col(Validator.ViolationsCol))).as("n_violations"))
-          .write.mode(SaveMode.Overwrite).parquet(outDir)
-        val m = obs.get
-        val nRows = m("n_rows").asInstanceOf[Long]
-        val nInvalid = m("n_invalid").asInstanceOf[Long]
-        val nViol = Option(m("n_violations")).fold(0L)(_.asInstanceOf[Long])
-        // violation rows derive from the just-written columnar output:
-        // the passed=false filter pushes down, so this second job reads
-        // only the invalid fraction — no recompute of the validation pass.
-        Validator.violationRows(spark.read.parquet(outDir))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"${cfg.violationsPath}/${cfg.partitionCol}=$p")
-        appendManifestRow(spark, cfg.manifestPath, runId, p, md5,
-          nRows, nInvalid, nViol, startedAt, "ok")
+        val (nRows, nInvalid, nViol) = validateSlice(spark, checklist,
+          slice, p, s"${cfg.outputPath}/${cfg.partitionCol}=$p",
+          s"${cfg.violationsPath}/${cfg.partitionCol}=$p",
+          cfg.manifestPath, runId, md5, cfg.rowIdCol, cfg.contentCol)
         PartitionResult(p, nRows, nInvalid, nViol, skipped = false)
       }
     }.toSeq
+  }
+
+  /** ONE compute pass over a work unit (a partition or a snapshot delta),
+   * shared by [[run]] and [[runIncremental]] so the metrics contract and
+   * manifest schema live in a single place: metrics ride the validated
+   * write as CollectMetrics (observe) accumulators — no second
+   * aggregation job, nothing cached (a 100 TB slice cannot be pinned in
+   * executor memory) — and violation rows derive from the just-written
+   * columnar output with a pushed-down passed=false filter, so only the
+   * invalid fraction is re-read, never recomputed. */
+  private def validateSlice(spark: SparkSession, checklist: Checklist,
+      slice: DataFrame, manifestKey: String, outDir: String,
+      violationsDir: String, manifestPath: String, runId: String,
+      md5: String, rowIdCol: Option[String],
+      contentCol: Option[String]): (Long, Long, Long) = {
+    val startedAt = java.time.Instant.now().toString
+    val validated = Validator.validate(slice, checklist,
+      Validator.Options(rowIdCol, contentCol))
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_metrics_${manifestKey.replaceAll("[^A-Za-z0-9_.]", "_")}")
+    validated.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(!col(Validator.PassedCol), 1)).as("n_invalid"),
+      sum(size(col(Validator.ViolationsCol))).as("n_violations"))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val m = obs.get
+    val nRows = m("n_rows").asInstanceOf[Long]
+    val nInvalid = m("n_invalid").asInstanceOf[Long]
+    val nViol = Option(m("n_violations")).fold(0L)(_.asInstanceOf[Long])
+    Validator.violationRows(spark.read.parquet(outDir))
+      .write.mode(SaveMode.Overwrite).parquet(violationsDir)
+    appendManifestRow(spark, manifestPath, runId, manifestKey, md5,
+      nRows, nInvalid, nViol, startedAt, "ok")
+    (nRows, nInvalid, nViol)
   }
 
   final case class IncrementalResult(fromVersion: Long, toVersion: Long,
@@ -182,28 +194,12 @@ object CheckpointRunner {
     val key = s"delta:v$fromVersion..v$toVersion"
     if (completedPartitions(spark, manifestPath, md5).contains(key))
       return IncrementalResult(fromVersion, toVersion, 0, 0, 0, skipped = true)
-    val startedAt = java.time.Instant.now().toString
     val delta = graft.sources.SnapshotTable.changesBetween(
       spark, tableRoot, fromVersion.toInt, toVersion.toInt)
-    val validated = Validator.validate(delta, checklist,
-      Validator.Options(rowIdCol, contentCol))
-    val obs = org.apache.spark.sql.Observation(
-      s"graft_metrics_${key.replace(':', '_')}")
-    val outDir = s"$outputPath/delta=v${fromVersion}_v$toVersion"
-    validated.observe(obs,
-      count(lit(1)).as("n_rows"),
-      count(when(!col(Validator.PassedCol), 1)).as("n_invalid"),
-      sum(size(col(Validator.ViolationsCol))).as("n_violations"))
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
-    val m = obs.get
-    val nRows = m("n_rows").asInstanceOf[Long]
-    val nInvalid = m("n_invalid").asInstanceOf[Long]
-    val nViol = Option(m("n_violations")).fold(0L)(_.asInstanceOf[Long])
-    Validator.violationRows(spark.read.parquet(outDir))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$violationsPath/delta=v${fromVersion}_v$toVersion")
-    appendManifestRow(spark, manifestPath, runId, key, md5,
-      nRows, nInvalid, nViol, startedAt, "ok")
+    val (nRows, nInvalid, nViol) = validateSlice(spark, checklist, delta,
+      key, s"$outputPath/delta=v${fromVersion}_v$toVersion",
+      s"$violationsPath/delta=v${fromVersion}_v$toVersion",
+      manifestPath, runId, md5, rowIdCol, contentCol)
     IncrementalResult(fromVersion, toVersion, nRows, nInvalid, nViol,
       skipped = false)
   }

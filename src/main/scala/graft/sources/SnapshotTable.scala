@@ -243,15 +243,25 @@ object SnapshotTable {
     // per-file column bounds (the Iceberg manifest min/max): ONE aggregate
     // pass over the freshly written delta keyed on the file-path metadata
     // column — bounded by this commit's own output, never the table. Keyed
-    // by file NAME (part-xxxxx-<uuid>.parquet is globally unique) so the
-    // scheme-normalization of file:/ vs file:/// paths can't miss.
+    // by the path RELATIVE to the snapshot tree (partition dirs + name):
+    // the bare file name is NOT unique under a dynamic-partition write
+    // (one task writing two partitions emits part-00000-<uuid> in BOTH
+    // dirs — the same job UUID, a per-directory counter), and merging
+    // those two files' bounds would silently widen every interval.
     val statted: Seq[FileEntry] = if (statsCols.isEmpty) newFiles.toSeq else {
-      import org.apache.spark.sql.functions.{col, element_at, max, min, split}
+      import org.apache.spark.sql.functions.{col, max, min, regexp_extract}
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c")))
-      val byName = spark.read.parquet(dataDir)
-        .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"))
+      val relMarker = s"/data/s$version/"
+      def rel(p: String): String = {
+        val i = p.indexOf(relMarker)
+        require(i >= 0, s"file $p is not under the snapshot tree $relMarker")
+        p.substring(i + relMarker.length)
+      }
+      val byRel = spark.read.parquet(dataDir)
+        .groupBy(regexp_extract(col("_metadata.file_path"),
+          java.util.regex.Pattern.quote(relMarker) + "(.*)$", 1).as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
           r.getString(0) -> statsCols.flatMap { c =>
@@ -261,7 +271,7 @@ object SnapshotTable {
           }.toMap
         }.toMap
       newFiles.toSeq.map { fe =>
-        fe.copy(stats = byName.getOrElse(new Path(fe.path).getName, Map.empty))
+        fe.copy(stats = byRel.getOrElse(rel(fe.path), Map.empty))
       }
     }
 

@@ -26,6 +26,17 @@ import graft.ops.Dedup
  * state is O(docs x bands) entries across all buckets — the same size
  * as the batch index it replaces.
  *
+ * CAP DIVERGENCE (inherent to streaming, stated rather than hidden): the
+ * batch path drops an oversized bucket's pairs RETROACTIVELY — the
+ * capped aggregate sees the final bucket size before any pair expands.
+ * An append-mode stream cannot retract pairs it already emitted, so a
+ * bucket that crosses the cap mid-stream keeps the pairs produced while
+ * it was under the cap and freezes from then on. Below the cap the two
+ * paths are set-identical (the RunnerSpec equivalence); a pipeline that
+ * needs batch-identical candidates around degenerate buckets re-runs the
+ * batch pass at compaction time — the standard streaming/batch
+ * reconciliation contract.
+ *
  * Within a micro-batch, rows pair in ascending-id order (deterministic:
  * a batch's later id pairs against its earlier ids exactly as if they
  * had arrived in separate batches). A pair sharing several band buckets

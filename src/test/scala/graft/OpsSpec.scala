@@ -1804,6 +1804,21 @@ class OpsSpec extends SparkSuite {
       .orderBy("event_id").collect().toSeq
     assert(sN === pN)
     assert(sN.forall(r => r.isNullAt(r.fieldIndex("qts"))))
+    // NULL KEYS group together in a window partition, so the plain form
+    // matches them; the skew-safe carry join must be null-safe (<=>) on
+    // the key too — an === would silently drop the NULL-key carry when
+    // left and right rows land in different time buckets
+    val leftNk = Seq((1L, null.asInstanceOf[java.lang.Long], 5000L),
+      (2L, java.lang.Long.valueOf(1L), 5000L)).toDF("event_id", "k", "ts")
+    val rightNk = Seq((null.asInstanceOf[java.lang.Long], 100L, 7L),
+      (java.lang.Long.valueOf(1L), 100L, 8L)).toDF("k", "qts", "payload")
+    val pNk = Joins.asofJoin(leftNk, rightNk, "k", "ts", "qts")
+      .orderBy("event_id").collect().toSeq
+    val sNk = Joins.asofJoinSkewSafe(leftNk, rightNk, "k", "ts", "qts", 1000L)
+      .orderBy("event_id").collect().toSeq
+    assert(sNk === pNk)
+    assert(!sNk.head.isNullAt(sNk.head.fieldIndex("qts")),
+      "NULL-key left row must carry the NULL-key right row across buckets")
   }
 
   test("asofJoinSkewSafe: timestamp columns bucket in microseconds and " +

@@ -169,6 +169,19 @@ class SnapshotTableSpec extends SparkSuite {
       rangeFilter = Map("payload" -> (("p0350", "p0360"))))
     assert(skipS.inputFiles.length < full.inputFiles.length)
     assert(skipS.filter(col("payload").between("p0350", "p0360")).count() === 11)
+    // per-file keying survives a writer task covering TWO partition dirs:
+    // repartition(1) makes one task emit part-00000 in BOTH source dirs
+    // (same basename!) — the bounds must stay per-file, never merged
+    val root2 = freshRoot()
+    val df2 = (1L to 100L).map(i =>
+      (i, if (i <= 50) "src0" else "src1", s"q$i"))
+      .toDF("id", "source", "payload").repartition(1)
+    val snap2 = SnapshotTable.commit(df2, root2, Seq("source"),
+      statsCols = Seq("id"))
+    val bounds = snap2.files.map(fe =>
+      fe.partition("source") -> fe.stats("id")).toMap
+    assert(bounds("src0") === (("1", "50")))
+    assert(bounds("src1") === (("51", "100")))
     // un-statted column -> named error
     val err = intercept[IllegalArgumentException] {
       SnapshotTable.read(spark, root, rangeFilter = Map("nope" -> (("a", "b"))))
