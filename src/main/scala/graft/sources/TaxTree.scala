@@ -131,13 +131,16 @@ object TaxTree {
         .filter(col("n_done") === col("n_children"))
         .join(done, Seq("id"), "left_anti")
         .select(col("id"), (col("child_sum") + 1L).as("size"))
-      done = done.unionByName(newDone).localCheckpoint()
-      val c = done.count()
-      if (c == doneCount)
+        .localCheckpoint()
+      // progress check counts the (small) frontier, not the whole
+      // accumulated set — the cheap invariant: additions are disjoint
+      val added = newDone.count()
+      if (added == 0)
         throw new IllegalStateException(
           "buildDistributed: no progress — parent pointers contain a cycle " +
             "or reference missing nodes")
-      doneCount = c
+      done = done.unionByName(newDone).localCheckpoint()
+      doneCount += added
     }
 
     // ---- phase 2: lft, root down (depth-bounded rounds) ----
@@ -164,12 +167,12 @@ object TaxTree {
           .withColumnRenamed("lft", "plft"), Seq("pid"))
         .select(col("id"), (col("plft") + col("off")).as("lft"))
         .localCheckpoint()
-      lft = lft.unionByName(frontier).localCheckpoint()
-      val c = lft.count()
-      if (c == lftCount)
+      val added = frontier.count() // frontier-sized progress check
+      if (added == 0)
         throw new IllegalStateException(
           "buildDistributed: lft propagation stalled — disconnected nodes?")
-      lftCount = c
+      lft = lft.unionByName(frontier).localCheckpoint()
+      lftCount += added
     }
 
     lft.join(done, Seq("id"))
