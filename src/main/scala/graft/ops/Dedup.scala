@@ -385,6 +385,73 @@ object Dedup {
   }
 
   /**
+   * EXACT-SUBSTRING DEDUP REMOVAL (Lee et al., ACL'22 "Deduplicating
+   * Training Data Makes Language Models Better" — the removal step, not
+   * just [[dupSpanStats]]'s signal): every k-token span VALUE occurring at
+   * >= 2 sites corpus-wide keeps exactly ONE canonical site — the minimal
+   * (doc, pos) — and every other site's k token positions are removed
+   * from their documents; text reassembles from the surviving tokens.
+   * (The paper removes duplicated suffix-array substrings; this is the
+   * fixed-width distributed rendition — same signal family as
+   * [[dupSpanStats]], now acted on.)
+   *
+   * Contract (deterministic, oracle-restated): spans are the k-token
+   * windows of the shared lowercased whitespace tokenizer at every
+   * offset; sites compare as (doc, pos) pairs, so intra-document repeats
+   * beyond the first are removed too; a position covered by ANY removed
+   * site is dropped — overlapping removals can bite into a winner span's
+   * positions (site-level removal, the honest fixed-width semantics).
+   * Docs with < k tokens (and blank docs) pass through untouched. Output:
+   * (idCol, n_tokens, n_removed, text_dedup) with text_dedup re-joined by
+   * single spaces (token-normalized, like every dedup key in the engine).
+   *
+   * Scale shape: spans shuffle as 8-byte xxhash64 keys (the span STRING
+   * never leaves the map side; the oracle groups by the raw span text —
+   * identical grouping barring 2^-64 collisions); the winner+count pass
+   * is ONE map-side-combinable aggregate (count + min-struct); removed
+   * positions re-aggregate per doc into a bounded sorted set; reassembly
+   * is a shuffle-free HOF projection. No window, no global sort, nothing
+   * driver-resident.
+   */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "span width must be >= 1")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokensLower(col(textCol)).as("__toks"))
+      .localCheckpoint() // two consumers: span extraction + reassembly
+    val spans = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - k), i =>
+          struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))).as("h"))))
+          .as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
+      .localCheckpoint() // two consumers: the winner aggregate + the site join
+    val winners = spans.groupBy("h")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__w"))
+      .filter(col("__cnt") >= 2)
+      .select(col("h"), col("__w.id").as("__wid"), col("__w.pos").as("__wpos"))
+    val drops = spans.join(winners, Seq("h"))
+      .filter(!(col("id") === col("__wid") && col("pos") === col("__wpos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1)))
+        .as("__p"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("__p"))).as("__drops"))
+    toks.join(drops, toks(idCol) === drops("id"), "left")
+      .select(toks(idCol),
+        size(col("__toks")).cast("int").as("n_tokens"),
+        coalesce(size(col("__drops")), lit(0)).cast("int").as("n_removed"),
+        when(col("__drops").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ",
+            transform(
+              filter(sequence(lit(0), size(col("__toks")) - 1),
+                i => !array_contains(col("__drops"), i)),
+              i => element_at(col("__toks"), i + 1))))
+          .as("text_dedup"))
+  }
+
+  /**
    * SemDeDup (Abbas et al., arXiv:2303.09540): embedding-space semantic
    * deduplication — the step AFTER exact/MinHash dedup in modern LLM
    * corpus pipelines, catching re-phrasings and boilerplate variants that

@@ -1201,6 +1201,18 @@ object Catalog {
     Dedup.dupSpanStats(docs(spark, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id")
 
+  /** EXACT-SUBSTRING DEDUP REMOVAL ([[graft.ops.Dedup.removeDupSpans]],
+   * k=3 — the Lee et al. ACL'22 removal step): every duplicated 3-token
+   * span keeps its minimal (doc, pos) site; all other sites' positions
+   * are removed and text reassembles from survivors. The corpus
+   * organically repeats 3-grams across docs (see ta_dupspan), so removal
+   * is non-vacuous. Oracle groups by the raw span STRING (Spark shuffles
+   * xxhash64 of it — identical grouping barring 2^-64 collisions) and
+   * restates winner choice, position coverage and reassembly. */
+  def ddSpanrm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.removeDupSpans(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+
   /** Bigram PMI collocations ([[graft.ops.TextAnalysis.collocations]]):
    * top-20 adjacent pairs by pointwise mutual information at n_pair >= 5.
    * doc_id%4 appends a planted collocation ("neural network") so a pair

@@ -1690,6 +1690,48 @@ ORDER BY id_a, id_b"""
    * round-6). The hash values never reach the output, so the unsigned
    * UBIGINT form groups as well as Spark's signed longs.
    */
+  /**
+   * Oracle for [[Catalog.ddSpanrm]]: positional 3-token spans from the
+   * shared tokenizer, duplicate span VALUES (count >= 2 sites), winner =
+   * minimal (doc, pos) via row_number, non-winner sites cover positions
+   * pos..pos+2, per-doc removal sets, and reassembly of surviving tokens
+   * in order. Groups by the raw span string — value-identical to the
+   * engine's xxhash64-keyed grouping.
+   */
+  val ddSpanrm: String =
+    """WITH corp AS (
+      |  SELECT doc_id AS id,
+      |    regexp_split_to_array(lower(trim(text)), '[\s\x0b]+') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), sp AS (
+      |  SELECT id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS s
+      |  FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM corp WHERE len(toks) >= 3)
+      |), w AS (
+      |  SELECT s, id, pos, cnt, rn FROM (
+      |    SELECT s, id, pos,
+      |      count(*) OVER (PARTITION BY s) AS cnt,
+      |      row_number() OVER (PARTITION BY s ORDER BY id, pos) AS rn
+      |    FROM sp)
+      |), drops AS (
+      |  SELECT DISTINCT w.id, u.p
+      |  FROM w, unnest(generate_series(w.pos, w.pos + 2)) AS u(p)
+      |  WHERE w.cnt >= 2 AND w.rn > 1
+      |), d AS (
+      |  SELECT id, list_sort(list(p)) AS dl, count(*) AS nrem
+      |  FROM drops GROUP BY id
+      |)
+      |SELECT c.id AS doc_id,
+      |  CAST(len(c.toks) AS INT) AS n_tokens,
+      |  CAST(coalesce(d.nrem, 0) AS INT) AS n_removed,
+      |  CASE WHEN d.id IS NULL THEN array_to_string(c.toks, ' ')
+      |       ELSE coalesce(array_to_string(list_transform(
+      |         list_filter(generate_series(0, len(c.toks) - 1),
+      |           x -> NOT list_contains(d.dl, x)),
+      |         x -> c.toks[x + 1]), ' '), '')
+      |  END AS text_dedup
+      |FROM corp c LEFT JOIN d USING (id) ORDER BY doc_id""".stripMargin
+
   def taDupspan: String = {
     import SqlXxh64._
     s"""WITH RECURSIVE
