@@ -191,6 +191,36 @@ object ColumnStats {
    * truncates fractional inputs (documented, required for exactness).
    * Groups with m2 == 0 (constant value) emit NULL skew/kurt.
    */
+  /**
+   * Pairwise Pearson correlation + sample covariance for a set of numeric
+   * column pairs — the cross-column statistics a drift/quality monitor
+   * tracks beside the per-column moments (are price and quantity still
+   * coupled the way yesterday's corpus was?). ONE aggregation pass
+   * computes every pair's corr/covar simultaneously (Spark plans them as
+   * shared-scan co-moment aggregates with map-side partials); the
+   * single-row result then explodes into one row per pair — dimension
+   * cost, no second scan. Round-6 output (the house contract; corr is a
+   * ratio of co-moments, so engine summation-order skew sits far below
+   * it). NULLs pair-excluded, the SQL corr contract on both engines.
+   */
+  def correlations(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+      corr(col(a), col(b)).as(s"__c$i"),
+      covar_samp(col(a), col(b)).as(s"__v$i"),
+      count(when(col(a).isNotNull && col(b).isNotNull, 1)).as(s"__n$i")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"__n$i").as("n"),
+          round(col(s"__c$i"), 6).as("corr"),
+          round(col(s"__v$i"), 6).as("covar_samp"))
+      }: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"),
+        col("p.corr"), col("p.covar_samp"))
+  }
+
   def moments(df: DataFrame, valueCol: String,
       groupCols: Seq[String]): DataFrame = {
     val x = col(valueCol).cast("decimal(38,0)")

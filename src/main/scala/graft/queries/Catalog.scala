@@ -973,6 +973,19 @@ object Catalog {
       docs(spark, dir).withColumn("w", col("n_chars") / 100.0),
       "doc_id", "w", k = 20)
 
+  /** Pairwise correlation/covariance ([[graft.quality.ColumnStats
+   * .correlations]]): three lineitem pairs in ONE aggregation pass —
+   * cross-column drift statistics beside the per-column moments. Oracle
+   * restates corr/covar_samp per pair; round-6 absorbs co-moment
+   * summation-order skew. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.ColumnStats.correlations(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq(("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount"),
+        ("l_tax", "l_discount")))
+      .orderBy("col_a", "col_b")
+
   /** Per-language distribution moments of n_chars
    * ([[graft.quality.ColumnStats.moments]]): mean/variance/skewness/
    * excess kurtosis from EXACT decimal power sums — accumulation-order-

@@ -1467,6 +1467,33 @@ ORDER BY id_a, id_b"""
        |FROM kk ORDER BY key DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Oracle for [[Catalog.qCorr]]: per-pair corr/covar_samp/pair-count
+   * restated directly — both engines implement the SQL pair-exclusion
+   * contract; round-6 absorbs summation-order ulp skew. */
+  val qCorr: String =
+    """SELECT * FROM (
+      |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+      |    count(CASE WHEN l_quantity IS NOT NULL
+      |               AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+      |    round(corr(l_quantity, l_extendedprice), 6) AS corr,
+      |    round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_samp
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', 'l_discount',
+      |    count(CASE WHEN l_extendedprice IS NOT NULL
+      |               AND l_discount IS NOT NULL THEN 1 END),
+      |    round(corr(l_extendedprice, l_discount), 6),
+      |    round(covar_samp(l_extendedprice, l_discount), 6)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_tax', 'l_discount',
+      |    count(CASE WHEN l_tax IS NOT NULL
+      |               AND l_discount IS NOT NULL THEN 1 END),
+      |    round(corr(l_tax, l_discount), 6),
+      |    round(covar_samp(l_tax, l_discount), 6)
+      |  FROM lineitem)
+      |ORDER BY col_a, col_b""".stripMargin
+
   /**
    * Oracle for [[Catalog.qMoments]]: exact HUGEINT power sums (the
    * engine's DECIMAL(38,0) sums are equally exact, so both engines feed

@@ -242,4 +242,24 @@ class QualitySpec extends SparkSuite {
     assert(math.abs(all - BigDecimal(r7(allSorted, 0.5)).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("correlations: exact +1/-1 on linear columns, null pairs excluded, " +
+      "one row per pair") {
+    import graft.quality.ColumnStats
+    val df = Seq(
+      (1.0, 2.0, -1.0, Some(1.0)),
+      (2.0, 4.0, -2.0, None),
+      (3.0, 6.0, -3.0, Some(3.0)),
+      (4.0, 8.0, -4.0, Some(4.0)))
+      .toDF("x", "y2", "yneg", "ynull")
+    val got = ColumnStats.correlations(df,
+      Seq(("x", "y2"), ("x", "yneg"), ("x", "ynull")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("x", "y2")) === ((4L, 1.0, 3.333333))) // covar_samp of x,2x
+    assert(got(("x", "yneg"))._2 === -1.0)
+    val (n, c, _) = got(("x", "ynull"))
+    assert(n === 3L && c === 1.0) // the None row pair-excludes
+    assert(got.size === 3)
+  }
 }
