@@ -440,7 +440,10 @@ object Dedup {
       .agg(sort_array(collect_set(col("__p"))).as("__drops"))
     toks.join(drops, toks(idCol) === drops("id"), "left")
       .select(toks(idCol),
-        size(col("__toks")).cast("int").as("n_tokens"),
+        // blank docs tokenize to [""] — report 0 tokens, the
+        // TextAnalysis.tokenCount contract, not the artifact
+        when(size(col("__toks")) === 1 && element_at(col("__toks"), 1) === "",
+          lit(0)).otherwise(size(col("__toks"))).cast("int").as("n_tokens"),
         coalesce(size(col("__drops")), lit(0)).cast("int").as("n_removed"),
         when(col("__drops").isNull, concat_ws(" ", col("__toks")))
           .otherwise(concat_ws(" ",

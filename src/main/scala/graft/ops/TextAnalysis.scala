@@ -16,7 +16,11 @@ object TextAnalysis {
    * identically, and the DuckDB oracles restate this exact expression as
    * `regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')` (Java `\s`
    * includes \x0b, RE2's does not — the round-2 drift lesson). Change it
-   * HERE or nowhere. */
+   * HERE or nowhere. Known cross-engine edge: DuckDB `trim()` strips
+   * SPACES only while Java's strips all ASCII whitespace <= 0x20; the
+   * synthetic corpora never carry boundary tabs/newlines (all 80 oracle
+   * queries green at three SFs), but a corpus that does must restate
+   * trim as a regexp_replace of boundary `[\s\x0b]+` in the oracle. */
   def tokensLower(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Whitespace token count (0 for empty/blank). */

@@ -191,36 +191,6 @@ object ColumnStats {
    * truncates fractional inputs (documented, required for exactness).
    * Groups with m2 == 0 (constant value) emit NULL skew/kurt.
    */
-  /**
-   * Pairwise Pearson correlation + sample covariance for a set of numeric
-   * column pairs — the cross-column statistics a drift/quality monitor
-   * tracks beside the per-column moments (are price and quantity still
-   * coupled the way yesterday's corpus was?). ONE aggregation pass
-   * computes every pair's corr/covar simultaneously (Spark plans them as
-   * shared-scan co-moment aggregates with map-side partials); the
-   * single-row result then explodes into one row per pair — dimension
-   * cost, no second scan. Round-6 output (the house contract; corr is a
-   * ratio of co-moments, so engine summation-order skew sits far below
-   * it). NULLs pair-excluded, the SQL corr contract on both engines.
-   */
-  def correlations(df: DataFrame,
-      pairs: Seq[(String, String)]): DataFrame = {
-    require(pairs.nonEmpty, "need at least one column pair")
-    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
-      corr(col(a), col(b)).as(s"__c$i"),
-      covar_samp(col(a), col(b)).as(s"__v$i"),
-      count(when(col(a).isNotNull && col(b).isNotNull, 1)).as(s"__n$i")) }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
-        struct(lit(a).as("col_a"), lit(b).as("col_b"),
-          col(s"__n$i").as("n"),
-          round(col(s"__c$i"), 6).as("corr"),
-          round(col(s"__v$i"), 6).as("covar_samp"))
-      }: _*)).as("p"))
-      .select(col("p.col_a"), col("p.col_b"), col("p.n"),
-        col("p.corr"), col("p.covar_samp"))
-  }
-
   def moments(df: DataFrame, valueCol: String,
       groupCols: Seq[String]): DataFrame = {
     val x = col(valueCol).cast("decimal(38,0)")
@@ -246,6 +216,43 @@ object ColumnStats {
       round(when(m2 > 0, m3 / pow(m2, 1.5)), 6).as("skewness"),
       round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis")): _*)
   }
+
+  /**
+   * Pairwise Pearson correlation + sample covariance for a set of numeric
+   * column pairs — the cross-column statistics a drift/quality monitor
+   * tracks beside the per-column moments (are price and quantity still
+   * coupled the way yesterday's corpus was?). ONE aggregation pass
+   * computes every pair's corr/covar simultaneously (Spark plans them as
+   * shared-scan co-moment aggregates with map-side partials); the
+   * single-row result then explodes into one row per pair — dimension
+   * cost, no second scan. Round-6 output (the house contract). corr is a
+   * scale-free ratio of co-moments (|corr| <= 1), so summation-order skew
+   * sits far below round-6; covar_samp is NOT scale-free — its low-order
+   * bits depend on partial-merge order, so the oracle query compares
+   * corr/n only and covar is spec-gated (the q_moments decimal-sum trick
+   * does not extend to cross-products of doubles). Zero-variance columns
+   * yield NULL corr (the SQL contract — Spark's raw Pearson emits NaN,
+   * normalized here). NULLs pair-excluded on both engines.
+   */
+  def correlations(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+      corr(col(a), col(b)).as(s"__c$i"),
+      covar_samp(col(a), col(b)).as(s"__v$i"),
+      count(when(col(a).isNotNull && col(b).isNotNull, 1)).as(s"__n$i")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"__n$i").as("n"),
+          round(when(isnan(col(s"__c$i")), lit(null)).otherwise(col(s"__c$i")),
+            6).as("corr"),
+          round(col(s"__v$i"), 6).as("covar_samp"))
+      }: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"),
+        col("p.corr"), col("p.covar_samp"))
+  }
+
 
   /** Histogram-only helper returning the bucket counts as a Scala array —
    * the input to [[Drift]] tests. One aggregation, no groupBy shuffle. */

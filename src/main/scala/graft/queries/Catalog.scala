@@ -973,17 +973,20 @@ object Catalog {
       docs(spark, dir).withColumn("w", col("n_chars") / 100.0),
       "doc_id", "w", k = 20)
 
-  /** Pairwise correlation/covariance ([[graft.quality.ColumnStats
-   * .correlations]]): three lineitem pairs in ONE aggregation pass —
-   * cross-column drift statistics beside the per-column moments. Oracle
-   * restates corr/covar_samp per pair; round-6 absorbs co-moment
-   * summation-order skew. */
+  /** Pairwise correlation ([[graft.quality.ColumnStats.correlations]]):
+   * three lineitem pairs in ONE aggregation pass — cross-column drift
+   * statistics beside the per-column moments. The oracle compares
+   * corr + pair-count only: corr is a scale-free ratio where round-6
+   * sits far above summation-order skew, while covar_samp's low-order
+   * bits depend on partial-merge order at ~1e5 magnitude — it stays
+   * spec-gated (QualitySpec) rather than oracle-compared. */
   def qCorr(spark: SparkSession, dir: String): DataFrame =
     graft.quality.ColumnStats.correlations(
       spark.read.parquet(s"$dir/lineitem.parquet"),
       Seq(("l_quantity", "l_extendedprice"),
         ("l_extendedprice", "l_discount"),
         ("l_tax", "l_discount")))
+      .drop("covar_samp")
       .orderBy("col_a", "col_b")
 
   /** Per-language distribution moments of n_chars

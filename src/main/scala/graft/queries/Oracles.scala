@@ -1467,30 +1467,29 @@ ORDER BY id_a, id_b"""
        |FROM kk ORDER BY key DESC, doc_id LIMIT 20""".stripMargin
   }
 
-  /** Oracle for [[Catalog.qCorr]]: per-pair corr/covar_samp/pair-count
-   * restated directly — both engines implement the SQL pair-exclusion
-   * contract; round-6 absorbs summation-order ulp skew. */
+  /** Oracle for [[Catalog.qCorr]]: per-pair corr + pair-count restated
+   * directly — both engines implement the SQL pair-exclusion contract,
+   * and corr's scale-free magnitude keeps round-6 far above
+   * summation-order ulp skew (covar_samp is deliberately NOT compared —
+   * see the catalog entry). */
   val qCorr: String =
     """SELECT * FROM (
       |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
       |    count(CASE WHEN l_quantity IS NOT NULL
       |               AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
-      |    round(corr(l_quantity, l_extendedprice), 6) AS corr,
-      |    round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_samp
+      |    round(corr(l_quantity, l_extendedprice), 6) AS corr
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'l_extendedprice', 'l_discount',
       |    count(CASE WHEN l_extendedprice IS NOT NULL
       |               AND l_discount IS NOT NULL THEN 1 END),
-      |    round(corr(l_extendedprice, l_discount), 6),
-      |    round(covar_samp(l_extendedprice, l_discount), 6)
+      |    round(corr(l_extendedprice, l_discount), 6)
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'l_tax', 'l_discount',
       |    count(CASE WHEN l_tax IS NOT NULL
       |               AND l_discount IS NOT NULL THEN 1 END),
-      |    round(corr(l_tax, l_discount), 6),
-      |    round(covar_samp(l_tax, l_discount), 6)
+      |    round(corr(l_tax, l_discount), 6)
       |  FROM lineitem)
       |ORDER BY col_a, col_b""".stripMargin
 
@@ -1717,6 +1716,34 @@ ORDER BY id_a, id_b"""
    * round-6). The hash values never reach the output, so the unsigned
    * UBIGINT form groups as well as Spark's signed longs.
    */
+  def taDupspan: String = {
+    import SqlXxh64._
+    s"""WITH RECURSIVE
+corp AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+dsh AS (
+  SELECT id, list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 3, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM corp),
+shs AS (SELECT DISTINCT unnest(shingles) AS s FROM dsh),
+shid AS (SELECT row_number() OVER (ORDER BY s) AS sid, s FROM shs),
+${xxh64Cte("shid", "sx", 42L)},
+dhd AS (
+  SELECT DISTINCT d.id, x.h
+  FROM (SELECT id, unnest(shingles) AS s FROM dsh) d
+  JOIN sxdone x USING (s)),
+dupes AS (SELECT h FROM dhd GROUP BY h HAVING count(*) >= 2)
+SELECT dhd.id AS doc_id,
+  CAST(count(*) AS INT) AS n_spans,
+  CAST(count(CASE WHEN dupes.h IS NOT NULL THEN 1 END) AS INT) AS n_dup,
+  round(CAST(count(CASE WHEN dupes.h IS NOT NULL THEN 1 END) AS DOUBLE)
+    / count(*), 6) AS dup_frac
+FROM dhd LEFT JOIN dupes ON dhd.h = dupes.h
+GROUP BY dhd.id ORDER BY doc_id"""
+  }
+
   /**
    * Oracle for [[Catalog.ddSpanrm]]: positional 3-token spans from the
    * shared tokenizer, duplicate span VALUES (count >= 2 sites), winner =
@@ -1749,7 +1776,8 @@ ORDER BY id_a, id_b"""
       |  FROM drops GROUP BY id
       |)
       |SELECT c.id AS doc_id,
-      |  CAST(len(c.toks) AS INT) AS n_tokens,
+      |  CAST(CASE WHEN len(c.toks) = 1 AND c.toks[1] = '' THEN 0
+      |            ELSE len(c.toks) END AS INT) AS n_tokens,
       |  CAST(coalesce(d.nrem, 0) AS INT) AS n_removed,
       |  CASE WHEN d.id IS NULL THEN array_to_string(c.toks, ' ')
       |       ELSE coalesce(array_to_string(list_transform(
@@ -1758,34 +1786,6 @@ ORDER BY id_a, id_b"""
       |         x -> c.toks[x + 1]), ' '), '')
       |  END AS text_dedup
       |FROM corp c LEFT JOIN d USING (id) ORDER BY doc_id""".stripMargin
-
-  def taDupspan: String = {
-    import SqlXxh64._
-    s"""WITH RECURSIVE
-corp AS (
-  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS toks
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-dsh AS (
-  SELECT id, list_distinct(list_transform(
-      generate_series(1, greatest(len(toks) - 3, 0) + 1),
-      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM corp),
-shs AS (SELECT DISTINCT unnest(shingles) AS s FROM dsh),
-shid AS (SELECT row_number() OVER (ORDER BY s) AS sid, s FROM shs),
-${xxh64Cte("shid", "sx", 42L)},
-dhd AS (
-  SELECT DISTINCT d.id, x.h
-  FROM (SELECT id, unnest(shingles) AS s FROM dsh) d
-  JOIN sxdone x USING (s)),
-dupes AS (SELECT h FROM dhd GROUP BY h HAVING count(*) >= 2)
-SELECT dhd.id AS doc_id,
-  CAST(count(*) AS INT) AS n_spans,
-  CAST(count(CASE WHEN dupes.h IS NOT NULL THEN 1 END) AS INT) AS n_dup,
-  round(CAST(count(CASE WHEN dupes.h IS NOT NULL THEN 1 END) AS DOUBLE)
-    / count(*), 6) AS dup_frac
-FROM dhd LEFT JOIN dupes ON dhd.h = dupes.h
-GROUP BY dhd.id ORDER BY doc_id"""
-  }
 
   /**
    * Oracle for [[Catalog.taPmi]]: bigram and unigram counts over the

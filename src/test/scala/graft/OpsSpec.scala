@@ -1976,25 +1976,28 @@ class OpsSpec extends SparkSuite {
       (2L, "head a b c x y z"),
       (3L, "a b c a b c x y z"),
       (4L, "too short"),
-      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      (5L, null.asInstanceOf[String]),
+      (6L, "   ")).toDF("doc_id", "text")
     val got = Dedup.removeDupSpans(df, "doc_id", "text", k = 3)
       .orderBy("doc_id").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
       .toMap
     // doc 1: winner of "a b c" -> untouched
     assert(got(1L) === ((5, 0, "a b c tail1 tail2")))
-    // doc 2: loses "a b c" (pos 1-3) but WINS "x y z" (pos 4, vs doc 3's);
-    // note pos 1..3 removal also takes "head a b c" spans' overlap: spans
-    // "head a b" (pos 0) and "b c x" etc. are unique -> only a b c goes.
-    // remaining tokens: head (0), x(4), y(5), z(6)
+    // doc 2: loses "a b c" (pos 1-3) but WINS every other duplicated
+    // span it shares with doc 3 ("b c x", "c x y", "x y z" — doc 2's
+    // earlier (doc,pos) sites are the canonical ones), so only the
+    // a-b-c positions go. remaining tokens: head (0), x(4), y(5), z(6)
     assert(got(2L) === ((7, 3, "head x y z")))
     // doc 3: both "a b c" copies lose (pos 0-2, 3-5) and "x y z" loses
     // (pos 6-8) -> everything removed. ALSO "b c a"(1), "c a b"(2) are
     // unique spans, "c x y"(5) unique — but their positions are covered.
     assert(got(3L) === ((9, 9, "")))
-    // doc 4: < k tokens -> pass-through; NULL text row dropped
+    // doc 4: < k tokens -> pass-through; NULL text row dropped;
+    // blank doc reports the tokenCount contract's 0, not the [""] artifact
     assert(got(4L) === ((2, 0, "too short")))
     assert(!got.contains(5L))
+    assert(got(6L) === ((0, 0, "")))
     // cross-check with the profiling signal: docs whose dup_frac is 0
     // must be untouched by removal
     val frac = Dedup.dupSpanStats(df, "doc_id", "text", k = 3)
