@@ -2004,4 +2004,51 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(frac(1L) > 0 && frac(2L) > 0 && frac(3L) > 0)
   }
+
+  test("removeDupSpans property: matches a sequential driver reference on " +
+      "randomized small-vocab corpora (organic dup spans, all edge paths)") {
+    val rnd = new scala.util.Random(271)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val corpus = (1L to 120L).map { id =>
+      val n = rnd.nextInt(12) // includes 0 and < k lengths
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val k = 3
+    // driver reference: same contract, sequential
+    val toks = corpus.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array("") else
+        t.trim.toLowerCase.split("[\\s\\x0B]+"))
+    }.toMap
+    val sites = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    toks.toSeq.sortBy(_._1).foreach { case (id, ts) =>
+      for (p <- 0 to ts.length - k)
+        sites.getOrElseUpdate(ts.slice(p, p + k).mkString(" "),
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+    }
+    val dropByDoc = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Int]]
+    sites.values.filter(_.size >= 2).foreach { ss =>
+      val w = ss.minBy(identity)
+      ss.filterNot(_ == w).foreach { case (id, p) =>
+        val d = dropByDoc.getOrElseUpdate(id, scala.collection.mutable.Set.empty)
+        (p until p + k).foreach(d += _)
+      }
+    }
+    val want = toks.map { case (id, ts) =>
+      val drops: scala.collection.Set[Int] =
+        dropByDoc.getOrElse(id, scala.collection.mutable.Set.empty[Int])
+      val kept = ts.indices.filterNot(i => drops.contains(i)).map(ts)
+      val nTok = if (ts.length == 1 && ts(0) == "") 0 else ts.length
+      id -> ((nTok, drops.size, kept.mkString(" ")))
+    }
+    val got = Dedup.removeDupSpans(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) => assert(got(id) === w, s"doc $id") }
+    // non-vacuous: the small vocab guarantees organic duplicate spans
+    assert(got.values.exists(_._2 > 0))
+  }
 }
