@@ -254,6 +254,76 @@ object ColumnStats {
   }
 
 
+  /**
+   * Categorical association profiling — Shannon entropies H(A), H(B),
+   * H(A,B) and mutual information I(A;B) = H(A)+H(B)-H(A,B) (nats) for a
+   * set of column pairs, plus the normalized MI
+   * `nmi = I / sqrt(H(A)·H(B))` (NULL when either marginal entropy is 0,
+   * i.e. a constant column). The question a quality monitor asks with
+   * this: "are `lang` and `source` still coupled the way yesterday's
+   * corpus was / does column A functionally determine column B?" —
+   * nmi == 1 means a bijective dependency, nmi == 0 independence.
+   *
+   * Scale shape: the ONLY row-scale operation per pair is the joint
+   * `groupBy(a, b).count()` — one map-side-combined shuffle whose output
+   * is dimension-scale (|A|·|B| cells). Marginals derive from the joint
+   * table (two tiny re-aggregations), totals ride along as a broadcast
+   * cross join, and each entropy is a sum over cells — no driver-resident
+   * distribution. The four consumers of the joint table (totals + three
+   * entropies) share one identical Exchange subtree, so Catalyst's
+   * exchange reuse runs the row-scale scan+shuffle ONCE and the branches
+   * re-read its output (PlanSpec pins the ReusedExchange). Values are
+   * cast to string so heterogeneous pairs share one code path (same
+   * contract as [[compute]]'s min/max).
+   *
+   * Determinism: entropies are float sums over the cell table, so
+   * accumulation order skews low bits only (|cells| · 1e-16 ≪ the
+   * round-6 house contract). MI is clamped at 0 before rounding — the
+   * true value is non-negative and the clamp kills the −1e-16 artifact
+   * that would otherwise round to an engine-dependent −0.0. Rows where
+   * either side is NULL are pair-excluded (same as [[correlations]]).
+   */
+  def association(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val perPair = pairs.map { case (a, b) =>
+      val joint = df
+        .where(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).cast("string").as("__va"),
+          col(b).cast("string").as("__vb"))
+        .agg(count(lit(1)).as("__cnt"))
+      // dimension-scale from here: totals + marginals off the cell table
+      val tot = joint.agg(sum("__cnt").as("__n"),
+        count_distinct(col("__va")).as("__da"),
+        count_distinct(col("__vb")).as("__db"))
+      def entropyOf(cells: DataFrame, cntCol: String,
+          out: String): DataFrame =
+        cells.crossJoin(broadcast(tot))
+          .agg((-sum((col(cntCol) / col("__n")) *
+            log(col(cntCol) / col("__n")))).as(out))
+      val hA = entropyOf(
+        joint.groupBy("__va").agg(sum("__cnt").as("__ca")), "__ca", "__ha")
+      val hB = entropyOf(
+        joint.groupBy("__vb").agg(sum("__cnt").as("__cb")), "__cb", "__hb")
+      val hAB = entropyOf(joint, "__cnt", "__hab")
+      val mi = col("__ha") + col("__hb") - col("__hab")
+      tot.crossJoin(broadcast(hA)).crossJoin(broadcast(hB))
+        .crossJoin(broadcast(hAB))
+        .select(
+          lit(a).as("col_a"), lit(b).as("col_b"),
+          col("__n").as("n"),
+          col("__da").as("distinct_a"), col("__db").as("distinct_b"),
+          round(col("__ha"), 6).as("h_a"),
+          round(col("__hb"), 6).as("h_b"),
+          round(col("__hab"), 6).as("h_joint"),
+          round(greatest(mi, lit(0.0)), 6).as("mi"),
+          round(when(col("__ha") * col("__hb") > 0,
+            greatest(mi, lit(0.0)) / sqrt(col("__ha") * col("__hb"))),
+            6).as("nmi"))
+    }
+    perPair.reduce(_ union _)
+  }
+
   /** Histogram-only helper returning the bucket counts as a Scala array —
    * the input to [[Drift]] tests. One aggregation, no groupBy shuffle. */
   def histogram(df: DataFrame, column: String, spec: HistogramSpec): Array[Long] = {

@@ -989,6 +989,29 @@ object Catalog {
       .drop("covar_samp")
       .orderBy("col_a", "col_b")
 
+  /** Categorical mutual information ([[graft.quality.ColumnStats
+   * .association]]): three documents pairs — (lang, source) the
+   * independence case, the symmetric flip (MI is symmetric; the two rows
+   * must agree), and the self-pair (lang, lang) where nmi must hit
+   * exactly 1. One row-scale shuffle per pair (the joint cell count),
+   * everything after is dimension-scale. */
+  def qMi(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.ColumnStats.association(docs(spark, dir),
+      Seq(("lang", "source"), ("source", "lang"), ("lang", "lang")))
+      .orderBy("col_a", "col_b")
+
+  /** Robust-z anomaly detection ([[graft.quality.Anomaly.robustZ]]) over
+   * a per-customer order-count metrics frame — the metrics are integer
+   * counts so median/MAD interpolate exactly on both engines; the oracle
+   * restates the 1.4826·MAD modified z-score and the unrounded-|z|
+   * threshold compare verbatim. */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Anomaly.robustZ(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders")),
+      Seq("o_custkey"), "n_orders")
+      .orderBy("o_custkey")
+
   /** Per-language distribution moments of n_chars
    * ([[graft.quality.ColumnStats.moments]]): mean/variance/skewness/
    * excess kurtosis from EXACT decimal power sums — accumulation-order-

@@ -1493,6 +1493,79 @@ ORDER BY id_a, id_b"""
       |  FROM lineitem)
       |ORDER BY col_a, col_b""".stripMargin
 
+  /** One pair's association block for [[qMi]] — joint cell counts, then
+   * marginal/joint Shannon entropies and MI from the same
+   * `-(c/n)·ln(c/n)` terms the engine sums; every count reaches the
+   * double domain through an explicit CAST so both engines divide
+   * identical doubles. MI clamps at 0 before round-6 (the engine's
+   * −0.0-artifact guard, restated). */
+  private def miBlock(a: String, b: String): String =
+    s"""SELECT '$a' AS col_a, '$b' AS col_b, n, distinct_a, distinct_b,
+       |  round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+       |  round(h_ab, 6) AS h_joint,
+       |  round(greatest(h_a + h_b - h_ab, 0), 6) AS mi,
+       |  round(CASE WHEN h_a * h_b > 0
+       |    THEN greatest(h_a + h_b - h_ab, 0) / sqrt(h_a * h_b) END, 6) AS nmi
+       |FROM (
+       |  WITH joint AS (
+       |    SELECT CAST($a AS VARCHAR) AS va, CAST($b AS VARCHAR) AS vb,
+       |      count(*) AS cnt
+       |    FROM documents WHERE $a IS NOT NULL AND $b IS NOT NULL
+       |    GROUP BY 1, 2
+       |  ), tot AS (
+       |    SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |      count(DISTINCT va) AS distinct_a,
+       |      count(DISTINCT vb) AS distinct_b
+       |    FROM joint
+       |  ), ha AS (
+       |    SELECT -sum((CAST(ca AS DOUBLE) / n) * ln(CAST(ca AS DOUBLE) / n)) AS h_a
+       |    FROM (SELECT va, sum(cnt) AS ca FROM joint GROUP BY va), tot
+       |  ), hb AS (
+       |    SELECT -sum((CAST(cb AS DOUBLE) / n) * ln(CAST(cb AS DOUBLE) / n)) AS h_b
+       |    FROM (SELECT vb, sum(cnt) AS cb FROM joint GROUP BY vb), tot
+       |  ), hab AS (
+       |    SELECT -sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)) AS h_ab
+       |    FROM joint, tot
+       |  )
+       |  SELECT * FROM tot, ha, hb, hab
+       |)""".stripMargin
+
+  /** Oracle for [[Catalog.qMi]]: the three association pairs restated
+   * per-pair ([[miBlock]]) and unioned; the symmetric flip and the
+   * nmi==1 self-pair are the semantic pins. */
+  val qMi: String =
+    s"""SELECT * FROM (
+       |${miBlock("lang", "source")}
+       |UNION ALL
+       |${miBlock("source", "lang")}
+       |UNION ALL
+       |${miBlock("lang", "lang")}
+       |) ORDER BY col_a, col_b""".stripMargin
+
+  /** Oracle for [[Catalog.qAnomaly]]: per-customer order counts, R-7
+   * median + MAD (`quantile_cont`, the q_pct contract), the
+   * 1.4826-scaled modified z-score, and the unrounded-|z| > 3.5 cut —
+   * with the mad == 0 degenerate contract (NULL z, anomalous = false)
+   * restated. Counts are integers, so med/MAD interpolate on exact
+   * halves and the two engines divide bit-identical doubles. */
+  val qAnomaly: String =
+    """WITH m AS (
+      |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS metric
+      |  FROM orders GROUP BY o_custkey
+      |), med AS (
+      |  SELECT quantile_cont(metric, 0.5) AS med FROM m
+      |), madt AS (
+      |  SELECT quantile_cont(abs(metric - med), 0.5) AS mad FROM m, med
+      |)
+      |SELECT o_custkey, metric,
+      |  round(med, 6) AS median, round(mad, 6) AS mad,
+      |  round(CASE WHEN mad > 0
+      |    THEN (metric - med) / (1.4826 * mad) END, 6) AS robust_z,
+      |  CASE WHEN mad > 0
+      |    THEN abs((metric - med) / (1.4826 * mad)) > 3.5
+      |    ELSE FALSE END AS anomalous
+      |FROM m, med, madt ORDER BY o_custkey""".stripMargin
+
   /**
    * Oracle for [[Catalog.qMoments]]: exact HUGEINT power sums (the
    * engine's DECIMAL(38,0) sums are equally exact, so both engines feed

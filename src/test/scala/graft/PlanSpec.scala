@@ -417,4 +417,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_top_k_by_score"),
       s"per-query top-k must partial-aggregate map-side:\n$p")
   }
+
+  test("association: the four joint-table consumers share ONE row-scale " +
+      "scan+shuffle (exchange reuse), marginals/entropies are " +
+      "dimension-scale") {
+    // totals + three entropy branches all hang off the identical joint
+    // groupBy(a,b) exchange — the row-scale work must run once, not 4x.
+    // Exchange reuse materializes in the final adaptive plan.
+    val df = graft.quality.ColumnStats.association(docs,
+      Seq(("lang", "source")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"joint-cell exchange must be reused across consumers:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"association must scan the table exactly once:\n$p")
+  }
 }

@@ -262,4 +262,60 @@ class QualitySpec extends SparkSuite {
     assert(n === 3L && c === 1.0) // the None row pair-excludes
     assert(got.size === 3)
   }
+
+  test("association: nmi=1 on a bijective dependency, mi=0 under " +
+      "independence, null rows pair-excluded") {
+    import graft.quality.ColumnStats
+    // bijective: b is a function of a (and vice versa) -> mi == h_a, nmi == 1
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"))
+      .toDF("k", "v").repartition(3)
+    val d = ColumnStats.association(dep, Seq(("k", "v"))).collect().head
+    // h = -(2/3 ln 2/3 + 1/3 ln 1/3) = 0.636514
+    assert(d.getAs[Long]("n") === 3L)
+    assert(d.getAs[Long]("distinct_a") === 2L)
+    assert(d.getAs[Double]("h_a") === 0.636514)
+    assert(d.getAs[Double]("h_joint") === 0.636514)
+    assert(d.getAs[Double]("mi") === 0.636514)
+    assert(d.getAs[Double]("nmi") === 1.0)
+
+    // independent uniform 2x2 -> mi exactly 0 (and the clamp keeps it +0.0)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("k", "v")
+    val i = ColumnStats.association(ind, Seq(("k", "v"))).collect().head
+    assert(i.getAs[Double]("mi") === 0.0 && i.getAs[Double]("nmi") === 0.0)
+    assert(i.getAs[Double]("h_joint") === 1.386294) // ln 4
+
+    // null on either side pair-excludes; constant column -> NULL nmi
+    val nul = Seq((Some("a"), Some("x")), (Some("a"), None),
+      (None, Some("y")), (Some("a"), Some("y"))).toDF("k", "v")
+    val r = ColumnStats.association(nul, Seq(("k", "v"))).collect().head
+    assert(r.getAs[Long]("n") === 2L) // only the two fully-non-null rows
+    assert(r.getAs[Long]("distinct_a") === 1L)
+    assert(r.getAs[Double]("h_a") === 0.0) // constant k
+    assert(r.isNullAt(r.fieldIndex("nmi"))) // h_a*h_b == 0 -> NULL
+  }
+
+  test("anomaly robustZ: median/MAD modified z-score flags the planted " +
+      "outlier; mad=0 degenerates to NULL z and no flags") {
+    import graft.quality.Anomaly
+    val m = Seq(("g1", 10), ("g2", 10), ("g3", 10), ("g4", 11),
+      ("g5", 9), ("g6", 12), ("g7", 100)).toDF("k", "x").repartition(3)
+    val got = Anomaly.robustZ(m, Seq("k"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // sorted: 9 10 10 10 11 12 100 -> median 10; |dev| 0 0 0 1 1 2 90 -> mad 1
+    assert(got("g1").getAs[Double]("median") === 10.0)
+    assert(got("g1").getAs[Double]("mad") === 1.0)
+    // 90 / 1.4826 = 60.704168...
+    assert(got("g7").getAs[Double]("robust_z") === 60.704168)
+    assert(got("g7").getAs[Boolean]("anomalous"))
+    assert(got.filter(_._2.getAs[Boolean]("anomalous")).keySet === Set("g7"))
+    // 12: z = 2/1.4826 = 1.349 -> inside the 3.5 cut
+    assert(!got("g6").getAs[Boolean]("anomalous"))
+
+    // at least half the groups on the median -> mad == 0 -> no scale
+    val deg = Seq(("a", 5), ("b", 5), ("c", 5), ("d", 9)).toDF("k", "x")
+    val dg = Anomaly.robustZ(deg, Seq("k"), "x").collect()
+    assert(dg.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+    assert(dg.forall(r => !r.getAs[Boolean]("anomalous")))
+  }
 }
