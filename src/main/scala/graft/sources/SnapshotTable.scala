@@ -51,9 +51,15 @@ object SnapshotTable {
       rows: Long, bytes: Long,
       stats: Map[String, (String, String)] = Map.empty)
 
+  /** `operation` is the Iceberg snapshot-summary operation kind:
+   * "write" (append / dynamic overwrite — the data-changing commits) or
+   * "replace" (a [[compact]] rewrite — logically a no-op). Incremental
+   * scans use it to skip rewrite snapshots ([[changesBetween]]); absent
+   * in pre-round-4 manifests, which read back as "write". */
   final case class Snapshot(version: Int, partitionCols: Seq[String],
       files: Seq[FileEntry],
-      statsKinds: Map[String, String] = Map.empty)
+      statsKinds: Map[String, String] = Map.empty,
+      operation: String = "write")
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,6 +90,7 @@ object SnapshotTable {
   private def writeManifest(spark: SparkSession, root: String, s: Snapshot): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", s.version)
+    node.put("operation", s.operation)
     val pc = node.putArray("partitionCols")
     s.partitionCols.foreach(pc.add)
     if (s.statsKinds.nonEmpty) {
@@ -172,7 +179,8 @@ object SnapshotTable {
       FileEntry(fn.get("path").asText(), part.toMap,
         fn.get("rows").asLong(), fn.get("bytes").asLong(), stats.toMap)
     }
-    Snapshot(v, pcols, files, kinds.toMap)
+    Snapshot(v, pcols, files, kinds.toMap,
+      if (node.has("operation")) node.get("operation").asText() else "write")
   }
 
   // --- commit --------------------------------------------------------------
@@ -220,8 +228,35 @@ object SnapshotTable {
     val version = prev.map(_.version + 1).getOrElse(1)
     val dataDir = s"$root/data/s$version"
     df.write.partitionBy(partitionCols: _*).parquet(dataDir)
+    val statted = enumerateDelta(spark, root, version, statsCols)
+    val newFiles = statted
 
-    // enumerate ONLY the new snapshot subtree
+    val overwritten: Set[Map[String, String]] =
+      if (overwritePartitions) newFiles.map(_.partition).toSet else Set.empty
+    val carried = prev.map(_.files.filterNot(fe => overwritten.contains(fe.partition)))
+      .getOrElse(Seq.empty)
+    val snap = Snapshot(version, partitionCols, carried ++ statted,
+      if (statsCols.nonEmpty) kinds
+      else prev.map(_.statsKinds).getOrElse(Map.empty))
+    writeManifest(spark, root, snap)
+    snap
+  }
+
+  /**
+   * Enumerate the freshly written `data/s<version>` subtree and, when
+   * stats columns are configured, attach per-file min/max column bounds
+   * (the Iceberg manifest min/max): ONE aggregate pass over the delta
+   * keyed on the file-path metadata column — bounded by this commit's
+   * own output, never the table. Keyed by the path RELATIVE to the
+   * snapshot tree (partition dirs + name): the bare file name is NOT
+   * unique under a dynamic-partition write (one task writing two
+   * partitions emits part-00000-<uuid> in BOTH dirs — the same job UUID,
+   * a per-directory counter), and merging those two files' bounds would
+   * silently widen every interval. Shared by [[commit]] and [[compact]].
+   */
+  private def enumerateDelta(spark: SparkSession, root: String, version: Int,
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val dataDir = s"$root/data/s$version"
     val base = new Path(dataDir)
     val f = fs(spark, base)
     val newFiles = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
@@ -240,15 +275,7 @@ object SnapshotTable {
       }
     walk(base, Map.empty)
 
-    // per-file column bounds (the Iceberg manifest min/max): ONE aggregate
-    // pass over the freshly written delta keyed on the file-path metadata
-    // column — bounded by this commit's own output, never the table. Keyed
-    // by the path RELATIVE to the snapshot tree (partition dirs + name):
-    // the bare file name is NOT unique under a dynamic-partition write
-    // (one task writing two partitions emits part-00000-<uuid> in BOTH
-    // dirs — the same job UUID, a per-directory counter), and merging
-    // those two files' bounds would silently widen every interval.
-    val statted: Seq[FileEntry] = if (statsCols.isEmpty) newFiles.toSeq else {
+    if (statsCols.isEmpty) newFiles.toSeq else {
       import org.apache.spark.sql.functions.{col, max, min, regexp_extract}
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -274,16 +301,133 @@ object SnapshotTable {
         fe.copy(stats = byRel.getOrElse(rel(fe.path), Map.empty))
       }
     }
+  }
 
-    val overwritten: Set[Map[String, String]] =
-      if (overwritePartitions) newFiles.map(_.partition).toSet else Set.empty
-    val carried = prev.map(_.files.filterNot(fe => overwritten.contains(fe.partition)))
-      .getOrElse(Seq.empty)
-    val snap = Snapshot(version, partitionCols, carried ++ statted,
-      if (statsCols.nonEmpty) kinds
-      else prev.map(_.statsKinds).getOrElse(Map.empty))
-    writeManifest(spark, root, snap)
-    snap
+  // --- maintenance ---------------------------------------------------------
+
+  /**
+   * Small-file compaction — the Iceberg `rewrite_data_files` (binpack)
+   * analog, and the maintenance operation a 10^12-file table cannot live
+   * without: every incremental commit adds a handful of files per
+   * partition, and after 10^4 commits the scan-planning and task-startup
+   * overhead of tiny files dominates the read path.
+   *
+   * Candidate selection is PURE METADATA: a partition whose manifest
+   * lists >= `minInputFiles` files smaller than `targetFileBytes` gets
+   * those files rewritten; everything else is carried over untouched.
+   * The rewrite is ONE distributed job for all partitions: the candidate
+   * files are read as plain data rows (partition-directory inference
+   * disabled — each row's partition comes from an exact relative-path
+   * equi-join against the manifest, never from re-parsing directory
+   * names), salted into `ceil(partition_bytes / targetFileBytes)` output
+   * buckets per partition by hashing the data columns, and shuffled once
+   * so each (partition, bucket) lands in one writer task. Set
+   * `spark.sql.shuffle.partitions` at or above the total planned output
+   * file count or colliding buckets merge (larger files, never more).
+   *
+   * The result is committed as an `operation = "replace"` snapshot:
+   * logically identical content (the spec pins read-equality), old
+   * snapshots stay readable (time travel — input files are NOT deleted;
+   * [[expireSnapshots]] reclaims them), and [[changesBetween]] treats the
+   * rewrite as the no-op it is. Per-file min/max stats are recomputed for
+   * the rewritten files when the table has committed stats columns.
+   * Returns the current snapshot unchanged (no new version) when nothing
+   * qualifies.
+   */
+  def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      minInputFiles: Int = 2): Snapshot = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(minInputFiles >= 2, "compacting fewer than 2 files is a rename")
+    val snap = snapshot(spark, root)
+    val toRewrite: Seq[FileEntry] = snap.files.groupBy(_.partition).toSeq
+      .flatMap { case (_, fes) =>
+        val small = fes.filter(_.bytes < targetFileBytes)
+        if (small.size >= minInputFiles) small else Seq.empty
+      }
+    if (toRewrite.isEmpty) return snap
+
+    val version = snap.version + 1
+    val dataDir = s"$root/data/s$version"
+    val pcols = snap.partitionCols
+    val nOut: Map[Map[String, String], Int] = toRewrite.groupBy(_.partition)
+      .map { case (p, fes) => p -> math.max(1, math.ceil(
+        fes.map(_.bytes).sum.toDouble / targetFileBytes).toInt) }
+
+    // rel path (partition dirs + file name) -> its manifest entry; the
+    // exact-string join key that sidesteps partition-value re-inference
+    def rel(p: String): String = {
+      val i = p.indexOf("/data/s")
+      require(i >= 0, s"file $p is not under a snapshot tree")
+      p.substring(i).replaceFirst("^/data/s\\d+/", "")
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{element_at, pmod, regexp_replace, xxhash64}
+    val routing = org.apache.spark.sql.functions.broadcast(
+      toRewrite.map(fe => (rel(fe.path), pcols.map(fe.partition(_)),
+        nOut(fe.partition))).toDF("__rel", "__pv", "__nf"))
+
+    // recursiveFileLookup disables partition-directory inference: the
+    // frame is pure data columns + the file-path metadata column
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(toRewrite.map(_.path): _*)
+    val dataCols = raw.columns.toSeq
+    val joined = raw
+      .withColumn("__rel", regexp_replace(col("_metadata.file_path"),
+        "^.*?/data/s\\d+/", ""))
+      .join(routing, "__rel")
+      .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*),
+        col("__nf").cast("long")))
+    val spread = joined
+      .repartition(col("__pv"), col("__salt"))
+      .select(dataCols.map(col) ++ pcols.zipWithIndex.map { case (c, i) =>
+        element_at(col("__pv"), i + 1).as(c) }: _*)
+    spread.write.partitionBy(pcols: _*).parquet(dataDir)
+
+    val statted = enumerateDelta(spark, root, version,
+      snap.statsKinds.keys.toSeq)
+    val rewritten = toRewrite.map(_.path).toSet
+    val carried = snap.files.filterNot(fe => rewritten.contains(fe.path))
+    val out = Snapshot(version, pcols, carried ++ statted, snap.statsKinds,
+      operation = "replace")
+    writeManifest(spark, root, out)
+    out
+  }
+
+  /**
+   * Reclaim history — the Iceberg `expire_snapshots` analog and
+   * [[compact]]'s other half: compaction keeps its input files on disk so
+   * old snapshots stay readable; expiration deletes the manifests older
+   * than the `keepLast` most recent versions plus every data file ONLY
+   * those expired snapshots reference. Metadata-only set arithmetic — no
+   * directory listing (orphans from crashed commits are out of scope,
+   * as in Iceberg, where that is `remove_orphan_files`). Time travel to
+   * an expired version fails with the ordinary missing-snapshot error;
+   * everything the surviving snapshots reference is untouched. Returns
+   * the expired version numbers (empty when history is already short).
+   */
+  def expireSnapshots(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val current = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val cutoff = current - keepLast + 1
+    val expired = (1 until cutoff).filter { v =>
+      fs(spark, new Path(root)).exists(new Path(root, s"metadata/v$v.json"))
+    }
+    if (expired.isEmpty) return Seq.empty
+    val live: Set[String] = (cutoff to current)
+      .filter(v => fs(spark, new Path(root))
+        .exists(new Path(root, s"metadata/v$v.json")))
+      .flatMap(v => snapshot(spark, root, Some(v)).files.map(_.path)).toSet
+    val f = fs(spark, new Path(root))
+    expired.foreach { v =>
+      snapshot(spark, root, Some(v)).files
+        .filterNot(fe => live.contains(fe.path))
+        .foreach(fe => f.delete(new Path(fe.path), false))
+      f.delete(new Path(root, s"metadata/v$v.json"), false)
+    }
+    expired
   }
 
   // --- read ----------------------------------------------------------------
@@ -342,6 +486,19 @@ object SnapshotTable {
    * deletes are out of scope, as in Iceberg's append-only incremental
    * scan). `from == to` (or nothing added) returns an empty frame with
    * the table schema.
+   *
+   * [[compact]] snapshots (`operation = "replace"`) are logical no-ops
+   * and are unwound, exactly like Iceberg's incremental scan skipping
+   * replace snapshots: a rewrite's output files never appear in a delta,
+   * and the input files it dropped are ADDED BACK when they entered the
+   * table inside this interval — so rows appended at v and compacted at
+   * v+1 still reach an incremental consumer of (v-1, v+1] exactly once
+   * (the originals stay on disk until [[expireSnapshots]]; expiring an
+   * interval's intermediate manifests forfeits that unwinding for it).
+   * The one over-delivery vs the plain set-diff: an interval containing
+   * append → compact → partition-overwrite re-surfaces the appended rows
+   * even though the overwrite logically dropped them — at-least-once
+   * across rewrites, the standard incremental-scan contract.
    */
   def changesBetween(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
@@ -349,7 +506,24 @@ object SnapshotTable {
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val before = snapshot(spark, root, Some(fromVersion)).files.map(_.path).toSet
     val to = snapshot(spark, root, Some(toVersion))
-    val added = to.files.filterNot(fe => before.contains(fe.path))
+    val f = fs(spark, new Path(root))
+    def manifestExists(v: Int) =
+      f.exists(new Path(root, s"metadata/v$v.json"))
+    var added = to.files.filterNot(fe => before.contains(fe.path))
+    // unwind replace snapshots newest-first, so chained compactions
+    // resolve down to the interval's original appends
+    val replaceVs = ((fromVersion + 1) to toVersion).reverse.filter(v =>
+      manifestExists(v) && snapshot(spark, root, Some(v)).operation == "replace")
+    for (r <- replaceVs if manifestExists(r - 1)) {
+      val marker = s"/data/s$r/"
+      val prevFiles = snapshot(spark, root, Some(r - 1)).files
+      val atR = snapshot(spark, root, Some(r)).files.map(_.path).toSet
+      val removed = prevFiles.filterNot(fe => atR.contains(fe.path))
+      val have = added.map(_.path).toSet
+      added = added.filterNot(_.path.contains(marker)) ++
+        removed.filterNot(fe =>
+          before.contains(fe.path) || have.contains(fe.path))
+    }
     if (added.isEmpty) {
       val any = to.files.headOption.getOrElse(
         throw new IllegalStateException("empty snapshot"))

@@ -33,6 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    row-level deletes are out of scope in both implementations.
  *  - `partitions`           ↔ the `t.partitions` metadata table.
  *
+ * Maintenance lives beside the trait, not on it (Iceberg ships these as
+ * Spark procedures, not table reads/writes): [[SnapshotTable.compact]]
+ * ↔ `CALL rewrite_data_files(strategy => 'binpack')` and
+ * [[SnapshotTable.expireSnapshots]] ↔ `CALL expire_snapshots(...)`.
+ * Incremental scans skip `replace` snapshots in both implementations.
+ *
  * Version ids are Long (Iceberg snapshot ids are 64-bit; [[SnapshotTable]]
  * versions are small ints widened losslessly).
  */

@@ -194,4 +194,92 @@ class SnapshotTableSpec extends SparkSuite {
     assert(s2.statsKinds === Map("id" -> "long", "payload" -> "string"))
     assert(SnapshotTable.read(spark, root).count() === 401)
   }
+
+  test("compact: small files binpacked into a replace snapshot; content, " +
+      "time travel, stats and partition values all survive") {
+    val root = freshRoot()
+    // 5 append commits of 2 rows each -> 5 tiny files per partition
+    (1 to 5).foreach { v =>
+      SnapshotTable.commit(
+        Seq((v.toLong, "src0", s"a$v"), (100L + v, "src1", s"b$v"))
+          .toDF("id", "source", "payload").repartition(1),
+        root, Seq("source"), overwritePartitions = false,
+        statsCols = Seq("id"))
+    }
+    val before = SnapshotTable.snapshot(spark, root)
+    assert(before.version === 5 && before.files.length === 10)
+    val expect = SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+
+    val after = SnapshotTable.compact(spark, root, targetFileBytes = 64L * 1024 * 1024)
+    assert(after.version === 6 && after.operation === "replace")
+    assert(after.files.length < before.files.length,
+      s"binpack must shrink the file count: ${after.files.length} vs 10")
+    // read-equality: compaction is a logical no-op
+    val got = SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === expect)
+    // rewritten files carry fresh per-file stats; partition values intact
+    assert(after.files.forall(_.stats.contains("id")))
+    assert(after.files.map(_.partition("source")).toSet === Set("src0", "src1"))
+    // time travel to the pre-compaction snapshot still works (inputs kept)
+    assert(SnapshotTable.read(spark, root, version = Some(5)).count() === 10)
+    assert(SnapshotTable.read(spark, root, version = Some(2)).count() === 4)
+    // nothing left to compact -> same snapshot back, no new version
+    val noop = SnapshotTable.compact(spark, root, targetFileBytes = 64L * 1024 * 1024)
+    assert(noop.version === 6)
+  }
+
+  test("incremental scan unwinds replace snapshots: rows appended then " +
+      "compacted reach a delta consumer exactly once") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))           // v1
+    SnapshotTable.commit(                                              // v2 append
+      Seq((5L, "src0", "e-v2"), (6L, "src1", "f-v2"))
+        .toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    SnapshotTable.compact(spark, root, targetFileBytes = 64L * 1024 * 1024) // v3 replace
+    assert(SnapshotTable.snapshot(spark, root).operation === "replace")
+
+    // the replace itself is a no-op delta
+    assert(SnapshotTable.changesBetween(spark, root, 2, 3).count() === 0)
+    // an interval spanning append + compact delivers the append once
+    val delta = SnapshotTable.changesBetween(spark, root, 1, 3)
+    assert(delta.orderBy("id").select("payload").collect()
+      .map(_.getString(0)).toSeq === Seq("e-v2", "f-v2"))
+    // and from before everything: the whole logical table, no duplicates
+    val all = SnapshotTable.changesBetween(spark, root, 1, 3)
+      .unionAll(SnapshotTable.read(spark, root, version = Some(1)))
+    assert(all.count() === 6 && all.select("id").distinct().count() === 6)
+  }
+
+  test("expireSnapshots deletes only what expired snapshots exclusively reference") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))           // v1
+    SnapshotTable.commit(                                              // v2: overwrite src0
+      Seq((9L, "src0", "a-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"))
+    SnapshotTable.commit(                                              // v3 append
+      Seq((10L, "src2", "g-v3")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val expect = SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+
+    val expired = SnapshotTable.expireSnapshots(spark, root, keepLast = 2)
+    assert(expired === Seq(1))
+    // current and v2 still byte-complete (v2's carried src1 files came
+    // from v1's tree but are still live -> must NOT have been deleted)
+    assert(SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq === expect)
+    assert(SnapshotTable.read(spark, root, version = Some(2)).count() === 3)
+    // time travel to the expired version fails with the ordinary error
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, version = Some(1))
+    }
+    // v1's src0 files (superseded by the v2 overwrite) really are gone
+    val f = new java.io.File(s"$root/data/s1/source=src0")
+    assert(!f.exists() || f.listFiles().forall(!_.getName.endsWith(".parquet")))
+    // idempotent: nothing more to expire
+    assert(SnapshotTable.expireSnapshots(spark, root, keepLast = 2) === Seq.empty)
+  }
 }
