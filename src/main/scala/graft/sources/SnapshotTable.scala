@@ -55,11 +55,19 @@ object SnapshotTable {
    * "write" (append / dynamic overwrite — the data-changing commits) or
    * "replace" (a [[compact]] rewrite — logically a no-op). Incremental
    * scans use it to skip rewrite snapshots ([[changesBetween]]); absent
-   * in pre-round-4 manifests, which read back as "write". */
+   * in pre-round-4 manifests, which read back as "write".
+   *
+   * `columns` is the snapshot's logical DATA-column schema — (name,
+   * catalog type string) in declared order, partition columns excluded
+   * (they live in `partitionCols` and materialize from directory names
+   * at read). Recorded at commit since round 4; empty for older
+   * manifests, which keep the pre-evolution strict-union read path.
+   * Time travel sees each version's OWN schema, as in Iceberg. */
   final case class Snapshot(version: Int, partitionCols: Seq[String],
       files: Seq[FileEntry],
       statsKinds: Map[String, String] = Map.empty,
-      operation: String = "write")
+      operation: String = "write",
+      columns: Seq[(String, String)] = Seq.empty)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -93,6 +101,12 @@ object SnapshotTable {
     node.put("operation", s.operation)
     val pc = node.putArray("partitionCols")
     s.partitionCols.foreach(pc.add)
+    if (s.columns.nonEmpty) {
+      val cn = node.putArray("columns")
+      s.columns.foreach { case (n, t) =>
+        val c = cn.addObject(); c.put("name", n); c.put("type", t)
+      }
+    }
     if (s.statsKinds.nonEmpty) {
       val kn = node.putObject("statsKinds")
       s.statsKinds.foreach { case (k, v) => kn.put(k, v) }
@@ -179,8 +193,15 @@ object SnapshotTable {
       FileEntry(fn.get("path").asText(), part.toMap,
         fn.get("rows").asLong(), fn.get("bytes").asLong(), stats.toMap)
     }
+    val columns: Seq[(String, String)] =
+      if (!node.has("columns")) Seq.empty
+      else (0 until node.get("columns").size()).map { i =>
+        val c = node.get("columns").get(i)
+        (c.get("name").asText(), c.get("type").asText())
+      }
     Snapshot(v, pcols, files, kinds.toMap,
-      if (node.has("operation")) node.get("operation").asText() else "write")
+      if (node.has("operation")) node.get("operation").asText() else "write",
+      columns)
   }
 
   // --- commit --------------------------------------------------------------
@@ -200,7 +221,8 @@ object SnapshotTable {
    */
   def commit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
-      statsCols: Seq[String] = Seq.empty): Snapshot = {
+      statsCols: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Snapshot = {
     require(partitionCols.nonEmpty, "snapshot tables are partitioned")
     val spark = df.sparkSession
     statsCols.foreach { c =>
@@ -218,12 +240,35 @@ object SnapshotTable {
       }
     }.toMap
     val prev = currentVersion(spark, root).map(v => snapshot(spark, root, Some(v)))
+    // the commit's logical data-column schema (partition cols excluded)
+    val dataSchema: Seq[(String, String)] = df.schema.fields.toSeq
+      .filterNot(f => partitionCols.contains(f.name))
+      .map(f => f.name -> f.dataType.catalogString)
     prev.foreach { s =>
       require(s.partitionCols == partitionCols,
         s"partition spec mismatch: table has ${s.partitionCols}, got $partitionCols")
       require(s.statsKinds.isEmpty || statsCols.isEmpty ||
         s.statsKinds == kinds,
         s"stats spec mismatch: table has ${s.statsKinds}, got $kinds")
+      // schema governance (Iceberg-style): a validation table fails fast
+      // on ACCIDENTAL drift; evolution is explicit, and ADDITIVE only —
+      // old files read back with NULL for columns added after them.
+      // Type changes are never evolution (silent data corruption).
+      if (s.columns.nonEmpty) {
+        val prevT = s.columns.toMap
+        val newT = dataSchema.toMap
+        val retyped = s.columns.collect {
+          case (n, t) if newT.get(n).exists(_ != t) => s"$n: $t -> ${newT(n)}" }
+        require(retyped.isEmpty,
+          s"column type change is not schema evolution: ${retyped.mkString(", ")}")
+        val dropped = s.columns.map(_._1).filterNot(newT.contains)
+        require(dropped.isEmpty,
+          s"commit drops table columns ${dropped.mkString(", ")} — evolution is additive only")
+        val added = dataSchema.map(_._1).filterNot(prevT.contains)
+        require(added.isEmpty || allowSchemaEvolution,
+          s"commit adds columns ${added.mkString(", ")} not in the table schema; " +
+            "pass allowSchemaEvolution=true to evolve the table")
+      }
     }
     val version = prev.map(_.version + 1).getOrElse(1)
     val dataDir = s"$root/data/s$version"
@@ -237,7 +282,8 @@ object SnapshotTable {
       .getOrElse(Seq.empty)
     val snap = Snapshot(version, partitionCols, carried ++ statted,
       if (statsCols.nonEmpty) kinds
-      else prev.map(_.statsKinds).getOrElse(Map.empty))
+      else prev.map(_.statsKinds).getOrElse(Map.empty),
+      columns = dataSchema)
     writeManifest(spark, root, snap)
     snap
   }
@@ -368,13 +414,27 @@ object SnapshotTable {
         nOut(fe.partition))).toDF("__rel", "__pv", "__nf"))
 
     // recursiveFileLookup disables partition-directory inference: the
-    // frame is pure data columns + the file-path metadata column
-    val raw = spark.read.option("recursiveFileLookup", "true")
+    // frame is pure data columns + the file-path metadata column.
+    // mergeSchema: candidate files can straddle a schema evolution
+    // (pre-evolution files lack the added columns — a single random
+    // footer schema would silently DROP the new column's data); rows
+    // from old files get NULLs, exactly like the aligned read path.
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
       .parquet(toRewrite.map(_.path): _*)
-    val dataCols = raw.columns.toSeq
-    val joined = raw
-      .withColumn("__rel", regexp_replace(col("_metadata.file_path"),
-        "^.*?/data/s\\d+/", ""))
+    val dataCols =
+      if (snap.columns.nonEmpty) snap.columns.map(_._1)
+      else raw.columns.toSeq
+    val withRel = raw.withColumn("__rel",
+      regexp_replace(col("_metadata.file_path"), "^.*?/data/s\\d+/", ""))
+    // a recorded column no candidate file carries yet (evolution landed,
+    // these partitions not rewritten since) materializes as typed NULL
+    val patched = snap.columns
+      .filterNot { case (n, _) => raw.columns.contains(n) }
+      .foldLeft(withRel) { case (d, (n, t)) =>
+        d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t)) }
+    val joined = patched
       .join(routing, "__rel")
       .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*),
         col("__nf").cast("long")))
@@ -389,7 +449,7 @@ object SnapshotTable {
     val rewritten = toRewrite.map(_.path).toSet
     val carried = snap.files.filterNot(fe => rewritten.contains(fe.path))
     val out = Snapshot(version, pcols, carried ++ statted, snap.statsKinds,
-      operation = "replace")
+      operation = "replace", columns = snap.columns)
     writeManifest(spark, root, out)
     out
   }
@@ -460,19 +520,39 @@ object SnapshotTable {
       // schema from any file of the snapshot, filtered to no rows
       val any = snap.files.headOption.getOrElse(
         throw new IllegalStateException("empty snapshot"))
-      val df = sliceRead(spark, Seq(any))
+      val df = sliceRead(spark, Seq(any), snap)
       return df.filter(org.apache.spark.sql.functions.lit(false))
     }
-    sliceRead(spark, survivors)
+    sliceRead(spark, survivors, snap)
   }
 
   /** Group surviving files by snapshot subtree (= basePath) and union —
-   * files from different snapshots carry different base directories. */
-  private def sliceRead(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
+   * files from different snapshots carry different base directories.
+   * When the snapshot records a logical schema, each subtree's frame is
+   * aligned to it first (columns added after the subtree was written
+   * materialize as typed NULLs — Iceberg's read-time schema
+   * reconciliation); legacy schema-less manifests keep the strict union,
+   * so an unrecorded physical mismatch still fails loudly. */
+  private def sliceRead(spark: SparkSession, files: Seq[FileEntry],
+      snap: Snapshot): DataFrame = {
     val bySnapDir = files.groupBy(fe => fe.path.replaceAll("(/data/s\\d+)/.*$", "$1"))
     bySnapDir.map { case (basePath, fes) =>
-      spark.read.option("basePath", basePath).parquet(fes.map(_.path): _*)
+      alignTo(spark.read.option("basePath", basePath).parquet(fes.map(_.path): _*), snap)
     }.reduce(_.unionByName(_))
+  }
+
+  /** Project `df` onto the snapshot's recorded schema: data columns in
+   * declared order (missing ones as typed NULL literals), partition
+   * columns after. No-op for schema-less legacy manifests. */
+  private def alignTo(df: DataFrame, snap: Snapshot): DataFrame = {
+    if (snap.columns.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.lit
+      val have = df.columns.toSet
+      val data = snap.columns.map { case (n, t) =>
+        if (have(n)) col(n) else lit(null).cast(t).as(n) }
+      df.select(data ++ snap.partitionCols.filter(have).map(col): _*)
+    }
   }
 
   /**
@@ -527,8 +607,8 @@ object SnapshotTable {
     if (added.isEmpty) {
       val any = to.files.headOption.getOrElse(
         throw new IllegalStateException("empty snapshot"))
-      sliceRead(spark, Seq(any)).filter(org.apache.spark.sql.functions.lit(false))
-    } else sliceRead(spark, added)
+      sliceRead(spark, Seq(any), to).filter(org.apache.spark.sql.functions.lit(false))
+    } else sliceRead(spark, added, to)
   }
 
   /** The distinct partition values of a snapshot — CheckpointRunner's

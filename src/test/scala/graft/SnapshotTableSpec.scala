@@ -282,4 +282,76 @@ class SnapshotTableSpec extends SparkSuite {
     // idempotent: nothing more to expire
     assert(SnapshotTable.expireSnapshots(spark, root, keepLast = 2) === Seq.empty)
   }
+
+  test("schema evolution: accidental drift fails fast; explicit additive " +
+      "evolution NULL-fills old files; time travel sees each version's schema") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    // accidental extra column -> named error, no commit
+    val widened = Seq((5L, "src0", "e", 7))
+      .toDF("id", "source", "payload", "stars")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(widened, root, Seq("source"), overwritePartitions = false)
+    }
+    assert(e1.getMessage.contains("stars") &&
+      e1.getMessage.contains("allowSchemaEvolution"))
+    assert(SnapshotTable.currentVersion(spark, root) === Some(1))
+    // dropping a column is never evolution
+    val narrowed = Seq((6L, "src0")).toDF("id", "source")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(narrowed, root, Seq("source"),
+        overwritePartitions = false, allowSchemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("additive"))
+    // neither is a type change
+    val retyped = Seq(("x", "src0", "p")).toDF("id", "source", "payload")
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(retyped, root, Seq("source"),
+        overwritePartitions = false, allowSchemaEvolution = true)
+    }
+    assert(e3.getMessage.contains("type change"))
+
+    // explicit additive evolution
+    val s2 = SnapshotTable.commit(widened, root, Seq("source"),
+      overwritePartitions = false, allowSchemaEvolution = true)
+    assert(s2.columns.map(_._1) === Seq("id", "payload", "stars"))
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.take(3) === Array("id", "payload", "stars"))
+    assert(cur.count() === 5)
+    // v1 rows read back with NULL stars; the v2 row keeps its value
+    assert(cur.filter($"stars".isNull).count() === 4)
+    assert(cur.filter($"id" === 5L).select("stars").head().getInt(0) === 7)
+    // post-evolution appends no longer need the flag
+    SnapshotTable.commit(
+      Seq((8L, "src1", "f", 9)).toDF("id", "source", "payload", "stars"),
+      root, Seq("source"), overwritePartitions = false)
+    assert(SnapshotTable.read(spark, root).count() === 6)
+    // time travel: v1 exposes the ORIGINAL schema, no stars column
+    val old = SnapshotTable.read(spark, root, version = Some(1))
+    assert(!old.columns.contains("stars") && old.count() === 4)
+    // incremental scan across the evolution aligns to the TO-version schema
+    val delta = SnapshotTable.changesBetween(spark, root, 1, 3)
+    assert(delta.columns.contains("stars"))
+    assert(delta.orderBy("id").select("id", "stars").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+      === Seq((5L, 7), (8L, 9)))
+  }
+
+  test("compact across a schema evolution merges old and new file schemas " +
+      "without dropping the added column") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    SnapshotTable.commit(
+      Seq((5L, "src0", "e", 7), (6L, "src1", "f", 8))
+        .toDF("id", "source", "payload", "stars"),
+      root, Seq("source"), overwritePartitions = false,
+      allowSchemaEvolution = true)
+    val expect = SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val after = SnapshotTable.compact(spark, root, targetFileBytes = 64L * 1024 * 1024)
+    assert(after.operation === "replace")
+    assert(SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq === expect,
+      "a random-footer read would have dropped 'stars' values here")
+  }
 }
