@@ -379,12 +379,35 @@ object SnapshotTable {
    * the rewritten files when the table has committed stats columns.
    * Returns the current snapshot unchanged (no new version) when nothing
    * qualifies.
+   *
+   * `sortCols` switches the strategy from binpack to SORT (Iceberg's
+   * `strategy => 'sort'`): instead of hash-salting, rows range-partition
+   * on (table partition, sortCols...) — one sampled range exchange, the
+   * cost of any global sort — and sort within each writer task, so the
+   * rewritten files carve near-disjoint sort-key intervals. That is what
+   * makes the manifest min/max stats ([[read]]'s `rangeFilter`) and the
+   * parquet row-group stats below them actually PRUNE: binpacked files
+   * each span the whole key domain and no range query skips anything.
+   * `zorderCols` instead sorts by the Morton-interleaved key of two
+   * int32-ish columns ([[graft.functions.ZOrder64]], cast to int —
+   * pre-bucket wider keys to 32-bit resolution): every file covers a
+   * small RECTANGLE of the (a, b) domain so selective predicates on
+   * EITHER column prune, where a lexicographic sort serves only its
+   * leading column. With either ordering, `minInputFiles = 1` is allowed
+   * (re-writing a single file to establish order is meaningful work;
+   * for plain binpack it would be a rename and stays rejected).
    */
   def compact(spark: SparkSession, root: String,
       targetFileBytes: Long = 512L * 1024 * 1024,
-      minInputFiles: Int = 2): Snapshot = {
+      minInputFiles: Int = 2,
+      sortCols: Seq[String] = Seq.empty,
+      zorderCols: Option[(String, String)] = None): Snapshot = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(minInputFiles >= 2, "compacting fewer than 2 files is a rename")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "sortCols and zorderCols are mutually exclusive orderings")
+    val ordered = sortCols.nonEmpty || zorderCols.nonEmpty
+    require(minInputFiles >= (if (ordered) 1 else 2),
+      "compacting fewer than 2 files is a rename")
     val snap = snapshot(spark, root)
     val toRewrite: Seq[FileEntry] = snap.files.groupBy(_.partition).toSeq
       .flatMap { case (_, fes) =>
@@ -434,14 +457,38 @@ object SnapshotTable {
       .filterNot { case (n, _) => raw.columns.contains(n) }
       .foldLeft(withRel) { case (d, (n, t)) =>
         d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t)) }
-    val joined = patched
-      .join(routing, "__rel")
-      .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*),
-        col("__nf").cast("long")))
-    val spread = joined
-      .repartition(col("__pv"), col("__salt"))
-      .select(dataCols.map(col) ++ pcols.zipWithIndex.map { case (c, i) =>
-        element_at(col("__pv"), i + 1).as(c) }: _*)
+    val joined = patched.join(routing, "__rel")
+    val outCols = dataCols.map(col) ++ pcols.zipWithIndex.map { case (c, i) =>
+      element_at(col("__pv"), i + 1).as(c) }
+    val spread =
+      if (!ordered) {
+        // binpack: hash-salt into the planned per-partition bucket count
+        joined
+          .withColumn("__salt", pmod(xxhash64(dataCols.map(col): _*),
+            col("__nf").cast("long")))
+          .repartition(col("__pv"), col("__salt"))
+          .select(outCols: _*)
+      } else {
+        // sort / z-order: one sampled range exchange over
+        // (partition, order key), rows sorted inside each writer task —
+        // files carve near-disjoint key intervals, stats prune
+        val orderKey: Seq[org.apache.spark.sql.Column] = zorderCols match {
+          case Some((a, b)) =>
+            Seq(a, b).foreach(c => require(dataCols.contains(c),
+              s"z-order column '$c' is not a data column (${dataCols.mkString(", ")})"))
+            Seq(graft.functions.ZOrder64.zorder(
+              col(a).cast("int"), col(b).cast("int")))
+          case None =>
+            sortCols.foreach(c => require(dataCols.contains(c),
+              s"sort column '$c' is not a data column (${dataCols.mkString(", ")})"))
+            sortCols.map(col)
+        }
+        val keys = col("__pv") +: orderKey
+        joined
+          .repartitionByRange(math.max(1, nOut.values.sum), keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .select(outCols: _*)
+      }
     spread.write.partitionBy(pcols: _*).parquet(dataDir)
 
     val statted = enumerateDelta(spark, root, version,

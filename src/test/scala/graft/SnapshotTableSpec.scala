@@ -337,6 +337,70 @@ class SnapshotTableSpec extends SparkSuite {
       === Seq((5L, 7), (8L, 9)))
   }
 
+  test("sort-strategy compaction: rewritten files carve near-disjoint key " +
+      "intervals so rangeFilter skipping actually prunes") {
+    val root = freshRoot()
+    // 6 shuffled appends: every file spans nearly the whole id domain,
+    // so pre-compact min/max stats prune nothing
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((1L to 600L).toVector)
+    ids.grouped(100).foreach { chunk =>
+      SnapshotTable.commit(
+        chunk.map(i => (i, "src0", s"p$i")).toDF("id", "source", "payload")
+          .repartition(1),
+        root, Seq("source"), overwritePartitions = false,
+        statsCols = Seq("id"))
+    }
+    val before = SnapshotTable.snapshot(spark, root)
+    val preSkip = SnapshotTable.read(spark, root,
+      rangeFilter = Map("id" -> (("100", "120"))))
+    assert(preSkip.inputFiles.length === before.files.length,
+      "shuffled appends: every file intersects the range, nothing prunes")
+    val expect = SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+
+    val after = SnapshotTable.compact(spark, root,
+      targetFileBytes = 4L * 1024, sortCols = Seq("id"))
+    assert(after.operation === "replace" && after.files.length > 1,
+      s"need >1 output file to prove disjointness, got ${after.files.length}")
+    // read-equality: ordering strategy is still a logical no-op
+    assert(SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq === expect)
+    // per-file [min,max] intervals are now pairwise DISJOINT
+    val bounds = after.files.map(fe =>
+      (fe.stats("id")._1.toLong, fe.stats("id")._2.toLong)).sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"sorted compaction must yield disjoint file intervals, got $bounds")
+      case _ =>
+    }
+    // and the same range read now skips most files
+    val postSkip = SnapshotTable.read(spark, root,
+      rangeFilter = Map("id" -> (("100", "120"))))
+    assert(postSkip.inputFiles.length < after.files.length,
+      s"range read must prune sorted files: ${postSkip.inputFiles.length} of ${after.files.length}")
+    assert(postSkip.filter($"id".between(100, 120)).count() === 21)
+    // z-order variant stays read-equal (locality pin lives in LayoutSpec)
+    val root2 = freshRoot()
+    (1 to 3).foreach { k =>
+      SnapshotTable.commit(
+        (1L to 50L).map(i => (i * k, "src0", s"q$i")).toDF("id", "source", "payload")
+          .withColumn("len", length($"payload")).repartition(1),
+        root2, Seq("source"), overwritePartitions = false)
+    }
+    val expect2 = SnapshotTable.read(spark, root2)
+      .orderBy("id", "payload").collect().map(_.toSeq).toSeq
+    SnapshotTable.compact(spark, root2, targetFileBytes = 16L * 1024,
+      zorderCols = Some(("id", "len")))
+    assert(SnapshotTable.read(spark, root2)
+      .orderBy("id", "payload").collect().map(_.toSeq).toSeq === expect2)
+    // orderings are mutually exclusive
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, root2, sortCols = Seq("id"),
+        zorderCols = Some(("id", "len")))
+    }
+  }
+
   test("compact across a schema evolution merges old and new file schemas " +
       "without dropping the added column") {
     val root = freshRoot()
