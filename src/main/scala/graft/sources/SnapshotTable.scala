@@ -321,9 +321,13 @@ object SnapshotTable {
       }
     walk(base, Map.empty)
 
-    if (statsCols.isEmpty) newFiles.toSeq else {
-      import org.apache.spark.sql.functions.{col, max, min, regexp_extract}
-      val aggs = statsCols.flatMap(c => Seq(
+    // ONE aggregate over the delta fills per-file row counts (always —
+    // the manifest row count is what makes [[rowCount]] a metadata-only
+    // answer, exactly what Iceberg writers track) and, when configured,
+    // the min/max column bounds. count(*) over parquet is footer-cheap.
+    {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min, regexp_extract}
+      val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c")))
       val relMarker = s"/data/s$version/"
@@ -337,14 +341,15 @@ object SnapshotTable {
           java.util.regex.Pattern.quote(relMarker) + "(.*)$", 1).as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
-          r.getString(0) -> statsCols.flatMap { c =>
+          r.getString(0) -> ((r.getAs[Long]("__rows"), statsCols.flatMap { c =>
             val lo = r.getAs[String](s"__min_$c")
             val hi = r.getAs[String](s"__max_$c")
             if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
-          }.toMap
+          }.toMap))
         }.toMap
       newFiles.toSeq.map { fe =>
-        fe.copy(stats = byRel.getOrElse(rel(fe.path), Map.empty))
+        val (rows, stats) = byRel.getOrElse(rel(fe.path), (-1L, Map.empty[String, (String, String)]))
+        fe.copy(rows = rows, stats = stats)
       }
     }
   }
@@ -656,6 +661,25 @@ object SnapshotTable {
         throw new IllegalStateException("empty snapshot"))
       sliceRead(spark, Seq(any), to).filter(org.apache.spark.sql.functions.lit(false))
     } else sliceRead(spark, added, to)
+  }
+
+  /** Metadata-only row count — Iceberg's `count(*)` pushdown: the
+   * manifest already records per-file row counts, so a full-table or
+   * per-partition count is a driver-side sum over manifest entries,
+   * zero data I/O. At 10^12 files this is the difference between an
+   * O(manifest) answer and a full table scan. Honors time travel and
+   * partition pruning; row-level predicates still need [[read]]. */
+  def rowCount(spark: SparkSession, root: String,
+      version: Option[Int] = None,
+      partitionFilter: Map[String, String] = Map.empty): Long = {
+    val survivors = snapshot(spark, root, version).files
+      .filter(fe => partitionFilter.forall {
+        case (k, v) => fe.partition.get(k).contains(v) })
+    // legacy manifests recorded -1 (unknown); a silent wrong sum is
+    // worse than a loud miss — count those tables with read().count()
+    require(survivors.forall(_.rows >= 0),
+      "manifest predates per-file row counts; re-commit or use read().count()")
+    survivors.map(_.rows).sum
   }
 
   /** The distinct partition values of a snapshot — CheckpointRunner's

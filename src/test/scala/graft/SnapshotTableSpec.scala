@@ -401,6 +401,25 @@ class SnapshotTableSpec extends SparkSuite {
     }
   }
 
+  test("rowCount is a metadata-only sum: equals read().count() across " +
+      "overwrites, compaction and time travel") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    SnapshotTable.commit(
+      Seq((9L, "src0", "a-v2")).toDF("id", "source", "payload"),
+      root, Seq("source")) // dynamic overwrite of src0
+    assert(SnapshotTable.rowCount(spark, root)
+      === SnapshotTable.read(spark, root).count())
+    assert(SnapshotTable.rowCount(spark, root,
+      partitionFilter = Map("source" -> "src1")) === 2L)
+    assert(SnapshotTable.rowCount(spark, root, version = Some(1)) === 4L)
+    SnapshotTable.compact(spark, root, targetFileBytes = 64L * 1024 * 1024)
+    assert(SnapshotTable.rowCount(spark, root)
+      === SnapshotTable.read(spark, root).count())
+    assert(SnapshotTable.rowCount(spark, root,
+      partitionFilter = Map("source" -> "nope")) === 0L)
+  }
+
   test("compact across a schema evolution merges old and new file schemas " +
       "without dropping the added column") {
     val root = freshRoot()
