@@ -320,6 +320,9 @@ object SnapshotTable {
         }
       }
     walk(base, Map.empty)
+    // a rewrite can legitimately produce nothing (a delete that empties
+    // every affected file) — reading the fileless directory would throw
+    if (newFiles.isEmpty) return Seq.empty
 
     // ONE aggregate over the delta fills per-file row counts (always —
     // the manifest row count is what makes [[rowCount]] a metadata-only
@@ -595,15 +598,19 @@ object SnapshotTable {
 
   /** Project `df` onto the snapshot's recorded schema: data columns in
    * declared order (missing ones as typed NULL literals), partition
-   * columns after. No-op for schema-less legacy manifests. */
-  private def alignTo(df: DataFrame, snap: Snapshot): DataFrame = {
+   * columns after, then any `extra` bookkeeping columns (e.g. the file
+   * suffix the row-level operations route on). No-op for schema-less
+   * legacy manifests. */
+  private def alignTo(df: DataFrame, snap: Snapshot,
+      extra: Seq[String] = Seq.empty): DataFrame = {
     if (snap.columns.isEmpty) df
     else {
       import org.apache.spark.sql.functions.lit
       val have = df.columns.toSet
       val data = snap.columns.map { case (n, t) =>
         if (have(n)) col(n) else lit(null).cast(t).as(n) }
-      df.select(data ++ snap.partitionCols.filter(have).map(col): _*)
+      df.select(data ++ snap.partitionCols.filter(have).map(col)
+        ++ extra.map(col): _*)
     }
   }
 
@@ -680,6 +687,207 @@ object SnapshotTable {
     require(survivors.forall(_.rows >= 0),
       "manifest predates per-file row counts; re-commit or use read().count()")
     survivors.map(_.rows).sum
+  }
+
+  // --- row-level operations (copy-on-write) --------------------------------
+
+  /** The snapshot-relative path `/data/sN/...` — unique across subtrees
+   * (compact's partition-relative key leans on part-file UUID uniqueness;
+   * the row-level operations key on something structurally unique). */
+  private def pathSuffix(p: String): String = {
+    val i = p.indexOf("/data/s")
+    require(i >= 0, s"file $p is not under a snapshot tree")
+    p.substring(i)
+  }
+
+  /** Read `files` with partition columns attached (basePath per subtree)
+   * and a `__suffix` bookkeeping column keying every row back to its
+   * manifest entry. mergeSchema + [[alignTo]] keep rows from files
+   * written before a schema evolution correct (added columns as typed
+   * NULLs), exactly like the ordinary read path. */
+  private def readWithSuffix(spark: SparkSession, files: Seq[FileEntry],
+      snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.regexp_extract
+    val bySnapDir = files.groupBy(fe => fe.path.replaceAll("(/data/s\\d+)/.*$", "$1"))
+    bySnapDir.map { case (basePath, fes) =>
+      val raw = spark.read.option("basePath", basePath)
+        .option("mergeSchema", "true")
+        .parquet(fes.map(_.path): _*)
+        .withColumn("__suffix",
+          regexp_extract(col("_metadata.file_path"), "(/data/s\\d+/.*)$", 1))
+      alignTo(raw, snap, extra = Seq("__suffix"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Row-level DELETE — the Iceberg copy-on-write `DELETE FROM t WHERE p`
+   * analog, and the operation a validation engine exists to feed: the
+   * rows a checklist flags invalid get quarantined OUT of the table
+   * without rewriting the other 10^12 files. Two jobs, both bounded by
+   * the predicate's reach:
+   *
+   *  1. **plan** — scan the candidate files (manifest-pruned by
+   *     `partitionFilter` when the caller can bound the predicate; parquet
+   *     pushdown applies below that) for the DISTINCT files containing a
+   *     match. The driver holds one path per affected FILE, never rows —
+   *     the same bound as Iceberg's CoW planner.
+   *  2. **rewrite** — re-read ONLY the affected files, keep every row
+   *     where the predicate is not TRUE (NULL keeps the row: SQL DELETE
+   *     semantics), write the survivors as a fresh snapshot subtree.
+   *     Untouched files carry over by reference; a file whose every row
+   *     matched simply has no successor.
+   *
+   * Committed as `operation = "delete"` — a data-changing snapshot, so
+   * [[changesBetween]] re-delivers the rewritten survivors (at-least-once,
+   * the dynamic-overwrite contract). Per-file row counts and min/max
+   * stats are recomputed for rewritten files. Returns the new snapshot
+   * plus the deleted-row count; a predicate matching nothing commits
+   * nothing and returns the current snapshot with 0.
+   */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): (Snapshot, Long) = {
+    import org.apache.spark.sql.functions.{collect_set, count, lit}
+    val snap = snapshot(spark, root)
+    val candidates = snap.files.filter(fe => partitionFilter.forall {
+      case (k, v) => fe.partition.get(k).contains(v) })
+    if (candidates.isEmpty) return (snap, 0L)
+    val hit = readWithSuffix(spark, candidates, snap)
+      .filter(predicate <=> lit(true))
+      .agg(count(lit(1)).as("n"), collect_set(col("__suffix")).as("fs"))
+      .head()
+    val nDeleted = hit.getLong(0)
+    if (nDeleted == 0L) return (snap, 0L)
+    val affectedSuffixes = hit.getSeq[String](1).toSet
+    val affected = candidates.filter(fe =>
+      affectedSuffixes.contains(pathSuffix(fe.path)))
+    val version = snap.version + 1
+    readWithSuffix(spark, affected, snap)
+      .filter(!(predicate <=> lit(true)))
+      .drop("__suffix")
+      .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val gone = affected.map(_.path).toSet
+    val out = Snapshot(version, snap.partitionCols,
+      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
+      snap.statsKinds, operation = "delete", columns = snap.columns)
+    writeManifest(spark, root, out)
+    (out, nDeleted)
+  }
+
+  /** Closed-interval intersection test in the committed stats kind's
+   * ordering — shared by [[read]]'s rangeFilter and [[merge]]'s
+   * delta-bounds pruning. */
+  private def boundsIntersect(kind: String, fLo: String, fHi: String,
+      lo: String, hi: String): Boolean = kind match {
+    case "long" => !(fHi.toLong < lo.toLong || fLo.toLong > hi.toLong)
+    case _ => !(fHi < lo || fLo > hi)
+  }
+
+  /**
+   * Key-based MERGE (upsert) — the Iceberg copy-on-write
+   * {{{ MERGE INTO t USING delta ON t.k = delta.k
+   *     WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT * }}}
+   * analog: corrected rows replace their key's current row, new keys
+   * append — the write side of a fix-and-revalidate loop. Shape, in
+   * order of what bounds what:
+   *
+   *  - delta keys with multiple rows fail fast (one cheap delta-scale
+   *    aggregate) — Iceberg MERGE raises the same ambiguity error;
+   *  - when the table committed min/max stats on a key column, the
+   *    candidate file set is pruned MANIFEST-SIDE against the delta's
+   *    key bounds (one delta-scale aggregate) before any table I/O — a
+   *    sorted/z-ordered table turns a small-delta merge into a
+   *    few-file rewrite;
+   *  - **plan**: one semi-join of the candidate files against the
+   *    (broadcast) delta key set finds the DISTINCT files holding a
+   *    matching key — driver state is one path per affected file;
+   *  - **rewrite**: affected-file rows anti-join the same broadcast key
+   *    set (matched rows drop), the delta unions in (updates + inserts
+   *    in one pass), and the result writes as a fresh subtree; untouched
+   *    files carry by reference.
+   *
+   * NULL semantics follow SQL equality: a NULL key component never
+   * matches, so such delta rows insert and such table rows survive.
+   * Committed as `operation = "merge"` (data-changing, at-least-once for
+   * incremental consumers). The delta must carry exactly the table's
+   * columns — MERGE is not schema evolution.
+   */
+  def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, collect_set, count, lit, max, min}
+    val spark = delta.sparkSession
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val snap = snapshot(spark, root)
+    val tableCols: Seq[String] =
+      if (snap.columns.nonEmpty) snap.columns.map(_._1) ++ snap.partitionCols
+      else readWithSuffix(spark, snap.files.take(1), snap)
+        .drop("__suffix").columns.toSeq
+    keyCols.foreach(k => require(tableCols.contains(k),
+      s"merge key '$k' is not a table column (${tableCols.mkString(", ")})"))
+    require(delta.columns.toSet == tableCols.toSet,
+      s"merge delta columns ${delta.columns.sorted.mkString(", ")} != table " +
+        s"columns ${tableCols.sorted.mkString(", ")} — MERGE is not schema evolution")
+    if (snap.columns.nonEmpty) {
+      val declared = snap.columns.toMap
+      val retyped = delta.schema.fields.collect {
+        case f if declared.get(f.name).exists(_ != f.dataType.catalogString) =>
+          s"${f.name}: ${declared(f.name)} -> ${f.dataType.catalogString}" }
+      require(retyped.isEmpty,
+        s"merge delta retypes table columns: ${retyped.mkString(", ")}")
+    }
+    // NULL-key rows are excluded: a NULL key component never matches a
+    // table row (SQL equality), so several such rows are independent
+    // inserts, not an ambiguous upsert
+    val dup = delta
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge delta has multiple rows for key ${dup.head.toSeq.init.mkString("(", ", ", ")")} — upsert is ambiguous")
+
+    // manifest-side candidate pruning against the delta's key bounds
+    val stattedKeys = keyCols.filter(snap.statsKinds.contains)
+    val candidates = if (stattedKeys.isEmpty) snap.files else {
+      val aggs = stattedKeys.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__lo_$c"),
+        max(col(c)).cast("string").as(s"__hi_$c")))
+      val b = delta.agg(aggs.head, aggs.tail: _*).head()
+      snap.files.filter(fe => stattedKeys.forall { c =>
+        val lo = b.getAs[String](s"__lo_$c"); val hi = b.getAs[String](s"__hi_$c")
+        if (lo == null || hi == null) true // all-NULL key column: no bound
+        else fe.stats.get(c) match {
+          case None => true
+          case Some((fLo, fHi)) => boundsIntersect(snap.statsKinds(c), fLo, fHi, lo, hi)
+        }
+      })
+    }
+
+    val keys = delta.select(keyCols.map(col): _*).distinct()
+    val affectedSuffixes: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readWithSuffix(spark, candidates, snap)
+        .join(broadcast(keys), keyCols, "left_semi")
+        .agg(collect_set(col("__suffix")).as("fs"))
+        .head().getSeq[String](0).toSet
+    val affected = candidates.filter(fe =>
+      affectedSuffixes.contains(pathSuffix(fe.path)))
+
+    val version = snap.version + 1
+    val deltaAligned = delta.select(tableCols.map(col): _*)
+    val rewritten =
+      if (affected.isEmpty) deltaAligned
+      else readWithSuffix(spark, affected, snap).drop("__suffix")
+        .join(broadcast(keys), keyCols, "left_anti")
+        .unionByName(deltaAligned)
+    rewritten.write.partitionBy(snap.partitionCols: _*)
+      .parquet(s"$root/data/s$version")
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val gone = affected.map(_.path).toSet
+    val out = Snapshot(version, snap.partitionCols,
+      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
+      snap.statsKinds, operation = "merge", columns = snap.columns)
+    writeManifest(spark, root, out)
+    out
   }
 
   /** The distinct partition values of a snapshot — CheckpointRunner's

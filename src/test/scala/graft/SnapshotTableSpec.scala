@@ -437,4 +437,141 @@ class SnapshotTableSpec extends SparkSuite {
       .orderBy("id").collect().map(_.toSeq).toSeq === expect,
       "a random-footer read would have dropped 'stars' values here")
   }
+
+  test("deleteWhere: copy-on-write quarantine — only affected files " +
+      "rewritten, NULL keeps the row, time travel and incremental scan hold") {
+    val root = freshRoot()
+    // one file per partition dir (coalesce) so the affected-file set is
+    // deterministic: src0 holds {a,b}, src1 holds {c, NULL}
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", null))
+      .toDF("id", "source", "payload").coalesce(1)
+    SnapshotTable.commit(df, root, Seq("source"))
+
+    // a predicate matching nothing commits nothing
+    val (same, zero) = SnapshotTable.deleteWhere(spark, root, $"payload" === "nope")
+    assert(zero === 0L && same.version === 1)
+
+    val (s2, n) = SnapshotTable.deleteWhere(spark, root, $"payload" === "a-v1")
+    assert(n === 1L && s2.version === 2 && s2.operation === "delete")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() === 3)
+    assert(!cur.select("payload").collect().map(_.getString(0)).contains("a-v1"))
+    // the src1 file is untouched — carried by reference from snapshot 1;
+    // the src0 survivor (b) was rewritten into the new subtree
+    assert(cur.inputFiles.exists(_.contains("/data/s1/")) &&
+      cur.inputFiles.exists(_.contains("/data/s2/")))
+    // NULL predicate result keeps the row (SQL DELETE semantics): the
+    // null-payload row is untouched AND its file was never rewritten
+    assert(cur.filter($"payload".isNull).count() === 1)
+    // time travel: the pre-delete snapshot is byte-complete
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 4)
+    // incremental consumers see the rewritten survivors (at-least-once)
+    assert(SnapshotTable.changesBetween(spark, root, 1, 2)
+      .select("payload").collect().map(_.getString(0)).toSeq === Seq("b-v1"))
+    // metadata-only row count tracks the delete
+    assert(SnapshotTable.rowCount(spark, root) === 3L)
+
+    // a delete that empties every row of the affected files: the file
+    // simply has no successor (the rewrite writes nothing)
+    val (s3, n3) = SnapshotTable.deleteWhere(spark, root, $"source" === "src1",
+      partitionFilter = Map("source" -> "src1"))
+    assert(n3 === 2L && s3.version === 3)
+    assert(SnapshotTable.read(spark, root).count() === 1)
+    assert(SnapshotTable.rowCount(spark, root) === 1L)
+
+    // partitionFilter bounds the plan: a TRUE predicate confined to src0
+    // never scans (or deletes from) other partitions
+    val root2 = freshRoot()
+    SnapshotTable.commit(df, root2, Seq("source"))
+    val (_, n4) = SnapshotTable.deleteWhere(spark, root2, lit(true),
+      partitionFilter = Map("source" -> "src0"))
+    assert(n4 === 2L)
+    assert(SnapshotTable.read(spark, root2).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+  }
+
+  test("merge: key-based upsert — matched keys update, new keys insert, " +
+      "NULL keys never match, ambiguous/missing/retyped deltas fail fast") {
+    val root = freshRoot()
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", "d-v1"))
+      .toDF("id", "source", "payload").coalesce(1)
+    SnapshotTable.commit(df, root, Seq("source"))
+
+    val delta = Seq((2L, "src0", "B-FIXED"), (5L, "src2", "e-new"))
+      .toDF("id", "source", "payload")
+    val s2 = SnapshotTable.merge(delta, root, Seq("id"))
+    assert(s2.version === 2 && s2.operation === "merge")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() === 5)
+    assert(cur.filter($"id" === 2).select("payload").head().getString(0) === "B-FIXED")
+    assert(cur.filter($"id" === 5).select("source").head().getString(0) === "src2")
+    // src1's file held no matched key: carried by reference, not rewritten
+    assert(cur.inputFiles.exists(_.contains("/data/s1/")))
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 4)
+
+    // two NULL-key delta rows: both plain inserts, NOT an ambiguity error,
+    // and no table row is dropped by a NULL "match"
+    val nullDelta = Seq((None: Option[Long], "src0", "n1"),
+      (None: Option[Long], "src0", "n2")).toDF("id", "source", "payload")
+    SnapshotTable.merge(nullDelta, root, Seq("id"))
+    val afterNull = SnapshotTable.read(spark, root)
+    assert(afterNull.count() === 7)
+    assert(afterNull.filter($"id".isNull).count() === 2)
+
+    // duplicate non-NULL key in the delta: ambiguous upsert, named error
+    val dupDelta = Seq((9L, "src0", "x"), (9L, "src0", "y"))
+      .toDF("id", "source", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(dupDelta, root, Seq("id")) }
+    assert(e1.getMessage.contains("ambiguous"))
+    // column-set mismatch: MERGE is not schema evolution
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(delta.drop("payload"), root, Seq("id")) }
+    assert(e2.getMessage.contains("not schema evolution"))
+    // retyped column fails fast (int delta id vs bigint table id)
+    val intDelta = Seq((7, "src0", "z")).toDF("id", "source", "payload")
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(intDelta, root, Seq("id")) }
+    assert(e3.getMessage.contains("retypes"))
+    // unknown key column fails fast
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(delta, root, Seq("nope")) }
+  }
+
+  test("merge prunes candidate files manifest-side against the delta's " +
+      "key bounds when the key has committed stats") {
+    val root = freshRoot()
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 200) "src0" else "src1", f"p$i%04d"))
+      .toDF("id", "source", "payload")
+      .repartitionByRange(4, col("id"))
+    val s1 = SnapshotTable.commit(df, root, Seq("source"),
+      statsCols = Seq("id"))
+    // only files whose [min,max] id interval contains 7 may be rewritten
+    val intersecting = s1.files.filter { fe =>
+      val (lo, hi) = fe.stats("id"); lo.toLong <= 7L && 7L <= hi.toLong
+    }.map(_.path).toSet
+    assert(intersecting.nonEmpty && intersecting.size < s1.files.size)
+    val s2 = SnapshotTable.merge(
+      Seq((7L, "src0", "PATCHED")).toDF("id", "source", "payload"),
+      root, Seq("id"))
+    val s2paths = s2.files.map(_.path).toSet
+    // every non-intersecting v1 file carried by reference — the pruning
+    // never even read them, let alone rewrote them
+    s1.files.filterNot(fe => intersecting.contains(fe.path)).foreach(fe =>
+      assert(s2paths.contains(fe.path), s"${fe.path} should have carried"))
+    assert(s2.files.exists(_.path.contains("/data/s2/")))
+    // rewritten files get fresh stats (data skipping keeps working)
+    assert(s2.files.filter(_.path.contains("/data/s2/"))
+      .forall(_.stats.contains("id")))
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() === 400)
+    assert(cur.filter($"id" === 7).select("payload").head().getString(0) === "PATCHED")
+    // and the patched table still range-skips on the statted key
+    val skip = SnapshotTable.read(spark, root, rangeFilter = Map("id" -> (("7", "7"))))
+    assert(skip.inputFiles.length < cur.inputFiles.length)
+    assert(skip.filter($"id" === 7).count() === 1)
+  }
 }
