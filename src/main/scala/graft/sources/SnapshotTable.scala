@@ -572,11 +572,28 @@ object SnapshotTable {
           }
         })
     if (survivors.isEmpty) {
-      // schema from any file of the snapshot, filtered to no rows
-      val any = snap.files.headOption.getOrElse(
-        throw new IllegalStateException("empty snapshot"))
-      val df = sliceRead(spark, Seq(any), snap)
-      return df.filter(org.apache.spark.sql.functions.lit(false))
+      // schema from any file of the snapshot, filtered to no rows; a
+      // snapshot with NO files at all (a row-level delete emptied the
+      // table) synthesizes it from the recorded logical schema instead —
+      // partition columns type as string there, matching the stringly
+      // partition values the manifest itself stores.
+      snap.files.headOption match {
+        case Some(any) =>
+          return sliceRead(spark, Seq(any), snap)
+            .filter(org.apache.spark.sql.functions.lit(false))
+        case None =>
+          if (snap.columns.isEmpty)
+            throw new IllegalStateException(
+              "empty snapshot with no recorded schema (pre-round-4 manifest)")
+          val fields = snap.columns.map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.DataType.fromDDL(t)) } ++
+            snap.partitionCols.map(c => org.apache.spark.sql.types.StructField(
+              c, org.apache.spark.sql.types.StringType))
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(fields))
+      }
     }
     sliceRead(spark, survivors, snap)
   }
@@ -784,6 +801,77 @@ object SnapshotTable {
     case _ => !(fHi < lo || fLo > hi)
   }
 
+  /** Manifest-side candidate pruning against a key frame's min/max bounds
+   * (one key-frame-scale aggregate, zero table I/O) — shared by [[merge]]
+   * and [[deleteByKeys]]. Keys without committed stats don't prune. */
+  private def pruneByKeyBounds(snap: Snapshot, keyFrame: DataFrame,
+      keyCols: Seq[String]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val stattedKeys = keyCols.filter(snap.statsKinds.contains)
+    if (stattedKeys.isEmpty) snap.files else {
+      val aggs = stattedKeys.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__lo_$c"),
+        max(col(c)).cast("string").as(s"__hi_$c")))
+      val b = keyFrame.agg(aggs.head, aggs.tail: _*).head()
+      snap.files.filter(fe => stattedKeys.forall { c =>
+        val lo = b.getAs[String](s"__lo_$c"); val hi = b.getAs[String](s"__hi_$c")
+        if (lo == null || hi == null) true // all-NULL key column: no bound
+        else fe.stats.get(c) match {
+          case None => true
+          case Some((fLo, fHi)) => boundsIntersect(snap.statsKinds(c), fLo, fHi, lo, hi)
+        }
+      })
+    }
+  }
+
+  /**
+   * Key-based row-level DELETE — [[deleteWhere]] with a key FRAME instead
+   * of a predicate, for when the doomed rows are identified by another
+   * dataset (a quarantine batch merged back home, a GDPR erasure list)
+   * rather than an expression. Same copy-on-write bounds as [[merge]]:
+   * manifest-side key-bounds pruning, ONE broadcast-semi-join pass that
+   * both counts the matches and collects the distinct affected files,
+   * anti-join rewrite of only those files. NULL key components never
+   * match (SQL equality). Returns the new snapshot and the deleted-row
+   * count; an empty or non-matching key frame commits nothing.
+   */
+  def deleteByKeys(keys: DataFrame, root: String,
+      keyCols: Seq[String]): (Snapshot, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, collect_set, count, lit}
+    val spark = keys.sparkSession
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    val snap = snapshot(spark, root)
+    if (snap.columns.nonEmpty) {
+      val tableCols = snap.columns.map(_._1) ++ snap.partitionCols
+      keyCols.foreach(c => require(tableCols.contains(c),
+        s"deleteByKeys key '$c' is not a table column (${tableCols.mkString(", ")})"))
+    }
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    val candidates = pruneByKeyBounds(snap, k, keyCols)
+    if (candidates.isEmpty) return (snap, 0L)
+    val hit = readWithSuffix(spark, candidates, snap)
+      .join(broadcast(k), keyCols, "left_semi")
+      .agg(count(lit(1)).as("n"), collect_set(col("__suffix")).as("fs"))
+      .head()
+    val nDeleted = hit.getLong(0)
+    if (nDeleted == 0L) return (snap, 0L)
+    val affectedSuffixes = hit.getSeq[String](1).toSet
+    val affected = candidates.filter(fe =>
+      affectedSuffixes.contains(pathSuffix(fe.path)))
+    val version = snap.version + 1
+    readWithSuffix(spark, affected, snap)
+      .join(broadcast(k), keyCols, "left_anti")
+      .drop("__suffix")
+      .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val gone = affected.map(_.path).toSet
+    val out = Snapshot(version, snap.partitionCols,
+      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
+      snap.statsKinds, operation = "delete", columns = snap.columns)
+    writeManifest(spark, root, out)
+    (out, nDeleted)
+  }
+
   /**
    * Key-based MERGE (upsert) — the Iceberg copy-on-write
    * {{{ MERGE INTO t USING delta ON t.k = delta.k
@@ -845,22 +933,7 @@ object SnapshotTable {
     require(dup.isEmpty,
       s"merge delta has multiple rows for key ${dup.head.toSeq.init.mkString("(", ", ", ")")} — upsert is ambiguous")
 
-    // manifest-side candidate pruning against the delta's key bounds
-    val stattedKeys = keyCols.filter(snap.statsKinds.contains)
-    val candidates = if (stattedKeys.isEmpty) snap.files else {
-      val aggs = stattedKeys.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"__lo_$c"),
-        max(col(c)).cast("string").as(s"__hi_$c")))
-      val b = delta.agg(aggs.head, aggs.tail: _*).head()
-      snap.files.filter(fe => stattedKeys.forall { c =>
-        val lo = b.getAs[String](s"__lo_$c"); val hi = b.getAs[String](s"__hi_$c")
-        if (lo == null || hi == null) true // all-NULL key column: no bound
-        else fe.stats.get(c) match {
-          case None => true
-          case Some((fLo, fHi)) => boundsIntersect(snap.statsKinds(c), fLo, fHi, lo, hi)
-        }
-      })
-    }
+    val candidates = pruneByKeyBounds(snap, delta, keyCols)
 
     val keys = delta.select(keyCols.map(col): _*).distinct()
     val affectedSuffixes: Set[String] =

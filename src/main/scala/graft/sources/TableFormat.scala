@@ -30,8 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    file list.
  *  - `changesBetween(a, b)` ↔ the incremental append scan
  *    (`option("start-snapshot-id", a).option("end-snapshot-id", b)`);
- *    row-level deletes are out of scope in both implementations.
+ *    in both implementations a row-level rewrite re-delivers the
+ *    rewritten survivors (at-least-once), never a retraction.
  *  - `partitions`           ↔ the `t.partitions` metadata table.
+ *  - `deleteWhere`          ↔ SQL `DELETE FROM t WHERE p` on a
+ *    copy-on-write table (`write.delete.mode=copy-on-write`).
+ *  - `merge`                ↔ SQL `MERGE INTO t USING delta ON <keys>
+ *    WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`.
  *
  * Maintenance lives beside the trait, not on it (Iceberg ships these as
  * Spark procedures, not table reads/writes): [[SnapshotTable.compact]]
@@ -77,6 +82,22 @@ trait TableFormat {
   /** Distinct partition values of a snapshot, from pure metadata. */
   def partitions(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[Map[String, String]]
+
+  /** Copy-on-write row-level DELETE: drop every row where `predicate`
+   * is TRUE (NULL keeps the row — SQL DELETE semantics), rewriting only
+   * the files that contain a match; `partitionFilter` bounds the
+   * candidate scan manifest-side. Returns the new snapshot id and the
+   * deleted-row count; a predicate matching nothing commits nothing. */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): (Long, Long)
+
+  /** Copy-on-write key-based upsert: delta rows whose `keyCols` match a
+   * table row replace it, the rest insert. Ambiguous deltas (several
+   * rows per non-NULL key) fail fast; NULL key components never match.
+   * The delta must carry exactly the table's columns. Returns the new
+   * snapshot id. */
+  def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Long
 }
 
 /** [[SnapshotTable]] bound to the [[TableFormat]] seam — the in-sandbox
@@ -107,4 +128,15 @@ object SnapshotTableFormat extends TableFormat {
   override def partitions(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[Map[String, String]] =
     SnapshotTable.partitions(spark, root, version.map(_.toInt))
+
+  override def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): (Long, Long) = {
+    val (snap, n) = SnapshotTable.deleteWhere(spark, root, predicate, partitionFilter)
+    (snap.version.toLong, n)
+  }
+
+  override def merge(delta: DataFrame, root: String,
+      keyCols: Seq[String]): Long =
+    SnapshotTable.merge(delta, root, keyCols).version.toLong
 }

@@ -77,4 +77,28 @@ class TableFormatSpec extends SparkSuite {
     assert(skip.inputFiles.length < full.inputFiles.length)
     assert(skip.filter(col("id").between(10, 15)).count() === 6)
   }
+
+  test("conformance: row-level deleteWhere and key-based merge through the seam") {
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1").coalesce(1), root, Seq("source"))
+    // delete: only matching rows go, version advances, count comes back
+    val (v2, deleted) = fmt.deleteWhere(spark, root, col("payload") === "a-v1")
+    assert(v2 === v1 + 1 && deleted === 1L)
+    assert(fmt.read(spark, root).count() === 3)
+    // no-match predicate commits nothing
+    val (sameV, zero) = fmt.deleteWhere(spark, root, col("payload") === "nope")
+    assert(sameV === v2 && zero === 0L)
+    // merge: update one key, insert another
+    val delta = Seq((3L, "src1", "C-FIXED"), (5L, "src2", "e-new"))
+      .toDF("id", "source", "payload")
+    val v3 = fmt.merge(delta, root, Seq("id"))
+    assert(v3 === v2 + 1)
+    val cur = fmt.read(spark, root)
+    assert(cur.count() === 4)
+    assert(cur.filter(col("id") === 3).select("payload").head().getString(0)
+      === "C-FIXED")
+    // time travel through the seam still sees every prior state
+    assert(fmt.read(spark, root, version = Some(v1)).count() === 4)
+    assert(fmt.read(spark, root, version = Some(v2)).count() === 3)
+  }
 }
