@@ -95,7 +95,7 @@ object SnapshotTable {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def writeManifest(spark: SparkSession, root: String, s: Snapshot): Unit = {
+  private def manifestBytes(s: Snapshot): Array[Byte] = {
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("operation", s.operation)
@@ -126,15 +126,28 @@ object SnapshotTable {
         }
       }
     }
+    mapper.writeValueAsBytes(node)
+  }
+
+  /** Atomic write-then-rename of one metadata document. */
+  private def atomicWrite(spark: SparkSession, root: String,
+      tmpName: String, targetName: String, bytes: Array[Byte]): Unit = {
     val dir = new Path(root, "metadata")
     val f = fs(spark, dir)
     f.mkdirs(dir)
-    val tmp = new Path(dir, s".v${s.version}.json.tmp")
+    val tmp = new Path(dir, tmpName)
     val out = f.create(tmp, true)
-    out.write(mapper.writeValueAsBytes(node)); out.close()
-    val manifest = new Path(dir, s"v${s.version}.json")
-    require(f.rename(tmp, manifest),
-      s"manifest rename failed: $tmp -> $manifest (stale file from a crashed commit? remove it first)")
+    out.write(bytes); out.close()
+    val target = new Path(dir, targetName)
+    require(f.rename(tmp, target),
+      s"manifest rename failed: $tmp -> $target (stale file from a crashed commit? remove it first)")
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, s: Snapshot): Unit = {
+    atomicWrite(spark, root, s".v${s.version}.json.tmp", s"v${s.version}.json",
+      manifestBytes(s))
+    val dir = new Path(root, "metadata")
+    val f = fs(spark, dir)
     // atomic pointer flip: write-then-rename with OVERWRITE via
     // FileContext — FileSystem.rename returns false when the target
     // exists, and delete-then-rename would expose a window where a
@@ -165,10 +178,18 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val p = new Path(root, s"metadata/v$v.json")
+    require(fs(spark, p).exists(p), s"snapshot v$v does not exist under $root")
+    readManifestFile(spark, p)
+  }
+
+  /** Parse one manifest document into a [[Snapshot]] — shared by the
+   * version chain ([[snapshot]]) and the staged manifest
+   * ([[stagedSnapshot]]); the version comes from the document itself. */
+  private def readManifestFile(spark: SparkSession, p: Path): Snapshot = {
     val f = fs(spark, p)
-    require(f.exists(p), s"snapshot v$v does not exist under $root")
     val in = f.open(p)
     val node = try mapper.readTree(in) finally in.close()
+    val v = node.get("version").asInt()
     val pcols = (0 until node.get("partitionCols").size())
       .map(node.get("partitionCols").get(_).asText())
     val kinds = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -222,9 +243,17 @@ object SnapshotTable {
   def commit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
       statsCols: Seq[String] = Seq.empty,
-      allowSchemaEvolution: Boolean = false): Snapshot = {
+      allowSchemaEvolution: Boolean = false): Snapshot =
+    commitImpl(df, root, partitionCols, overwritePartitions, statsCols,
+      allowSchemaEvolution, staged = false)
+
+  private def commitImpl(df: DataFrame, root: String,
+      partitionCols: Seq[String], overwritePartitions: Boolean,
+      statsCols: Seq[String], allowSchemaEvolution: Boolean,
+      staged: Boolean): Snapshot = {
     require(partitionCols.nonEmpty, "snapshot tables are partitioned")
     val spark = df.sparkSession
+    requireNoPendingStage(spark, root)
     statsCols.foreach { c =>
       require(!partitionCols.contains(c),
         s"stats column '$c' is a partition column — partition pruning already covers it")
@@ -284,7 +313,8 @@ object SnapshotTable {
       if (statsCols.nonEmpty) kinds
       else prev.map(_.statsKinds).getOrElse(Map.empty),
       columns = dataSchema)
-    writeManifest(spark, root, snap)
+    if (staged) writeStagedManifest(spark, root, snap)
+    else writeManifest(spark, root, snap)
     snap
   }
 
@@ -357,6 +387,110 @@ object SnapshotTable {
     }
   }
 
+  // --- write-audit-publish (staged commits) ---------------------------------
+
+  private def stagedPath(root: String) = new Path(root, "metadata/staged.json")
+
+  /** Guard on every data-changing writer: a pending stage owns the next
+   * version number, so an interleaved ordinary commit would collide with
+   * the staged snapshot's data subtree and manifest version. Resolve the
+   * stage ([[publishStaged]] / [[abortStaged]]) before writing again. */
+  private def requireNoPendingStage(spark: SparkSession, root: String): Unit = {
+    val p = stagedPath(root)
+    require(!fs(spark, p).exists(p),
+      s"table $root has a pending staged commit — publishStaged or abortStaged it first")
+  }
+
+  private def writeStagedManifest(spark: SparkSession, root: String,
+      s: Snapshot): Unit =
+    atomicWrite(spark, root, ".staged.json.tmp", "staged.json", manifestBytes(s))
+
+  /**
+   * Stage a commit without publishing it — the Iceberg write-audit-publish
+   * (WAP) pattern, the table-format workflow a VALIDATION engine exists to
+   * drive: write the new snapshot's data files and a complete manifest,
+   * but to `metadata/staged.json` instead of the version chain, so no
+   * reader can see the rows until an audit passes. Exactly [[commit]]'s
+   * semantics otherwise (dynamic overwrite, per-file stats, schema
+   * governance against the CURRENT published snapshot). The stage owns
+   * version N+1: every other writer fails fast until [[publishStaged]]
+   * promotes it (one metadata rename — the data is already in place) or
+   * [[abortStaged]] discards it (deletes only the staged subtree; carried
+   * files belong to published history and are untouched).
+   */
+  def stageCommit(df: DataFrame, root: String, partitionCols: Seq[String],
+      overwritePartitions: Boolean = true,
+      statsCols: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Snapshot =
+    commitImpl(df, root, partitionCols, overwritePartitions, statsCols,
+      allowSchemaEvolution, staged = true)
+
+  /** The pending staged snapshot, if any. */
+  def stagedSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val p = stagedPath(root)
+    if (!fs(spark, p).exists(p)) None else Some(readManifestFile(spark, p))
+  }
+
+  /** Read the table AS IF the pending stage were published — what the
+   * audit step validates. Same manifest-side pruning as [[read]]. */
+  def readStaged(spark: SparkSession, root: String,
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame =
+    planRead(spark, stagedSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no staged commit under $root")),
+      partitionFilter, rangeFilter)
+
+  /** Promote the pending stage into the version chain: publish its
+   * manifest as v<N>.json, flip the version hint, drop the stage marker.
+   * Pure metadata — the data files were written at stage time. */
+  def publishStaged(spark: SparkSession, root: String): Snapshot = {
+    val snap = stagedSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no staged commit under $root"))
+    val cur = currentVersion(spark, root).getOrElse(0)
+    require(snap.version == cur + 1,
+      s"staged snapshot v${snap.version} does not follow current v$cur — " +
+        "the version chain moved underneath the stage")
+    writeManifest(spark, root, snap)
+    fs(spark, stagedPath(root)).delete(stagedPath(root), false)
+    snap
+  }
+
+  /** Discard the pending stage: delete its (never-published) data subtree
+   * and the stage marker. Files carried by reference from published
+   * snapshots are untouched. */
+  def abortStaged(spark: SparkSession, root: String): Unit = {
+    val snap = stagedSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no staged commit under $root"))
+    val dataDir = new Path(root, s"data/s${snap.version}")
+    val f = fs(spark, dataDir)
+    if (f.exists(dataDir)) f.delete(dataDir, true)
+    fs(spark, stagedPath(root)).delete(stagedPath(root), false)
+  }
+
+  /**
+   * The WAP loop in one call: stage `df`, run `audit` over the staged
+   * table view (the FULL table as it would look published — carried
+   * partitions included, so cross-partition invariants are auditable),
+   * publish on a `None` verdict, abort on `Some(reason)`. Returns the
+   * published snapshot or the abort reason. An audit that THROWS leaves
+   * the stage pending for inspection (the table stays locked for writers
+   * until [[abortStaged]]) — an exception is a bug in the audit, not a
+   * verdict, and silently discarding the staged evidence would hide it.
+   */
+  def auditedCommit(df: DataFrame, root: String, partitionCols: Seq[String],
+      audit: DataFrame => Option[String],
+      overwritePartitions: Boolean = true,
+      statsCols: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Either[String, Snapshot] = {
+    val spark = df.sparkSession
+    stageCommit(df, root, partitionCols, overwritePartitions, statsCols,
+      allowSchemaEvolution)
+    audit(readStaged(spark, root)) match {
+      case None => Right(publishStaged(spark, root))
+      case Some(reason) => abortStaged(spark, root); Left(reason)
+    }
+  }
+
   // --- maintenance ---------------------------------------------------------
 
   /**
@@ -416,6 +550,7 @@ object SnapshotTable {
     val ordered = sortCols.nonEmpty || zorderCols.nonEmpty
     require(minInputFiles >= (if (ordered) 1 else 2),
       "compacting fewer than 2 files is a rename")
+    requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
     val toRewrite: Seq[FileEntry] = snap.files.groupBy(_.partition).toSeq
       .flatMap { case (_, fes) =>
@@ -556,8 +691,14 @@ object SnapshotTable {
    */
   def read(spark: SparkSession, root: String, version: Option[Int] = None,
       partitionFilter: Map[String, String] = Map.empty,
-      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame = {
-    val snap = snapshot(spark, root, version)
+      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame =
+    planRead(spark, snapshot(spark, root, version), partitionFilter, rangeFilter)
+
+  /** Plan a scan over an already-resolved snapshot — shared by [[read]]
+   * (the version chain) and [[readStaged]] (a pending WAP stage). */
+  private def planRead(spark: SparkSession, snap: Snapshot,
+      partitionFilter: Map[String, String],
+      rangeFilter: Map[String, (String, String)]): DataFrame = {
     rangeFilter.keys.foreach(c => require(snap.statsKinds.contains(c),
       s"no committed stats for column '$c' (statsKinds: ${snap.statsKinds.keySet})"))
     val survivors = snap.files.filter(fe =>
@@ -765,6 +906,7 @@ object SnapshotTable {
       predicate: org.apache.spark.sql.Column,
       partitionFilter: Map[String, String] = Map.empty): (Snapshot, Long) = {
     import org.apache.spark.sql.functions.{collect_set, count, lit}
+    requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
     val candidates = snap.files.filter(fe => partitionFilter.forall {
       case (k, v) => fe.partition.get(k).contains(v) })
@@ -840,6 +982,7 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{broadcast, collect_set, count, lit}
     val spark = keys.sparkSession
     require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
     if (snap.columns.nonEmpty) {
       val tableCols = snap.columns.map(_._1) ++ snap.partitionCols
@@ -905,6 +1048,7 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{broadcast, collect_set, count, lit, max, min}
     val spark = delta.sparkSession
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
     val tableCols: Seq[String] =
       if (snap.columns.nonEmpty) snap.columns.map(_._1) ++ snap.partitionCols

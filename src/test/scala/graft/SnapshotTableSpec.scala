@@ -574,4 +574,99 @@ class SnapshotTableSpec extends SparkSuite {
     assert(skip.inputFiles.length < cur.inputFiles.length)
     assert(skip.filter($"id" === 7).count() === 1)
   }
+
+  test("WAP stage/publish: staged rows invisible to readers until publish; " +
+      "staged view shows the full would-be table; publish is metadata-only") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+
+    val staged = SnapshotTable.stageCommit(
+      Seq((9L, "src2", "staged")).toDF("id", "source", "payload"),
+      root, Seq("source"))
+    assert(staged.version === 2)
+    // published world is untouched: version hint, read, rowCount
+    assert(SnapshotTable.currentVersion(spark, root) === Some(1))
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    assert(SnapshotTable.stagedSnapshot(spark, root).map(_.version) === Some(2))
+    // the audit view is the FULL table as published: carried + staged
+    val view = SnapshotTable.readStaged(spark, root)
+    assert(view.count() === 5)
+    assert(view.filter($"payload" === "staged").count() === 1)
+    // manifest-side partition pruning works on the staged view too
+    assert(SnapshotTable.readStaged(spark, root,
+      partitionFilter = Map("source" -> "src2")).count() === 1)
+
+    val pub = SnapshotTable.publishStaged(spark, root)
+    assert(pub.version === 2)
+    assert(SnapshotTable.currentVersion(spark, root) === Some(2))
+    assert(SnapshotTable.read(spark, root).count() === 5)
+    assert(SnapshotTable.stagedSnapshot(spark, root).isEmpty)
+    // time travel across the published stage
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 4)
+    // and the incremental scan delivers exactly the staged delta
+    assert(SnapshotTable.changesBetween(spark, root, 1, 2)
+      .select("payload").head().getString(0) === "staged")
+  }
+
+  test("WAP abort: staged subtree deleted, carried files untouched, " +
+      "version number is reusable; writers are blocked while a stage pends") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    SnapshotTable.stageCommit(
+      Seq((9L, "src0", "doomed")).toDF("id", "source", "payload"),
+      root, Seq("source"))
+
+    // every data-changing writer fails fast while the stage pends
+    val blocked = Seq(
+      intercept[IllegalArgumentException] {
+        SnapshotTable.commit(corpus("v2"), root, Seq("source")) },
+      intercept[IllegalArgumentException] {
+        SnapshotTable.stageCommit(corpus("v2"), root, Seq("source")) },
+      intercept[IllegalArgumentException] {
+        SnapshotTable.merge(Seq((1L, "src0", "x")).toDF("id", "source", "payload"),
+          root, Seq("id")) },
+      intercept[IllegalArgumentException] {
+        SnapshotTable.deleteWhere(spark, root, lit(true)) },
+      intercept[IllegalArgumentException] {
+        SnapshotTable.compact(spark, root) })
+    blocked.foreach(e => assert(e.getMessage.contains("pending staged commit")))
+
+    SnapshotTable.abortStaged(spark, root)
+    // staged data subtree is gone; published v1 data untouched
+    val f = new java.io.File(root, "data/s2")
+    assert(!f.exists())
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    // version 2 is free again: the next commit takes it
+    val s2 = SnapshotTable.commit(
+      Seq((9L, "src2", "real")).toDF("id", "source", "payload"),
+      root, Seq("source"))
+    assert(s2.version === 2)
+    assert(SnapshotTable.read(spark, root).count() === 5)
+  }
+
+  test("auditedCommit: failing audit aborts (table unchanged, reason " +
+      "returned); passing audit publishes — the validation WAP loop") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+
+    // audit = a validation gate over the FULL staged table view
+    def noNullPayloads(t: org.apache.spark.sql.DataFrame): Option[String] = {
+      val bad = t.filter($"payload".isNull).count()
+      if (bad == 0) None else Some(s"$bad rows with NULL payload")
+    }
+
+    val rejected = SnapshotTable.auditedCommit(
+      Seq((9L, "src2", null.asInstanceOf[String])).toDF("id", "source", "payload"),
+      root, Seq("source"), noNullPayloads)
+    assert(rejected === Left("1 rows with NULL payload"))
+    assert(SnapshotTable.currentVersion(spark, root) === Some(1))
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    assert(SnapshotTable.stagedSnapshot(spark, root).isEmpty)
+
+    val accepted = SnapshotTable.auditedCommit(
+      Seq((9L, "src2", "ok")).toDF("id", "source", "payload"),
+      root, Seq("source"), noNullPayloads)
+    assert(accepted.isRight && accepted.toOption.get.version === 2)
+    assert(SnapshotTable.read(spark, root).count() === 5)
+  }
 }
