@@ -680,6 +680,61 @@ object SnapshotTable {
     expired
   }
 
+  /**
+   * Delete files under `<root>/data/` that NO reachable manifest
+   * references — the Iceberg `remove_orphan_files` analog, closing the
+   * gap [[expireSnapshots]] explicitly leaves open: a crashed commit or
+   * compaction writes data files and dies before its manifest lands, and
+   * those bytes are invisible to every snapshot yet occupy storage
+   * forever. This is the ONE operation that legitimately LISTS the data
+   * tree (reconciling disk against metadata is its entire job; the read
+   * path never lists).
+   *
+   * Reachable = every surviving `v<N>.json` in the chain PLUS a pending
+   * staged manifest — a WAP stage's files are never orphans while the
+   * stage is open. `olderThanMs` is the in-flight-writer grace period
+   * (Iceberg's `older_than`, default 3 days): files younger than the
+   * cutoff are kept even when unreferenced, so a commit racing this
+   * cleanup doesn't lose the data it is about to publish. Empty
+   * partition/snapshot directories left behind are pruned. Returns the
+   * deleted paths.
+   */
+  def removeOrphanFiles(spark: SparkSession, root: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val dataRoot = new Path(root, "data")
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return Seq.empty
+    val referenced: Set[String] = {
+      val metaDir = new Path(root, "metadata")
+      val chain =
+        if (!f.exists(metaDir)) Seq.empty
+        else f.listStatus(metaDir).toSeq.map(_.getPath)
+          .filter(_.getName.matches("v\\d+\\.json"))
+          .flatMap(p => readManifestFile(spark, p).files.map(_.path))
+      (chain ++ stagedSnapshot(spark, root).toSeq.flatMap(_.files.map(_.path)))
+        .map(p => new Path(p).toUri.getPath).toSet
+    }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sweep(dir: Path): Boolean = { // returns "directory is now empty"
+      var empty = true
+      f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          if (sweep(st.getPath)) f.delete(st.getPath, false) else empty = false
+        } else {
+          val norm = st.getPath.toUri.getPath
+          if (!referenced.contains(norm) && st.getModificationTime < cutoff) {
+            f.delete(st.getPath, false)
+            deleted += st.getPath.toString
+          } else empty = false
+        }
+      }
+      empty
+    }
+    sweep(dataRoot)
+    deleted.toSeq
+  }
+
   // --- read ----------------------------------------------------------------
 
   /**

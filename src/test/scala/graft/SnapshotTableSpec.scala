@@ -644,6 +644,48 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.read(spark, root).count() === 5)
   }
 
+  test("removeOrphanFiles: deletes only unreferenced data files past the " +
+      "grace period; staged files and live snapshots are protected") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+
+    // plant orphans: a stray file inside a live partition dir and a whole
+    // subtree from a "crashed commit" that never published its manifest
+    def plant(rel: String): java.io.File = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      f
+    }
+    val o1 = plant("data/s1/source=src0/part-99999-orphan.parquet")
+    val o2 = plant("data/s7/source=srcX/part-00000-crashed.parquet")
+
+    // grace period: young files survive even when unreferenced
+    assert(SnapshotTable.removeOrphanFiles(spark, root).isEmpty)
+    assert(o1.exists() && o2.exists())
+
+    // a pending stage's files are referenced — never orphans
+    SnapshotTable.stageCommit(
+      Seq((9L, "src2", "staged")).toDF("id", "source", "payload"),
+      root, Seq("source"))
+    // negative grace => cutoff in the future => age test always passes
+    val deleted = SnapshotTable.removeOrphanFiles(spark, root, olderThanMs = -60000)
+    // both planted orphans go; so do Spark's unreferenced _SUCCESS markers
+    // (reads are manifest-planned — any unreferenced file is dead weight);
+    // no referenced parquet file is ever touched
+    assert(deleted.count(_.contains("orphan")) === 1)
+    assert(deleted.count(_.contains("crashed")) === 1)
+    assert(deleted.forall(p => p.contains("orphan") || p.contains("crashed")
+      || p.endsWith("_SUCCESS")))
+    assert(!o1.exists() && !o2.exists())
+    assert(!new java.io.File(root, "data/s7").exists()) // empty dirs pruned
+    // staged + published data fully intact
+    assert(SnapshotTable.readStaged(spark, root).count() === 5)
+    SnapshotTable.publishStaged(spark, root)
+    assert(SnapshotTable.read(spark, root).count() === 5)
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 4)
+  }
+
   test("auditedCommit: failing audit aborts (table unchanged, reason " +
       "returned); passing audit publishes — the validation WAP loop") {
     val root = freshRoot()
