@@ -51,6 +51,16 @@ object SnapshotTable {
       rows: Long, bytes: Long,
       stats: Map[String, (String, String)] = Map.empty)
 
+  /** One merge-on-read DELETE commit's position-delete files — the
+   * Iceberg v2 position-delete shape: `paths` are parquet files of
+   * `(__suffix: string, __pos: long)` rows naming doomed positions in
+   * still-live data files; `targets` maps each targeted data file's
+   * snapshot-relative suffix to the number of rows deleted from it
+   * (what keeps [[rowCount]] metadata-only under MoR deletes). Entries
+   * shrink as CoW writers rewrite their targets and vanish when no
+   * target is live. */
+  final case class DeleteEntry(paths: Seq[String], targets: Map[String, Long])
+
   /** `operation` is the Iceberg snapshot-summary operation kind:
    * "write" (append / dynamic overwrite — the data-changing commits) or
    * "replace" (a [[compact]] rewrite — logically a no-op). Incremental
@@ -67,7 +77,8 @@ object SnapshotTable {
       files: Seq[FileEntry],
       statsKinds: Map[String, String] = Map.empty,
       operation: String = "write",
-      columns: Seq[(String, String)] = Seq.empty)
+      columns: Seq[(String, String)] = Seq.empty,
+      deletes: Seq[DeleteEntry] = Seq.empty)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,6 +135,15 @@ object SnapshotTable {
         f.stats.foreach { case (c, (lo, hi)) =>
           val cn = sn.putObject(c); cn.put("min", lo); cn.put("max", hi)
         }
+      }
+    }
+    if (s.deletes.nonEmpty) {
+      val dl = node.putArray("deletes")
+      s.deletes.foreach { d =>
+        val dn = dl.addObject()
+        val pn = dn.putArray("paths"); d.paths.foreach(pn.add)
+        val tn = dn.putObject("targets")
+        d.targets.foreach { case (suf, n) => tn.put(suf, n) }
       }
     }
     mapper.writeValueAsBytes(node)
@@ -220,9 +240,20 @@ object SnapshotTable {
         val c = node.get("columns").get(i)
         (c.get("name").asText(), c.get("type").asText())
       }
+    val deletes: Seq[DeleteEntry] =
+      if (!node.has("deletes")) Seq.empty
+      else (0 until node.get("deletes").size()).map { i =>
+        val dn = node.get("deletes").get(i)
+        val paths = (0 until dn.get("paths").size())
+          .map(dn.get("paths").get(_).asText())
+        val targets = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        val it = dn.get("targets").fields()
+        while (it.hasNext) { val e = it.next(); targets(e.getKey) = e.getValue.asLong() }
+        DeleteEntry(paths, targets.toMap)
+      }
     Snapshot(v, pcols, files, kinds.toMap,
       if (node.has("operation")) node.get("operation").asText() else "write",
-      columns)
+      columns, deletes)
   }
 
   // --- commit --------------------------------------------------------------
@@ -309,10 +340,14 @@ object SnapshotTable {
       if (overwritePartitions) newFiles.map(_.partition).toSet else Set.empty
     val carried = prev.map(_.files.filterNot(fe => overwritten.contains(fe.partition)))
       .getOrElse(Seq.empty)
+    // pending MoR delete entries ride along, shrunk to targets the
+    // overwrite kept live — dropping them would resurrect deleted rows
     val snap = Snapshot(version, partitionCols, carried ++ statted,
       if (statsCols.nonEmpty) kinds
       else prev.map(_.statsKinds).getOrElse(Map.empty),
-      columns = dataSchema)
+      columns = dataSchema,
+      deletes = carriedDeletes(
+        prev.map(_.deletes).getOrElse(Seq.empty), carried ++ statted))
     if (staged) writeStagedManifest(spark, root, snap)
     else writeManifest(spark, root, snap)
     snap
@@ -592,8 +627,21 @@ object SnapshotTable {
     val dataCols =
       if (snap.columns.nonEmpty) snap.columns.map(_._1)
       else raw.columns.toSeq
-    val withRel = raw.withColumn("__rel",
+    // all metadata-derived columns materialize BEFORE any join — the
+    // `_metadata` pseudo-column only resolves on the scan relation
+    val withRelAll = raw.withColumn("__rel",
       regexp_replace(col("_metadata.file_path"), "^.*?/data/s\\d+/", ""))
+    // a rewrite must APPLY pending MoR position deletes aimed at its
+    // inputs (Iceberg's rewrite_data_files contract) — the rewritten
+    // files then shed their delete entries via carriedDeletes below
+    val withRel =
+      if (liveDeletes(snap, toRewrite).isEmpty) withRelAll
+      else applyDeletes(
+        withRelAll.withColumn("__suffix",
+            org.apache.spark.sql.functions.regexp_extract(
+              col("_metadata.file_path"), "(/data/s\\d+/.*)$", 1))
+          .withColumn("__pos", col("_metadata.row_index")),
+        snap, toRewrite).drop("__suffix", "__pos")
     // a recorded column no candidate file carries yet (evolution landed,
     // these partitions not rewritten since) materializes as typed NULL
     val patched = snap.columns
@@ -639,7 +687,8 @@ object SnapshotTable {
     val rewritten = toRewrite.map(_.path).toSet
     val carried = snap.files.filterNot(fe => rewritten.contains(fe.path))
     val out = Snapshot(version, pcols, carried ++ statted, snap.statsKinds,
-      operation = "replace", columns = snap.columns)
+      operation = "replace", columns = snap.columns,
+      deletes = carriedDeletes(snap.deletes, carried ++ statted))
     writeManifest(spark, root, out)
     out
   }
@@ -669,12 +718,16 @@ object SnapshotTable {
     val live: Set[String] = (cutoff to current)
       .filter(v => fs(spark, new Path(root))
         .exists(new Path(root, s"metadata/v$v.json")))
-      .flatMap(v => snapshot(spark, root, Some(v)).files.map(_.path)).toSet
+      .flatMap { v =>
+        val s = snapshot(spark, root, Some(v))
+        s.files.map(_.path) ++ s.deletes.flatMap(_.paths)
+      }.toSet
     val f = fs(spark, new Path(root))
     expired.foreach { v =>
-      snapshot(spark, root, Some(v)).files
-        .filterNot(fe => live.contains(fe.path))
-        .foreach(fe => f.delete(new Path(fe.path), false))
+      val s = snapshot(spark, root, Some(v))
+      (s.files.map(_.path) ++ s.deletes.flatMap(_.paths))
+        .filterNot(live.contains)
+        .foreach(p => f.delete(new Path(p), false))
       f.delete(new Path(root, s"metadata/v$v.json"), false)
     }
     expired
@@ -706,12 +759,14 @@ object SnapshotTable {
     if (!f.exists(dataRoot)) return Seq.empty
     val referenced: Set[String] = {
       val metaDir = new Path(root, "metadata")
+      def refs(s: Snapshot): Seq[String] =
+        s.files.map(_.path) ++ s.deletes.flatMap(_.paths)
       val chain =
         if (!f.exists(metaDir)) Seq.empty
         else f.listStatus(metaDir).toSeq.map(_.getPath)
           .filter(_.getName.matches("v\\d+\\.json"))
-          .flatMap(p => readManifestFile(spark, p).files.map(_.path))
-      (chain ++ stagedSnapshot(spark, root).toSeq.flatMap(_.files.map(_.path)))
+          .flatMap(p => refs(readManifestFile(spark, p)))
+      (chain ++ stagedSnapshot(spark, root).toSeq.flatMap(refs))
         .map(p => new Path(p).toUri.getPath).toSet
     }
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -732,6 +787,10 @@ object SnapshotTable {
       empty
     }
     sweep(dataRoot)
+    // MoR position-delete files live under their own tree; a crashed
+    // deleteWhereMoR leaves the same kind of orphan there
+    val deletesRoot = new Path(root, "deletes")
+    if (f.exists(deletesRoot)) sweep(deletesRoot)
     deleted.toSeq
   }
 
@@ -791,7 +850,11 @@ object SnapshotTable {
             org.apache.spark.sql.types.StructType(fields))
       }
     }
-    sliceRead(spark, survivors, snap)
+    // merge-on-read: when any pending position-delete entry targets a
+    // surviving file, read through the delete-applying path (the plain
+    // sliceRead stays the fast path — no metadata columns, no join)
+    if (liveDeletes(snap, survivors).isEmpty) sliceRead(spark, survivors, snap)
+    else readLive(spark, survivors, snap).drop("__suffix", "__pos")
   }
 
   /** Group surviving files by snapshot subtree (= basePath) and union —
@@ -880,7 +943,10 @@ object SnapshotTable {
       val any = to.files.headOption.getOrElse(
         throw new IllegalStateException("empty snapshot"))
       sliceRead(spark, Seq(any), to).filter(org.apache.spark.sql.functions.lit(false))
-    } else sliceRead(spark, added, to)
+    } else if (liveDeletes(to, added).isEmpty) sliceRead(spark, added, to)
+    // apply the TO-version's pending MoR deletes to the delta so an
+    // incremental consumer never re-ingests rows already deleted at `to`
+    else readLive(spark, added, to).drop("__suffix", "__pos")
   }
 
   /** Metadata-only row count — Iceberg's `count(*)` pushdown: the
@@ -892,14 +958,21 @@ object SnapshotTable {
   def rowCount(spark: SparkSession, root: String,
       version: Option[Int] = None,
       partitionFilter: Map[String, String] = Map.empty): Long = {
-    val survivors = snapshot(spark, root, version).files
+    val snap = snapshot(spark, root, version)
+    val survivors = snap.files
       .filter(fe => partitionFilter.forall {
         case (k, v) => fe.partition.get(k).contains(v) })
     // legacy manifests recorded -1 (unknown); a silent wrong sum is
     // worse than a loud miss — count those tables with read().count()
     require(survivors.forall(_.rows >= 0),
       "manifest predates per-file row counts; re-commit or use read().count()")
-    survivors.map(_.rows).sum
+    val sufs = survivors.map(fe => pathSuffix(fe.path)).toSet
+    // MoR position deletes: each entry records per-target deleted-row
+    // counts exactly so this stays a metadata-only sum
+    val pendingDeleted = snap.deletes.iterator
+      .flatMap(_.targets.iterator)
+      .collect { case (s, n) if sufs(s) => n }.sum
+    survivors.map(_.rows).sum - pendingDeleted
   }
 
   // --- row-level operations (copy-on-write) --------------------------------
@@ -914,10 +987,13 @@ object SnapshotTable {
   }
 
   /** Read `files` with partition columns attached (basePath per subtree)
-   * and a `__suffix` bookkeeping column keying every row back to its
-   * manifest entry. mergeSchema + [[alignTo]] keep rows from files
-   * written before a schema evolution correct (added columns as typed
-   * NULLs), exactly like the ordinary read path. */
+   * and two bookkeeping columns: `__suffix` keys every row back to its
+   * manifest entry and `__pos` is the row's position within its parquet
+   * file (`_metadata.row_index` — the Iceberg position-delete ordinate).
+   * mergeSchema + [[alignTo]] keep rows from files written before a
+   * schema evolution correct (added columns as typed NULLs), exactly
+   * like the ordinary read path. Pending MoR deletes are NOT applied
+   * here — use [[readLive]] for the logical row set. */
   private def readWithSuffix(spark: SparkSession, files: Seq[FileEntry],
       snap: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.regexp_extract
@@ -928,8 +1004,54 @@ object SnapshotTable {
         .parquet(fes.map(_.path): _*)
         .withColumn("__suffix",
           regexp_extract(col("_metadata.file_path"), "(/data/s\\d+/.*)$", 1))
-      alignTo(raw, snap, extra = Seq("__suffix"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      alignTo(raw, snap, extra = Seq("__suffix", "__pos"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** The snapshot's delete entries still aimed at any of `files`. */
+  private def liveDeletes(snap: Snapshot, files: Seq[FileEntry]): Seq[DeleteEntry] = {
+    if (snap.deletes.isEmpty) return Seq.empty
+    val sufs = files.map(fe => pathSuffix(fe.path)).toSet
+    snap.deletes.filter(_.targets.keys.exists(sufs))
+  }
+
+  /** Anti-join pending position deletes out of a [[readWithSuffix]] frame
+   * — the Iceberg v2 merge-on-read apply step. The delete side is
+   * broadcast while the total pending-delete row count is small (the
+   * overwhelmingly common case: deletes are a trickle against a huge
+   * table); past the threshold it falls back to a shuffle anti-join on
+   * (file, position), which AQE sizes like any other join. */
+  private def applyDeletes(df: DataFrame, snap: Snapshot,
+      files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val rel = liveDeletes(snap, files)
+    if (rel.isEmpty) return df
+    val spark = df.sparkSession
+    val del = spark.read.parquet(rel.flatMap(_.paths): _*)
+    val totalPending = rel.iterator.flatMap(_.targets.valuesIterator).sum
+    val delSide = if (totalPending <= 5000000L) broadcast(del) else del
+    df.join(delSide, Seq("__suffix", "__pos"), "left_anti")
+  }
+
+  /** The LOGICAL rows of `files` — [[readWithSuffix]] with pending MoR
+   * position deletes applied. Every copy-on-write planner/rewriter and
+   * the delete-aware read path go through this. */
+  private def readLive(spark: SparkSession, files: Seq[FileEntry],
+      snap: Snapshot): DataFrame =
+    applyDeletes(readWithSuffix(spark, files, snap), snap, files)
+
+  /** Carry delete entries into a successor manifest: each entry keeps
+   * only targets still present in `liveFiles` (a CoW rewrite applied the
+   * rest) and vanishes when no target survives. Every manifest
+   * construction routes through this so deleted rows can never
+   * resurrect after an append/merge/compact. */
+  private def carriedDeletes(deletes: Seq[DeleteEntry],
+      liveFiles: Seq[FileEntry]): Seq[DeleteEntry] = {
+    if (deletes.isEmpty) return Seq.empty
+    val live = liveFiles.map(fe => pathSuffix(fe.path)).toSet
+    deletes.map(d => d.copy(targets = d.targets.filter { case (s, _) => live(s) }))
+      .filter(_.targets.nonEmpty)
   }
 
   /**
@@ -966,7 +1088,7 @@ object SnapshotTable {
     val candidates = snap.files.filter(fe => partitionFilter.forall {
       case (k, v) => fe.partition.get(k).contains(v) })
     if (candidates.isEmpty) return (snap, 0L)
-    val hit = readWithSuffix(spark, candidates, snap)
+    val hit = readLive(spark, candidates, snap)
       .filter(predicate <=> lit(true))
       .agg(count(lit(1)).as("n"), collect_set(col("__suffix")).as("fs"))
       .head()
@@ -976,17 +1098,113 @@ object SnapshotTable {
     val affected = candidates.filter(fe =>
       affectedSuffixes.contains(pathSuffix(fe.path)))
     val version = snap.version + 1
-    readWithSuffix(spark, affected, snap)
+    readLive(spark, affected, snap)
       .filter(!(predicate <=> lit(true)))
-      .drop("__suffix")
+      .drop("__suffix", "__pos")
       .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
     val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
     val gone = affected.map(_.path).toSet
-    val out = Snapshot(version, snap.partitionCols,
-      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
-      snap.statsKinds, operation = "delete", columns = snap.columns)
+    val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
+    val out = Snapshot(version, snap.partitionCols, outFiles,
+      snap.statsKinds, operation = "delete", columns = snap.columns,
+      deletes = carriedDeletes(snap.deletes, outFiles))
     writeManifest(spark, root, out)
     (out, nDeleted)
+  }
+
+  /**
+   * Row-level DELETE, merge-on-read — the Iceberg v2 position-delete
+   * analog and [[deleteWhere]]'s other half: instead of REWRITING every
+   * affected data file (copy-on-write — proportional to the affected
+   * files' full size), write small parquet files of doomed (file,
+   * position) pairs and let readers anti-join them out. At 10^12 files a
+   * trickle of scattered deletes (quarantining the day's newly-flagged
+   * invalid rows, GDPR erasure of a few users) touches a huge number of
+   * files each holding a handful of doomed rows — CoW would rewrite
+   * terabytes to delete kilobytes; MoR writes exactly the doomed
+   * positions and nothing else.
+   *
+   * Shape: ONE job over the candidate files (manifest-pruned by
+   * `partitionFilter`) filters the LIVE rows (already-pending deletes
+   * compose) matching the predicate and writes their `(__suffix, __pos)`
+   * pairs to `deletes/s<version>/`; one bounded aggregate over that
+   * written delta records per-target deleted-row counts in the manifest
+   * (what keeps [[rowCount]] metadata-only — driver state is one entry
+   * per affected FILE, the same bound as the CoW planner). Readers apply
+   * pending deletes with a broadcast anti-join (shuffle past a size
+   * threshold); every CoW rewrite ([[deleteWhere]], [[merge]],
+   * [[deleteByKeys]], [[compact]]) applies and sheds them for the files
+   * it rewrites, and [[materializeDeletes]] folds them all away. NULL
+   * predicate results keep the row (SQL DELETE semantics). Committed as
+   * `operation = "delete"`; a predicate matching nothing commits
+   * nothing. Read amplification until materialization is the standard
+   * MoR trade — Iceberg's `rewrite_position_delete_files` maintenance
+   * exists for exactly this reason.
+   */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): (Snapshot, Long) = {
+    import org.apache.spark.sql.functions.lit
+    requireNoPendingStage(spark, root)
+    val snap = snapshot(spark, root)
+    val candidates = snap.files.filter(fe => partitionFilter.forall {
+      case (k, v) => fe.partition.get(k).contains(v) })
+    if (candidates.isEmpty) return (snap, 0L)
+    val version = snap.version + 1
+    val delDir = s"$root/deletes/s$version"
+    readLive(spark, candidates, snap)
+      .filter(predicate <=> lit(true))
+      .select(col("__suffix"), col("__pos"))
+      .write.parquet(delDir)
+    // per-target counts off the just-written delta (two slim columns,
+    // bounded by the delete's own size), one row per affected file
+    val perTarget = spark.read.parquet(delDir)
+      .groupBy("__suffix").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDeleted = perTarget.valuesIterator.sum
+    val f = fs(spark, new Path(delDir))
+    if (nDeleted == 0L) { // nothing matched: reclaim the empty write
+      f.delete(new Path(delDir), true)
+      return (snap, 0L)
+    }
+    val delFiles = f.listStatus(new Path(delDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val out = Snapshot(version, snap.partitionCols, snap.files,
+      snap.statsKinds, operation = "delete", columns = snap.columns,
+      deletes = carriedDeletes(snap.deletes, snap.files) :+
+        DeleteEntry(delFiles, perTarget))
+    writeManifest(spark, root, out)
+    (out, nDeleted)
+  }
+
+  /**
+   * Fold every pending merge-on-read position delete into the data —
+   * the Iceberg `rewrite_position_delete_files`/major-compaction step
+   * that caps MoR read amplification: rewrite ONLY the targeted data
+   * files with their deletes applied (one distributed job), drop all
+   * delete entries, and commit as `operation = "replace"` (logical
+   * content is unchanged — [[changesBetween]] unwinds it like any
+   * compaction). A table with no pending deletes returns unchanged.
+   */
+  def materializeDeletes(spark: SparkSession, root: String): Snapshot = {
+    requireNoPendingStage(spark, root)
+    val snap = snapshot(spark, root)
+    val targeted = snap.files.filter(fe =>
+      snap.deletes.exists(_.targets.contains(pathSuffix(fe.path))))
+    if (targeted.isEmpty) return snap
+    val version = snap.version + 1
+    readLive(spark, targeted, snap)
+      .drop("__suffix", "__pos")
+      .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val gone = targeted.map(_.path).toSet
+    val out = Snapshot(version, snap.partitionCols,
+      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
+      snap.statsKinds, operation = "replace", columns = snap.columns,
+      deletes = Seq.empty)
+    writeManifest(spark, root, out)
+    out
   }
 
   /** Closed-interval intersection test in the committed stats kind's
@@ -1047,7 +1265,7 @@ object SnapshotTable {
     val k = keys.select(keyCols.map(col): _*).distinct()
     val candidates = pruneByKeyBounds(snap, k, keyCols)
     if (candidates.isEmpty) return (snap, 0L)
-    val hit = readWithSuffix(spark, candidates, snap)
+    val hit = readLive(spark, candidates, snap)
       .join(broadcast(k), keyCols, "left_semi")
       .agg(count(lit(1)).as("n"), collect_set(col("__suffix")).as("fs"))
       .head()
@@ -1057,15 +1275,16 @@ object SnapshotTable {
     val affected = candidates.filter(fe =>
       affectedSuffixes.contains(pathSuffix(fe.path)))
     val version = snap.version + 1
-    readWithSuffix(spark, affected, snap)
+    readLive(spark, affected, snap)
       .join(broadcast(k), keyCols, "left_anti")
-      .drop("__suffix")
+      .drop("__suffix", "__pos")
       .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
     val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
     val gone = affected.map(_.path).toSet
-    val out = Snapshot(version, snap.partitionCols,
-      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
-      snap.statsKinds, operation = "delete", columns = snap.columns)
+    val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
+    val out = Snapshot(version, snap.partitionCols, outFiles,
+      snap.statsKinds, operation = "delete", columns = snap.columns,
+      deletes = carriedDeletes(snap.deletes, outFiles))
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1108,7 +1327,7 @@ object SnapshotTable {
     val tableCols: Seq[String] =
       if (snap.columns.nonEmpty) snap.columns.map(_._1) ++ snap.partitionCols
       else readWithSuffix(spark, snap.files.take(1), snap)
-        .drop("__suffix").columns.toSeq
+        .drop("__suffix", "__pos").columns.toSeq
     keyCols.foreach(k => require(tableCols.contains(k),
       s"merge key '$k' is not a table column (${tableCols.mkString(", ")})"))
     require(delta.columns.toSet == tableCols.toSet,
@@ -1137,7 +1356,7 @@ object SnapshotTable {
     val keys = delta.select(keyCols.map(col): _*).distinct()
     val affectedSuffixes: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readWithSuffix(spark, candidates, snap)
+      else readLive(spark, candidates, snap)
         .join(broadcast(keys), keyCols, "left_semi")
         .agg(collect_set(col("__suffix")).as("fs"))
         .head().getSeq[String](0).toSet
@@ -1148,16 +1367,17 @@ object SnapshotTable {
     val deltaAligned = delta.select(tableCols.map(col): _*)
     val rewritten =
       if (affected.isEmpty) deltaAligned
-      else readWithSuffix(spark, affected, snap).drop("__suffix")
+      else readLive(spark, affected, snap).drop("__suffix", "__pos")
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(deltaAligned)
     rewritten.write.partitionBy(snap.partitionCols: _*)
       .parquet(s"$root/data/s$version")
     val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
     val gone = affected.map(_.path).toSet
-    val out = Snapshot(version, snap.partitionCols,
-      snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
-      snap.statsKinds, operation = "merge", columns = snap.columns)
+    val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
+    val out = Snapshot(version, snap.partitionCols, outFiles,
+      snap.statsKinds, operation = "merge", columns = snap.columns,
+      deletes = carriedDeletes(snap.deletes, outFiles))
     writeManifest(spark, root, out)
     out
   }

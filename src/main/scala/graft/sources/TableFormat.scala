@@ -98,6 +98,24 @@ trait TableFormat {
    * The delta must carry exactly the table's columns. Returns the new
    * snapshot id. */
   def merge(delta: DataFrame, root: String, keyCols: Seq[String]): Long
+
+  /** MERGE-ON-READ row-level DELETE — Iceberg v2 position deletes
+   * (`write.delete.mode=merge-on-read` / `DELETE FROM` under a v2 spec):
+   * doomed (file, position) pairs are written as position-delete files
+   * and applied by readers, rewriting NO data files — the only delete
+   * shape that scales when scattered rows are deleted across very many
+   * large files. Same predicate semantics as [[deleteWhere]]. Returns
+   * the new snapshot id and the deleted-row count. */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): (Long, Long)
+
+  /** Fold pending position deletes into the data — Iceberg's
+   * `rewrite_position_delete_files` + data-file rewrite maintenance that
+   * caps merge-on-read read amplification. Rewrites only the targeted
+   * data files; logical content unchanged (a replace snapshot). Returns
+   * the resulting snapshot id (unchanged when nothing is pending). */
+  def materializeDeletes(spark: SparkSession, root: String): Long
 }
 
 /** [[SnapshotTable]] bound to the [[TableFormat]] seam — the in-sandbox
@@ -139,4 +157,14 @@ object SnapshotTableFormat extends TableFormat {
   override def merge(delta: DataFrame, root: String,
       keyCols: Seq[String]): Long =
     SnapshotTable.merge(delta, root, keyCols).version.toLong
+
+  override def deleteWhereMoR(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): (Long, Long) = {
+    val (snap, n) = SnapshotTable.deleteWhereMoR(spark, root, predicate, partitionFilter)
+    (snap.version.toLong, n)
+  }
+
+  override def materializeDeletes(spark: SparkSession, root: String): Long =
+    SnapshotTable.materializeDeletes(spark, root).version.toLong
 }

@@ -711,4 +711,153 @@ class SnapshotTableSpec extends SparkSuite {
     assert(accepted.isRight && accepted.toOption.get.version === 2)
     assert(SnapshotTable.read(spark, root).count() === 5)
   }
+
+  test("deleteWhereMoR: merge-on-read position deletes — no data file " +
+      "rewritten, reads/time travel/rowCount hold, deletes compose") {
+    val root = freshRoot()
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", null))
+      .toDF("id", "source", "payload").coalesce(1)
+    val s1 = SnapshotTable.commit(df, root, Seq("source"))
+
+    // a predicate matching nothing commits nothing (and reclaims its write)
+    val (same, zero) = SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "nope")
+    assert(zero === 0L && same.version === 1)
+    assert(!new java.io.File(root, "deletes/s2").exists())
+
+    val (s2, n) = SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "a-v1")
+    assert(n === 1L && s2.version === 2 && s2.operation === "delete")
+    // NO data file was rewritten — the manifest's data files are exactly v1's
+    assert(s2.files.map(_.path).sorted === s1.files.map(_.path).sorted)
+    assert(s2.deletes.size === 1 && s2.deletes.head.targets.values.sum === 1L)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() === 3)
+    assert(!cur.select("payload").collect().map(_.getString(0)).contains("a-v1"))
+    // NULL predicate result keeps the row (SQL DELETE semantics)
+    assert(cur.filter($"payload".isNull).count() === 1)
+    // time travel: the pre-delete snapshot is byte-complete
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 4)
+    // metadata-only count subtracts the recorded per-target delete counts
+    assert(SnapshotTable.rowCount(spark, root) === 3L)
+    assert(SnapshotTable.rowCount(spark, root, version = Some(1)) === 4L)
+    assert(SnapshotTable.rowCount(spark, root,
+      partitionFilter = Map("source" -> "src0")) === 1L)
+
+    // MoR deletes compose: a second delete sees only LIVE rows
+    val (s3, n2) = SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "b-v1")
+    assert(n2 === 1L && s3.version === 3 && s3.deletes.size === 2)
+    assert(SnapshotTable.read(spark, root).count() === 2)
+    assert(SnapshotTable.rowCount(spark, root) === 2L)
+    // re-deleting already-deleted rows matches nothing
+    val (_, n3) = SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "b-v1")
+    assert(n3 === 0L && SnapshotTable.currentVersion(spark, root) === Some(3))
+
+    // a MoR delete adds no data files: the incremental delta is empty
+    assert(SnapshotTable.changesBetween(spark, root, 1, 3).count() === 0)
+    // an append carries the pending deletes (no resurrection) and the
+    // delta delivers only the appended rows
+    SnapshotTable.commit(Seq((9L, "src0", "e-v4")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    assert(SnapshotTable.read(spark, root).count() === 3)
+    assert(SnapshotTable.rowCount(spark, root) === 3L)
+    assert(SnapshotTable.changesBetween(spark, root, 3, 4)
+      .select("payload").collect().map(_.getString(0)).toSeq === Seq("e-v4"))
+    // a delta straddling the MoR deletes applies them: v1 -> v4 delivers
+    // only the appended file's rows, never the deleted a/b
+    val d14 = SnapshotTable.changesBetween(spark, root, 1, 4)
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(d14 === Seq("e-v4"))
+  }
+
+  test("merge-on-read composes with CoW rewrites: merge/compact/materialize " +
+      "apply pending deletes and shed their entries") {
+    val root = freshRoot()
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", "d-v1"))
+      .toDF("id", "source", "payload").coalesce(1)
+    SnapshotTable.commit(df, root, Seq("source"))
+    SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "a-v1")
+    SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "c-v1")
+    assert(SnapshotTable.read(spark, root).count() === 2)
+
+    // a CoW merge rewriting src0's file applies its pending delete and
+    // sheds that entry; src1's pending delete survives untouched
+    val s4 = SnapshotTable.merge(
+      Seq((2L, "src0", "b-v2")).toDF("id", "source", "payload"), root, Seq("id"))
+    assert(s4.operation === "merge")
+    val after = SnapshotTable.read(spark, root)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(after === Seq("b-v2", "d-v1"))
+    // src0's delete entry is gone (its target was rewritten); src1's stays
+    assert(s4.deletes.size === 1)
+    assert(SnapshotTable.rowCount(spark, root) === 2L)
+
+    // materializeDeletes folds the remaining entry away: logical content
+    // unchanged, operation=replace, no pending deletes, time travel keeps
+    // the MoR view at the old version
+    val s5 = SnapshotTable.materializeDeletes(spark, root)
+    assert(s5.version === 5 && s5.operation === "replace" && s5.deletes.isEmpty)
+    val afterMat = SnapshotTable.read(spark, root)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(afterMat === Seq("b-v2", "d-v1"))
+    assert(SnapshotTable.rowCount(spark, root) === 2L)
+    assert(SnapshotTable.read(spark, root, version = Some(4)).count() === 2)
+    // idempotent: nothing pending -> returns the current snapshot
+    assert(SnapshotTable.materializeDeletes(spark, root).version === 5)
+    // incremental scans unwind the replace: no delta from the fold
+    assert(SnapshotTable.changesBetween(spark, root, 4, 5).count() === 0)
+
+    // compact also applies pending deletes on the files it rewrites
+    val root2 = freshRoot()
+    SnapshotTable.commit(df, root2, Seq("source"))
+    SnapshotTable.commit(Seq((5L, "src0", "e-v2")).toDF("id", "source", "payload")
+      .coalesce(1), root2, Seq("source"), overwritePartitions = false)
+    SnapshotTable.deleteWhereMoR(spark, root2, $"payload" === "b-v1")
+    val pre = SnapshotTable.read(spark, root2)
+      .select("id", "source", "payload").collect().map(_.toSeq).toSet
+    val c = SnapshotTable.compact(spark, root2)
+    assert(c.operation === "replace")
+    // read-equality through the rewrite, and src0's entry was shed
+    val post = SnapshotTable.read(spark, root2)
+      .select("id", "source", "payload").collect().map(_.toSeq).toSet
+    assert(post === pre)
+    assert(!c.deletes.exists(_.targets.keys.exists(_.contains("source=src0"))))
+    assert(SnapshotTable.rowCount(spark, root2) === pre.size.toLong)
+  }
+
+  test("merge-on-read maintenance: expiration reclaims only exclusively-" +
+      "referenced delete files; orphan sweep protects live ones") {
+    val root = freshRoot()
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", "d-v1"))
+      .toDF("id", "source", "payload").coalesce(1)
+    SnapshotTable.commit(df, root, Seq("source"))                  // v1
+    SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "a-v1") // v2
+    SnapshotTable.materializeDeletes(spark, root)                  // v3 folds it
+    SnapshotTable.commit(Seq((5L, "src1", "e-v4")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)            // v4
+    SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "c-v1") // v5 pending
+
+    // orphan sweep: the live delete files (v5's, still pending) survive;
+    // a crashed MoR write's leftovers are reclaimed
+    val crashed = new java.io.File(root, "deletes/s9/part-00000-crashed.parquet")
+    crashed.getParentFile.mkdirs()
+    java.nio.file.Files.write(crashed.toPath, Array[Byte](1, 2, 3))
+    val swept = SnapshotTable.removeOrphanFiles(spark, root, olderThanMs = -60000)
+    assert(swept.exists(_.contains("crashed")) && !crashed.exists())
+    assert(SnapshotTable.read(spark, root).count() === 3) // v5 view intact
+
+    // expire everything before v4: v2's delete files are referenced by
+    // NO surviving snapshot and go; v5's pending files are untouched
+    val delFilesBefore = new java.io.File(root, "deletes").listFiles().map(_.getName).toSet
+    assert(delFilesBefore.contains("s2") && delFilesBefore.contains("s5"))
+    val expired = SnapshotTable.expireSnapshots(spark, root, keepLast = 2)
+    assert(expired === Seq(1, 2, 3))
+    val delFilesAfter = new java.io.File(root, "deletes").listFiles()
+      .filter(d => d.listFiles() != null && d.listFiles().nonEmpty)
+      .map(_.getName).toSet
+    assert(!delFilesAfter.contains("s2") && delFilesAfter.contains("s5"))
+    assert(SnapshotTable.read(spark, root).count() === 3)
+    assert(SnapshotTable.rowCount(spark, root) === 3L)
+  }
 }

@@ -101,4 +101,23 @@ class TableFormatSpec extends SparkSuite {
     assert(fmt.read(spark, root, version = Some(v1)).count() === 4)
     assert(fmt.read(spark, root, version = Some(v2)).count() === 3)
   }
+
+  test("conformance: merge-on-read delete and materialization through the seam") {
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1").coalesce(1), root, Seq("source"))
+    val (v2, n) = fmt.deleteWhereMoR(spark, root, col("payload") === "b-v1")
+    assert(v2 === v1 + 1 && n === 1L)
+    assert(fmt.read(spark, root).count() === 3)
+    // no-match MoR delete commits nothing
+    val (sameV, zero) = fmt.deleteWhereMoR(spark, root, col("payload") === "nope")
+    assert(sameV === v2 && zero === 0L)
+    // materialize folds the pending deletes; content unchanged
+    val v3 = fmt.materializeDeletes(spark, root)
+    assert(v3 === v2 + 1)
+    assert(fmt.read(spark, root).count() === 3)
+    assert(fmt.materializeDeletes(spark, root) === v3) // idempotent
+    // time travel through the seam: pre-delete and MoR views both hold
+    assert(fmt.read(spark, root, version = Some(v1)).count() === 4)
+    assert(fmt.read(spark, root, version = Some(v2)).count() === 3)
+  }
 }
