@@ -61,6 +61,17 @@ object SnapshotTable {
    * target is live. */
   final case class DeleteEntry(paths: Seq[String], targets: Map[String, Long])
 
+  /** One merge-on-read key-based DELETE commit's equality-delete files —
+   * the Iceberg v2 equality-delete shape: `paths` are parquet files of
+   * doomed key tuples (columns = `keyCols`), applying to every row of a
+   * data file written BEFORE the delete (file sequence < `version` — the
+   * sequence-number rule that lets a later re-insert of the same key
+   * survive). `rows` is the key count. Committing one reads NOTHING —
+   * the streaming-CDC ingest shape; the cost moves to the read side
+   * until [[materializeDeletes]] folds it. */
+  final case class EqDeleteEntry(paths: Seq[String], keyCols: Seq[String],
+      version: Int, rows: Long)
+
   /** `operation` is the Iceberg snapshot-summary operation kind:
    * "write" (append / dynamic overwrite — the data-changing commits) or
    * "replace" (a [[compact]] rewrite — logically a no-op). Incremental
@@ -78,7 +89,8 @@ object SnapshotTable {
       statsKinds: Map[String, String] = Map.empty,
       operation: String = "write",
       columns: Seq[(String, String)] = Seq.empty,
-      deletes: Seq[DeleteEntry] = Seq.empty)
+      deletes: Seq[DeleteEntry] = Seq.empty,
+      eqDeletes: Seq[EqDeleteEntry] = Seq.empty)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -144,6 +156,16 @@ object SnapshotTable {
         val pn = dn.putArray("paths"); d.paths.foreach(pn.add)
         val tn = dn.putObject("targets")
         d.targets.foreach { case (suf, n) => tn.put(suf, n) }
+      }
+    }
+    if (s.eqDeletes.nonEmpty) {
+      val el = node.putArray("eqDeletes")
+      s.eqDeletes.foreach { e =>
+        val en = el.addObject()
+        val pn = en.putArray("paths"); e.paths.foreach(pn.add)
+        val kn = en.putArray("keyCols"); e.keyCols.foreach(kn.add)
+        en.put("version", e.version)
+        en.put("rows", e.rows)
       }
     }
     mapper.writeValueAsBytes(node)
@@ -251,9 +273,18 @@ object SnapshotTable {
         while (it.hasNext) { val e = it.next(); targets(e.getKey) = e.getValue.asLong() }
         DeleteEntry(paths, targets.toMap)
       }
+    val eqDeletes: Seq[EqDeleteEntry] =
+      if (!node.has("eqDeletes")) Seq.empty
+      else (0 until node.get("eqDeletes").size()).map { i =>
+        val en = node.get("eqDeletes").get(i)
+        EqDeleteEntry(
+          (0 until en.get("paths").size()).map(en.get("paths").get(_).asText()),
+          (0 until en.get("keyCols").size()).map(en.get("keyCols").get(_).asText()),
+          en.get("version").asInt(), en.get("rows").asLong())
+      }
     Snapshot(v, pcols, files, kinds.toMap,
       if (node.has("operation")) node.get("operation").asText() else "write",
-      columns, deletes)
+      columns, deletes, eqDeletes)
   }
 
   // --- commit --------------------------------------------------------------
@@ -347,7 +378,9 @@ object SnapshotTable {
       else prev.map(_.statsKinds).getOrElse(Map.empty),
       columns = dataSchema,
       deletes = carriedDeletes(
-        prev.map(_.deletes).getOrElse(Seq.empty), carried ++ statted))
+        prev.map(_.deletes).getOrElse(Seq.empty), carried ++ statted),
+      eqDeletes = carriedEqDeletes(
+        prev.map(_.eqDeletes).getOrElse(Seq.empty), carried ++ statted))
     if (staged) writeStagedManifest(spark, root, snap)
     else writeManifest(spark, root, snap)
     snap
@@ -631,17 +664,20 @@ object SnapshotTable {
     // `_metadata` pseudo-column only resolves on the scan relation
     val withRelAll = raw.withColumn("__rel",
       regexp_replace(col("_metadata.file_path"), "^.*?/data/s\\d+/", ""))
-    // a rewrite must APPLY pending MoR position deletes aimed at its
-    // inputs (Iceberg's rewrite_data_files contract) — the rewritten
-    // files then shed their delete entries via carriedDeletes below
+    // a rewrite must APPLY pending MoR position and equality deletes
+    // aimed at its inputs (Iceberg's rewrite_data_files contract) — the
+    // rewritten files then shed their entries via carriedDeletes /
+    // carriedEqDeletes below
     val withRel =
-      if (liveDeletes(snap, toRewrite).isEmpty) withRelAll
-      else applyDeletes(
-        withRelAll.withColumn("__suffix",
+      if (noPendingDeletes(snap, toRewrite)) withRelAll
+      else {
+        val tagged = withRelAll.withColumn("__suffix",
             org.apache.spark.sql.functions.regexp_extract(
               col("_metadata.file_path"), "(/data/s\\d+/.*)$", 1))
-          .withColumn("__pos", col("_metadata.row_index")),
-        snap, toRewrite).drop("__suffix", "__pos")
+          .withColumn("__pos", col("_metadata.row_index"))
+        applyEqDeletes(applyDeletes(tagged, snap, toRewrite), snap, toRewrite)
+          .drop("__suffix", "__pos")
+      }
     // a recorded column no candidate file carries yet (evolution landed,
     // these partitions not rewritten since) materializes as typed NULL
     val patched = snap.columns
@@ -688,7 +724,8 @@ object SnapshotTable {
     val carried = snap.files.filterNot(fe => rewritten.contains(fe.path))
     val out = Snapshot(version, pcols, carried ++ statted, snap.statsKinds,
       operation = "replace", columns = snap.columns,
-      deletes = carriedDeletes(snap.deletes, carried ++ statted))
+      deletes = carriedDeletes(snap.deletes, carried ++ statted),
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, carried ++ statted))
     writeManifest(spark, root, out)
     out
   }
@@ -720,12 +757,14 @@ object SnapshotTable {
         .exists(new Path(root, s"metadata/v$v.json")))
       .flatMap { v =>
         val s = snapshot(spark, root, Some(v))
-        s.files.map(_.path) ++ s.deletes.flatMap(_.paths)
+        s.files.map(_.path) ++ s.deletes.flatMap(_.paths) ++
+          s.eqDeletes.flatMap(_.paths)
       }.toSet
     val f = fs(spark, new Path(root))
     expired.foreach { v =>
       val s = snapshot(spark, root, Some(v))
-      (s.files.map(_.path) ++ s.deletes.flatMap(_.paths))
+      (s.files.map(_.path) ++ s.deletes.flatMap(_.paths) ++
+          s.eqDeletes.flatMap(_.paths))
         .filterNot(live.contains)
         .foreach(p => f.delete(new Path(p), false))
       f.delete(new Path(root, s"metadata/v$v.json"), false)
@@ -760,7 +799,8 @@ object SnapshotTable {
     val referenced: Set[String] = {
       val metaDir = new Path(root, "metadata")
       def refs(s: Snapshot): Seq[String] =
-        s.files.map(_.path) ++ s.deletes.flatMap(_.paths)
+        s.files.map(_.path) ++ s.deletes.flatMap(_.paths) ++
+          s.eqDeletes.flatMap(_.paths)
       val chain =
         if (!f.exists(metaDir)) Seq.empty
         else f.listStatus(metaDir).toSeq.map(_.getPath)
@@ -850,10 +890,11 @@ object SnapshotTable {
             org.apache.spark.sql.types.StructType(fields))
       }
     }
-    // merge-on-read: when any pending position-delete entry targets a
-    // surviving file, read through the delete-applying path (the plain
-    // sliceRead stays the fast path — no metadata columns, no join)
-    if (liveDeletes(snap, survivors).isEmpty) sliceRead(spark, survivors, snap)
+    // merge-on-read: when any pending position- or equality-delete entry
+    // targets a surviving file, read through the delete-applying path
+    // (the plain sliceRead stays the fast path — no metadata columns, no
+    // joins)
+    if (noPendingDeletes(snap, survivors)) sliceRead(spark, survivors, snap)
     else readLive(spark, survivors, snap).drop("__suffix", "__pos")
   }
 
@@ -943,7 +984,7 @@ object SnapshotTable {
       val any = to.files.headOption.getOrElse(
         throw new IllegalStateException("empty snapshot"))
       sliceRead(spark, Seq(any), to).filter(org.apache.spark.sql.functions.lit(false))
-    } else if (liveDeletes(to, added).isEmpty) sliceRead(spark, added, to)
+    } else if (noPendingDeletes(to, added)) sliceRead(spark, added, to)
     // apply the TO-version's pending MoR deletes to the delta so an
     // incremental consumer never re-ingests rows already deleted at `to`
     else readLive(spark, added, to).drop("__suffix", "__pos")
@@ -967,6 +1008,12 @@ object SnapshotTable {
     require(survivors.forall(_.rows >= 0),
       "manifest predates per-file row counts; re-commit or use read().count()")
     val sufs = survivors.map(fe => pathSuffix(fe.path)).toSet
+    // pending EQUALITY deletes make metadata counts inexact (matched-row
+    // counts are unknowable without a scan — the cost the zero-read
+    // commit deferred); fail loud like the legacy-manifest path
+    require(liveEqDeletes(snap, survivors).isEmpty,
+      "pending equality deletes make metadata row counts inexact — " +
+        "materializeDeletes first or use read().count()")
     // MoR position deletes: each entry records per-target deleted-row
     // counts exactly so this stays a metadata-only sum
     val pendingDeleted = snap.deletes.iterator
@@ -1034,12 +1081,61 @@ object SnapshotTable {
     df.join(delSide, Seq("__suffix", "__pos"), "left_anti")
   }
 
+  /** A data file's snapshot sequence — the `N` of its `/data/sN/` tree.
+   * Equality deletes apply only to files with a LOWER sequence than the
+   * delete commit (Iceberg's sequence-number rule), so a key re-inserted
+   * after the delete survives. */
+  private def fileSeq(suffix: String): Int = {
+    val m = "^/data/s(\\d+)/".r.findFirstMatchIn(suffix)
+    require(m.isDefined, s"suffix $suffix is not under a snapshot tree")
+    m.get.group(1).toInt
+  }
+
+  /** The snapshot's equality-delete entries still aimed at any of
+   * `files` (some file's sequence precedes the entry). */
+  private def liveEqDeletes(snap: Snapshot,
+      files: Seq[FileEntry]): Seq[EqDeleteEntry] = {
+    if (snap.eqDeletes.isEmpty || files.isEmpty) return Seq.empty
+    val minSeq = files.iterator.map(fe => fileSeq(pathSuffix(fe.path))).min
+    snap.eqDeletes.filter(_.version > minSeq)
+  }
+
+  /** Anti-join pending equality deletes out of a [[readWithSuffix]]
+   * frame: each entry's key tuples drop every matching row whose data
+   * file sequence precedes the delete commit. One anti-join per pending
+   * entry ([[materializeDeletes]] and the CoW rewriters keep that list
+   * short); broadcast below the same threshold as position deletes.
+   * NULL key components never match (SQL equality). */
+  private def applyEqDeletes(df: DataFrame, snap: Snapshot,
+      files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit, regexp_extract}
+    val rel = liveEqDeletes(snap, files)
+    if (rel.isEmpty) return df
+    val spark = df.sparkSession
+    val withSeq = df.withColumn("__seq",
+      regexp_extract(col("__suffix"), "^/data/s(\\d+)/", 1).cast("int"))
+    rel.foldLeft(withSeq) { (acc, e) =>
+      val k = spark.read.parquet(e.paths: _*)
+      val kSide = if (e.rows <= 5000000L) broadcast(k) else k
+      val cond = e.keyCols.map(c => acc(c) === kSide(c)).reduce(_ && _) &&
+        acc("__seq") < lit(e.version)
+      acc.join(kSide, cond, "left_anti")
+    }.drop("__seq")
+  }
+
   /** The LOGICAL rows of `files` — [[readWithSuffix]] with pending MoR
-   * position deletes applied. Every copy-on-write planner/rewriter and
-   * the delete-aware read path go through this. */
+   * position AND equality deletes applied. Every copy-on-write
+   * planner/rewriter and the delete-aware read path go through this. */
   private def readLive(spark: SparkSession, files: Seq[FileEntry],
       snap: Snapshot): DataFrame =
-    applyDeletes(readWithSuffix(spark, files, snap), snap, files)
+    applyEqDeletes(
+      applyDeletes(readWithSuffix(spark, files, snap), snap, files),
+      snap, files)
+
+  /** True when `files` carry NO pending delete work of either kind —
+   * the plain [[sliceRead]] fast path (no metadata columns, no joins). */
+  private def noPendingDeletes(snap: Snapshot, files: Seq[FileEntry]): Boolean =
+    liveDeletes(snap, files).isEmpty && liveEqDeletes(snap, files).isEmpty
 
   /** Carry delete entries into a successor manifest: each entry keeps
    * only targets still present in `liveFiles` (a CoW rewrite applied the
@@ -1052,6 +1148,16 @@ object SnapshotTable {
     val live = liveFiles.map(fe => pathSuffix(fe.path)).toSet
     deletes.map(d => d.copy(targets = d.targets.filter { case (s, _) => live(s) }))
       .filter(_.targets.nonEmpty)
+  }
+
+  /** Carry equality-delete entries: an entry survives only while some
+   * live file's sequence precedes it (a CoW rewrite's output carries a
+   * HIGHER sequence, so rewriting the last old file retires the entry). */
+  private def carriedEqDeletes(eqDeletes: Seq[EqDeleteEntry],
+      liveFiles: Seq[FileEntry]): Seq[EqDeleteEntry] = {
+    if (eqDeletes.isEmpty || liveFiles.isEmpty) return Seq.empty
+    val minSeq = liveFiles.iterator.map(fe => fileSeq(pathSuffix(fe.path))).min
+    eqDeletes.filter(_.version > minSeq)
   }
 
   /**
@@ -1107,7 +1213,8 @@ object SnapshotTable {
     val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
     val out = Snapshot(version, snap.partitionCols, outFiles,
       snap.statsKinds, operation = "delete", columns = snap.columns,
-      deletes = carriedDeletes(snap.deletes, outFiles))
+      deletes = carriedDeletes(snap.deletes, outFiles),
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles))
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1173,9 +1280,64 @@ object SnapshotTable {
     val out = Snapshot(version, snap.partitionCols, snap.files,
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, snap.files) :+
-        DeleteEntry(delFiles, perTarget))
+        DeleteEntry(delFiles, perTarget),
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files))
     writeManifest(spark, root, out)
     (out, nDeleted)
+  }
+
+  /**
+   * Key-based row-level DELETE, merge-on-read — the Iceberg v2
+   * EQUALITY-delete shape and the streaming-CDC ingest primitive:
+   * committing reads NOTHING (the doomed keys are written as an
+   * equality-delete file and the manifest gains one entry — constant
+   * metadata work no matter how large the table), where even
+   * [[deleteWhereMoR]] must scan candidates to find positions. The cost
+   * moves wholly to the read side: readers anti-join each pending
+   * entry's keys against every data file whose snapshot SEQUENCE
+   * precedes the delete commit (the Iceberg sequence-number rule — a
+   * row re-inserted for the same key AFTER the delete survives, which
+   * is exactly upsert-stream semantics). NULL key components never
+   * match. Because nothing was scanned, matched-row counts are unknown:
+   * [[rowCount]] fails loud while equality deletes pend, and
+   * [[materializeDeletes]] (or any CoW rewrite of the older files)
+   * folds them away. Returns the new snapshot and the DISTINCT KEY
+   * count (not a row count); an empty key frame commits nothing.
+   */
+  def deleteByKeysMoR(keys: DataFrame, root: String,
+      keyCols: Seq[String]): (Snapshot, Long) = {
+    val spark = keys.sparkSession
+    require(keyCols.nonEmpty, "deleteByKeysMoR needs at least one key column")
+    requireNoPendingStage(spark, root)
+    val snap = snapshot(spark, root)
+    if (snap.columns.nonEmpty) {
+      val tableCols = snap.columns.map(_._1) ++ snap.partitionCols
+      keyCols.foreach(c => require(tableCols.contains(c),
+        s"deleteByKeysMoR key '$c' is not a table column (${tableCols.mkString(", ")})"))
+    }
+    val version = snap.version + 1
+    val delDir = s"$root/deletes/s$version"
+    // NULL key components never match (SQL equality) — drop such tuples
+    keys.select(keyCols.map(col): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct()
+      .write.parquet(delDir)
+    val f = fs(spark, new Path(delDir))
+    val nKeys = spark.read.parquet(delDir).count()
+    if (nKeys == 0L) { // nothing to delete: reclaim the empty write
+      f.delete(new Path(delDir), true)
+      return (snap, 0L)
+    }
+    val delFiles = f.listStatus(new Path(delDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val out = Snapshot(version, snap.partitionCols, snap.files,
+      snap.statsKinds, operation = "delete", columns = snap.columns,
+      deletes = carriedDeletes(snap.deletes, snap.files),
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files) :+
+        EqDeleteEntry(delFiles, keyCols, version, nKeys))
+    writeManifest(spark, root, out)
+    (out, nKeys)
   }
 
   /**
@@ -1190,8 +1352,12 @@ object SnapshotTable {
   def materializeDeletes(spark: SparkSession, root: String): Snapshot = {
     requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
-    val targeted = snap.files.filter(fe =>
-      snap.deletes.exists(_.targets.contains(pathSuffix(fe.path))))
+    val maxEqVersion = snap.eqDeletes.map(_.version).maxOption.getOrElse(0)
+    val targeted = snap.files.filter { fe =>
+      val suf = pathSuffix(fe.path)
+      snap.deletes.exists(_.targets.contains(suf)) ||
+        fileSeq(suf) < maxEqVersion // equality deletes hit every older file
+    }
     if (targeted.isEmpty) return snap
     val version = snap.version + 1
     readLive(spark, targeted, snap)
@@ -1202,7 +1368,7 @@ object SnapshotTable {
     val out = Snapshot(version, snap.partitionCols,
       snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
       snap.statsKinds, operation = "replace", columns = snap.columns,
-      deletes = Seq.empty)
+      deletes = Seq.empty, eqDeletes = Seq.empty)
     writeManifest(spark, root, out)
     out
   }
@@ -1284,7 +1450,8 @@ object SnapshotTable {
     val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
     val out = Snapshot(version, snap.partitionCols, outFiles,
       snap.statsKinds, operation = "delete", columns = snap.columns,
-      deletes = carriedDeletes(snap.deletes, outFiles))
+      deletes = carriedDeletes(snap.deletes, outFiles),
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles))
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1377,7 +1544,8 @@ object SnapshotTable {
     val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
     val out = Snapshot(version, snap.partitionCols, outFiles,
       snap.statsKinds, operation = "merge", columns = snap.columns,
-      deletes = carriedDeletes(snap.deletes, outFiles))
+      deletes = carriedDeletes(snap.deletes, outFiles),
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles))
     writeManifest(spark, root, out)
     out
   }

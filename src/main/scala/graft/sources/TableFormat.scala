@@ -110,11 +110,22 @@ trait TableFormat {
       predicate: org.apache.spark.sql.Column,
       partitionFilter: Map[String, String] = Map.empty): (Long, Long)
 
-  /** Fold pending position deletes into the data — Iceberg's
-   * `rewrite_position_delete_files` + data-file rewrite maintenance that
-   * caps merge-on-read read amplification. Rewrites only the targeted
-   * data files; logical content unchanged (a replace snapshot). Returns
-   * the resulting snapshot id (unchanged when nothing is pending). */
+  /** MERGE-ON-READ key-based DELETE — Iceberg v2 EQUALITY deletes, the
+   * streaming-CDC ingest primitive: commits with ZERO table I/O (the
+   * key tuples become an equality-delete file), applying to every data
+   * file whose sequence precedes the delete so later re-inserts of the
+   * same key survive. Returns the new snapshot id and the distinct key
+   * count (matched rows are unknowable without a scan — metadata row
+   * counts fail loud until materialization). */
+  def deleteByKeysMoR(keys: DataFrame, root: String,
+      keyCols: Seq[String]): (Long, Long)
+
+  /** Fold pending position AND equality deletes into the data —
+   * Iceberg's `rewrite_position_delete_files` + data-file rewrite
+   * maintenance that caps merge-on-read read amplification. Rewrites
+   * only the targeted data files; logical content unchanged (a replace
+   * snapshot). Returns the resulting snapshot id (unchanged when
+   * nothing is pending). */
   def materializeDeletes(spark: SparkSession, root: String): Long
 }
 
@@ -162,6 +173,12 @@ object SnapshotTableFormat extends TableFormat {
       predicate: org.apache.spark.sql.Column,
       partitionFilter: Map[String, String] = Map.empty): (Long, Long) = {
     val (snap, n) = SnapshotTable.deleteWhereMoR(spark, root, predicate, partitionFilter)
+    (snap.version.toLong, n)
+  }
+
+  override def deleteByKeysMoR(keys: DataFrame, root: String,
+      keyCols: Seq[String]): (Long, Long) = {
+    val (snap, n) = SnapshotTable.deleteByKeysMoR(keys, root, keyCols)
     (snap.version.toLong, n)
   }
 

@@ -825,6 +825,59 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.rowCount(spark, root2) === pre.size.toLong)
   }
 
+  test("deleteByKeysMoR: equality deletes — zero-read commit, sequence " +
+      "semantics let re-inserts survive, rowCount fails loud until folded") {
+    val root = freshRoot()
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", "d-v1"))
+      .toDF("id", "source", "payload").coalesce(1)
+    val s1 = SnapshotTable.commit(df, root, Seq("source"))
+
+    // an empty (or all-NULL-key) frame commits nothing
+    val (same, zeroK) = SnapshotTable.deleteByKeysMoR(
+      Seq[Option[Long]](None).toDF("id"), root, Seq("id"))
+    assert(zeroK === 0L && same.version === 1)
+
+    // the delete commit returns the KEY count and rewrites no data file
+    val keys = Seq[Option[Long]](Some(1L), Some(3L), None).toDF("id")
+    val (s2, nk) = SnapshotTable.deleteByKeysMoR(keys, root, Seq("id"))
+    assert(nk === 2L && s2.version === 2 && s2.operation === "delete")
+    assert(s2.files.map(_.path).sorted === s1.files.map(_.path).sorted)
+    assert(s2.eqDeletes.size === 1 && s2.eqDeletes.head.version === 2)
+    assert(SnapshotTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+    // time travel: pre-delete snapshot intact
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 4)
+    // matched-row counts are unknowable without a scan: fail loud
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.rowCount(spark, root) }
+    assert(ex.getMessage.contains("equality deletes"))
+
+    // SEQUENCE semantics: re-inserting id=1 AFTER the delete survives —
+    // the new file's sequence exceeds the delete commit's
+    SnapshotTable.commit(Seq((1L, "src0", "a-v3")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val after = SnapshotTable.read(spark, root)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === Set((1L, "a-v3"), (2L, "b-v1"), (4L, "d-v1")))
+    // the incremental delta delivers the re-insert (not the deleted rows)
+    assert(SnapshotTable.changesBetween(spark, root, 2, 3)
+      .select("payload").collect().map(_.getString(0)).toSeq === Seq("a-v3"))
+
+    // materialization folds equality deletes: content unchanged, entries
+    // gone, metadata counts work again; combined with a position delete
+    SnapshotTable.deleteWhereMoR(spark, root, $"payload" === "b-v1")
+    assert(SnapshotTable.read(spark, root).count() === 2)
+    val s5 = SnapshotTable.materializeDeletes(spark, root)
+    assert(s5.operation === "replace" && s5.deletes.isEmpty && s5.eqDeletes.isEmpty)
+    assert(SnapshotTable.read(spark, root)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a-v3"), (4L, "d-v1")))
+    assert(SnapshotTable.rowCount(spark, root) === 2L)
+    // the folded view time-travels: the MoR version still applies its deletes
+    assert(SnapshotTable.read(spark, root, version = Some(4)).count() === 2)
+  }
+
   test("merge-on-read maintenance: expiration reclaims only exclusively-" +
       "referenced delete files; orphan sweep protects live ones") {
     val root = freshRoot()

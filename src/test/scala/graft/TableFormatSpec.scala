@@ -111,10 +111,15 @@ class TableFormatSpec extends SparkSuite {
     // no-match MoR delete commits nothing
     val (sameV, zero) = fmt.deleteWhereMoR(spark, root, col("payload") === "nope")
     assert(sameV === v2 && zero === 0L)
+    // equality delete through the seam: zero-read commit, key count back
+    val (v3e, keysN) = fmt.deleteByKeysMoR(
+      Seq(3L).toDF("id"), root, Seq("id"))
+    assert(v3e === v2 + 1 && keysN === 1L)
+    assert(fmt.read(spark, root).count() === 2)
     // materialize folds the pending deletes; content unchanged
     val v3 = fmt.materializeDeletes(spark, root)
-    assert(v3 === v2 + 1)
-    assert(fmt.read(spark, root).count() === 3)
+    assert(v3 === v3e + 1)
+    assert(fmt.read(spark, root).count() === 2)
     assert(fmt.materializeDeletes(spark, root) === v3) // idempotent
     // time travel through the seam: pre-delete and MoR views both hold
     assert(fmt.read(spark, root, version = Some(v1)).count() === 4)
