@@ -61,11 +61,21 @@ object Quarantine {
    * commits nothing to either root. `quarantinePartitionCols` defaults to
    * the source table's own partitioning (quarantined rows keep their
    * locality so the merge-back prunes the same way).
+   *
+   * `mor = true` switches the delete leg to MERGE-ON-READ position
+   * deletes ([[SnapshotTable.deleteWhereMoR]]): the quarantine rewrites
+   * NO data files — the right shape when a daily validation pass flags a
+   * trickle of rows scattered across a 10^12-file table, where the
+   * copy-on-write delete would rewrite every touched file in full.
+   * Per-target counts keep `rowCount` (and this method's `remaining`)
+   * metadata-exact; fold the accumulated delete files with
+   * [[SnapshotTable.materializeDeletes]] on the maintenance cadence.
    */
   def quarantineInvalid(spark: SparkSession, root: String,
       quarantineRoot: String, checklist: Checklist, rowIdCol: String,
       quarantinePartitionCols: Seq[String] = Seq.empty,
-      verboseErrors: Boolean = false): QuarantineResult = {
+      verboseErrors: Boolean = false,
+      mor: Boolean = false): QuarantineResult = {
     // delete FIRST: a fully-valid table commits nothing to either root
     // (deleteWhere no-ops on zero matches). The doomed rows stay readable
     // for the quarantine write through the pre-delete snapshot — that is
@@ -74,8 +84,11 @@ object Quarantine {
     val qPartCols =
       if (quarantinePartitionCols.nonEmpty) quarantinePartitionCols
       else SnapshotTable.snapshot(spark, root).partitionCols
-    val (tSnap, deleted) = SnapshotTable.deleteWhere(spark, root,
-      size(compiled.violations) > 0)
+    val (tSnap, deleted) =
+      if (mor) SnapshotTable.deleteWhereMoR(spark, root,
+        size(compiled.violations) > 0)
+      else SnapshotTable.deleteWhere(spark, root,
+        size(compiled.violations) > 0)
     val qVersion = SnapshotTable.currentVersion(spark, quarantineRoot)
       .getOrElse(0).toLong
     if (deleted == 0L)

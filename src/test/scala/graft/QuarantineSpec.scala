@@ -94,4 +94,42 @@ class QuarantineSpec extends SparkSuite {
     assert(r2.quarantined === 0L && r2.remaining === 6L)
     assert(r2.tableVersion === c.tableVersion && r2.quarantineVersion === c.quarantineVersion)
   }
+
+  test("merge-on-read quarantine: invalid rows leave the table without " +
+      "rewriting a single data file; the loop still closes") {
+    val root = freshRoot(); val qRoot = freshRoot()
+    val s1 = SnapshotTable.commit(corpus().repartition(3), root, Seq("repo"))
+
+    val r = Quarantine.quarantineInvalid(spark, root, qRoot, checklist,
+      rowIdCol = "path", mor = true)
+    assert(r.quarantined === 2L && r.remaining === 4L)
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    // the MoR point: the table's data files are EXACTLY the v1 set —
+    // nothing was rewritten, the invalid rows pend as position deletes
+    val s2 = SnapshotTable.snapshot(spark, root)
+    assert(s2.files.map(_.path).sorted === s1.files.map(_.path).sorted)
+    assert(s2.deletes.nonEmpty)
+    // metadata row counts stay exact under position deletes
+    assert(SnapshotTable.rowCount(spark, root) === 4L)
+    // error wording identical to the CoW path
+    val q = SnapshotTable.read(spark, qRoot)
+    assert(q.filter(col("path") === "d/bad.pl")
+      .select(Quarantine.ErrorCol).head().getString(0) ===
+      "[errors found on row d/bad.pl] [value in field 'lang' is not valid]")
+
+    // fixes merge home: the merge rewrites the touched files, applies the
+    // pending deletes there, and retires the quarantine rows
+    val fixed = q.drop(Quarantine.ErrorCol)
+      .withColumn("lang", when(col("lang") === "perl", "python").otherwise(col("lang")))
+      .withColumn("content", coalesce(col("content"), lit("fixed")))
+    val c = Quarantine.mergeCorrections(fixed, root, qRoot, checklist,
+      Seq("repo", "path", "commit"))
+    assert(c.retired === 2L)
+    assert(SnapshotTable.read(spark, root).count() === 6)
+    assert(SnapshotTable.read(spark, qRoot).count() === 0)
+    // a second MoR pass over the now-clean table commits nothing
+    val r2 = Quarantine.quarantineInvalid(spark, root, qRoot, checklist,
+      "path", mor = true)
+    assert(r2.quarantined === 0L && r2.remaining === 6L)
+  }
 }
