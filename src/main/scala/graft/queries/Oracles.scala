@@ -1777,7 +1777,7 @@ ORDER BY id_a, id_b"""
       |  SELECT l_partkey AS key, count(*) AS n_b FROM lineitem
       |  WHERE l_partkey IS NOT NULL AND l_quantity > 25 GROUP BY 1)
       |SELECT ca.key, ca.n_a, cb.n_b,
-      |  CAST(ca.n_a AS DECIMAL(38,0)) * cb.n_b AS n_out
+      |  CAST(CAST(ca.n_a AS HUGEINT) * cb.n_b AS DECIMAL(38,0)) AS n_out
       |FROM ca JOIN cb USING (key)
       |ORDER BY n_out DESC, key ASC LIMIT 10""".stripMargin
 

@@ -91,9 +91,12 @@ object Quarantine {
         size(compiled.violations) > 0)
     val qVersion = SnapshotTable.currentVersion(spark, quarantineRoot)
       .getOrElse(0).toLong
+    // rowCountOrScan, not rowCount: the table may carry pending EQUALITY
+    // deletes (CDC via deleteByKeysMoR) that make metadata counts
+    // inexact — `remaining` must not abort an already-committed pass
     if (deleted == 0L)
       return QuarantineResult(tSnap.version.toLong, qVersion, 0L,
-        SnapshotTable.rowCount(spark, root))
+        SnapshotTable.rowCountOrScan(spark, root))
 
     val before = SnapshotTable.read(spark, root,
       version = Some(tSnap.version - 1))
@@ -110,7 +113,7 @@ object Quarantine {
       s"the delete removed $deleted rows but quarantine captured $quarantined — " +
         "the checklist verdict must be deterministic")
     QuarantineResult(tSnap.version.toLong, qSnap.version.toLong,
-      quarantined, SnapshotTable.rowCount(spark, root))
+      quarantined, SnapshotTable.rowCountOrScan(spark, root))
   }
 
   /**

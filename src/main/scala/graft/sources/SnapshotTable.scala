@@ -663,28 +663,32 @@ object SnapshotTable {
     // all metadata-derived columns materialize BEFORE any join — the
     // `_metadata` pseudo-column only resolves on the scan relation
     val withRelAll = raw.withColumn("__rel",
-      regexp_replace(col("_metadata.file_path"), "^.*?/data/s\\d+/", ""))
+        regexp_replace(col("_metadata.file_path"), "^.*?/data/s\\d+/", ""))
+      .withColumn("__suffix",
+        org.apache.spark.sql.functions.regexp_extract(
+          col("_metadata.file_path"), "(/data/s\\d+/.*)$", 1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    // partition columns and evolution-added columns materialize BEFORE
+    // pending deletes apply: an equality-delete entry may legally key on
+    // either (deleteByKeysMoR validates against table cols INCLUDING
+    // partition cols), and the recursive read carries neither. Partition
+    // values come from the routing frame's manifest values; columns no
+    // candidate file carries yet become typed NULLs.
+    val joined0 = withRelAll.join(routing, "__rel")
+    val withPart = pcols.zipWithIndex.foldLeft(joined0) { case (d, (c, i)) =>
+      d.withColumn(c, element_at(col("__pv"), i + 1)) }
+    val patched = snap.columns
+      .filterNot { case (n, _) => raw.columns.contains(n) }
+      .foldLeft(withPart) { case (d, (n, t)) =>
+        d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t)) }
     // a rewrite must APPLY pending MoR position and equality deletes
     // aimed at its inputs (Iceberg's rewrite_data_files contract) — the
     // rewritten files then shed their entries via carriedDeletes /
     // carriedEqDeletes below
-    val withRel =
-      if (noPendingDeletes(snap, toRewrite)) withRelAll
-      else {
-        val tagged = withRelAll.withColumn("__suffix",
-            org.apache.spark.sql.functions.regexp_extract(
-              col("_metadata.file_path"), "(/data/s\\d+/.*)$", 1))
-          .withColumn("__pos", col("_metadata.row_index"))
-        applyEqDeletes(applyDeletes(tagged, snap, toRewrite), snap, toRewrite)
-          .drop("__suffix", "__pos")
-      }
-    // a recorded column no candidate file carries yet (evolution landed,
-    // these partitions not rewritten since) materializes as typed NULL
-    val patched = snap.columns
-      .filterNot { case (n, _) => raw.columns.contains(n) }
-      .foldLeft(withRel) { case (d, (n, t)) =>
-        d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t)) }
-    val joined = patched.join(routing, "__rel")
+    val joined =
+      if (noPendingDeletes(snap, toRewrite)) patched
+      else applyEqDeletes(applyDeletes(patched, snap, toRewrite),
+        snap, toRewrite)
     val outCols = dataCols.map(col) ++ pcols.zipWithIndex.map { case (c, i) =>
       element_at(col("__pv"), i + 1).as(c) }
     val spread =
@@ -1022,6 +1026,20 @@ object SnapshotTable {
     survivors.map(_.rows).sum - pendingDeleted
   }
 
+  /** Exact current row count that never refuses: the metadata-only
+   * [[rowCount]] when it is exact, otherwise a distributed
+   * `read().count()` (pending equality deletes or a legacy manifest
+   * make metadata counts inexact). For callers that report a count
+   * AFTER state already advanced and must not abort — e.g. the
+   * quarantine loop's `remaining` field. */
+  def rowCountOrScan(spark: SparkSession, root: String): Long = {
+    val snap = snapshot(spark, root)
+    if (snap.files.forall(_.rows >= 0) &&
+        liveEqDeletes(snap, snap.files).isEmpty)
+      rowCount(spark, root)
+    else read(spark, root).count()
+  }
+
   // --- row-level operations (copy-on-write) --------------------------------
 
   /** The snapshot-relative path `/data/sN/...` — unique across subtrees
@@ -1076,8 +1094,15 @@ object SnapshotTable {
     if (rel.isEmpty) return df
     val spark = df.sparkSession
     val del = spark.read.parquet(rel.flatMap(_.paths): _*)
-    val totalPending = rel.iterator.flatMap(_.targets.valuesIterator).sum
-    val delSide = if (totalPending <= 5000000L) broadcast(del) else del
+    // broadcast gate on estimated BYTES, not rows: each delete row
+    // carries its full path suffix, so the manifest's per-target
+    // (suffix, count) pairs give an exact in-memory estimate (string +
+    // long + row overhead). Only targets intersecting the files actually
+    // being read count — entries aimed elsewhere never reach this join.
+    val sufs = files.map(fe => pathSuffix(fe.path)).toSet
+    val estBytes = rel.iterator.flatMap(_.targets.iterator)
+      .collect { case (s, n) if sufs(s) => n * (2L * s.length + 48L) }.sum
+    val delSide = if (estBytes <= 64L * 1024 * 1024) broadcast(del) else del
     df.join(delSide, Seq("__suffix", "__pos"), "left_anti")
   }
 
@@ -1259,10 +1284,14 @@ object SnapshotTable {
     if (candidates.isEmpty) return (snap, 0L)
     val version = snap.version + 1
     val delDir = s"$root/deletes/s$version"
+    // Overwrite: a crashed earlier attempt at this same version may have
+    // left deletes/s<version> behind — it is unreferenced by construction
+    // (the manifest commit below is what publishes it), same rule as a
+    // stale data/sN subtree
     readLive(spark, candidates, snap)
       .filter(predicate <=> lit(true))
       .select(col("__suffix"), col("__pos"))
-      .write.parquet(delDir)
+      .write.mode("overwrite").parquet(delDir)
     // per-target counts off the just-written delta (two slim columns,
     // bounded by the delete's own size), one row per affected file
     val perTarget = spark.read.parquet(delDir)
@@ -1317,11 +1346,13 @@ object SnapshotTable {
     }
     val version = snap.version + 1
     val delDir = s"$root/deletes/s$version"
-    // NULL key components never match (SQL equality) — drop such tuples
+    // NULL key components never match (SQL equality) — drop such tuples.
+    // Overwrite: a crashed earlier attempt may have left this
+    // (unreferenced-until-commit) directory behind
     keys.select(keyCols.map(col): _*)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .distinct()
-      .write.parquet(delDir)
+      .write.mode("overwrite").parquet(delDir)
     val f = fs(spark, new Path(delDir))
     val nKeys = spark.read.parquet(delDir).count()
     if (nKeys == 0L) { // nothing to delete: reclaim the empty write

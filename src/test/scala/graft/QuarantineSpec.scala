@@ -132,4 +132,25 @@ class QuarantineSpec extends SparkSuite {
       "path", mor = true)
     assert(r2.quarantined === 0L && r2.remaining === 6L)
   }
+
+  test("quarantine over a table carrying pending EQUALITY deletes (CDC) " +
+      "reports remaining via scan instead of aborting after the commits") {
+    val root = freshRoot(); val qRoot = freshRoot()
+    SnapshotTable.commit(corpus().repartition(3), root, Seq("repo"))
+    // a CDC-style equality delete pends: metadata row counts are inexact,
+    // rowCount refuses — the quarantine pass must not inherit that abort
+    SnapshotTable.deleteByKeysMoR(Seq("aa06").toDF("commit"), root, Seq("commit"))
+    intercept[IllegalArgumentException] { SnapshotTable.rowCount(spark, root) }
+
+    val r = Quarantine.quarantineInvalid(spark, root, qRoot, checklist,
+      rowIdCol = "path", mor = true)
+    // 6 rows - 1 equality-deleted (aa06, valid) - 2 quarantined = 3
+    assert(r.quarantined === 2L && r.remaining === 3L)
+    assert(SnapshotTable.read(spark, root).count() === 3)
+
+    // the zero-delete branch takes the same fallback
+    val r2 = Quarantine.quarantineInvalid(spark, root, qRoot, checklist,
+      "path", mor = true)
+    assert(r2.quarantined === 0L && r2.remaining === 3L)
+  }
 }

@@ -438,6 +438,52 @@ class SnapshotTableSpec extends SparkSuite {
       "a random-footer read would have dropped 'stars' values here")
   }
 
+  test("compact applies pending EQUALITY deletes keyed on a partition " +
+      "column and on an evolved column absent from every candidate file") {
+    val root = freshRoot()
+    val df = Seq((1L, "src0", "a-v1"), (2L, "src0", "b-v1"),
+      (3L, "src1", "c-v1"), (4L, "src1", "d-v1"))
+      .toDF("id", "source", "payload").coalesce(1)
+    SnapshotTable.commit(df, root, Seq("source"))                     // v1
+    // equality delete keyed on the PARTITION column — explicitly legal
+    SnapshotTable.deleteByKeysMoR(
+      Seq("src0").toDF("source"), root, Seq("source"))                // v2
+    // re-inserts into src0 AFTER the delete survive (sequence rule) and
+    // give src0 multiple small files so compact targets it — both land
+    // BEFORE the evolution so no src0 file ever carries 'stars'
+    SnapshotTable.commit(Seq((5L, "src0", "e-v3")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)               // v3
+    SnapshotTable.commit(Seq((7L, "src0", "g-v4")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)               // v4
+    // evolution lands in a partition compact will NOT touch (1 file), so
+    // the candidate files never carry 'stars'
+    SnapshotTable.commit(
+      Seq((6L, "src2", "f-v5", 7)).toDF("id", "source", "payload", "stars"),
+      root, Seq("source"), overwritePartitions = false,
+      allowSchemaEvolution = true)                                    // v5
+    // equality delete keyed on the EVOLVED column: kills id=6 (seq 5 < 6);
+    // pre-evolution files read stars as NULL, which never matches
+    SnapshotTable.deleteByKeysMoR(Seq(7).toDF("stars"), root, Seq("stars")) // v6
+
+    val expect = SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(expect.map(_.head) === Seq(3L, 4L, 5L, 7L))
+
+    // compact rewrites src0's 3 small files; applying the pending deletes
+    // there requires BOTH the partition column and the evolved column to
+    // resolve on the candidate frame
+    val after = SnapshotTable.compact(spark, root,
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(after.operation === "replace")
+    assert(SnapshotTable.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq === expect)
+    // the rewritten src0 file shed id=1/2 (partition-key delete applied)
+    val src0Rows = SnapshotTable.read(spark, root,
+      partitionFilter = Map("source" -> "src0"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(src0Rows === Seq(5L, 7L))
+  }
+
   test("deleteWhere: copy-on-write quarantine — only affected files " +
       "rewritten, NULL keeps the row, time travel and incremental scan hold") {
     val root = freshRoot()
