@@ -47,9 +47,16 @@ import org.apache.spark.sql.functions.col
  */
 object SnapshotTable {
 
+  /** `stats` are per-column (min, max) bounds; `blooms` are per-column
+   * base64 Bloom filters over the column's xxhash64 values — the
+   * point-lookup complement to range stats (a high-cardinality identity
+   * column's [min,max] spans the domain in every file, so equality
+   * probes prune nothing without one). A column may carry either, both
+   * or neither per file. */
   final case class FileEntry(path: String, partition: Map[String, String],
       rows: Long, bytes: Long,
-      stats: Map[String, (String, String)] = Map.empty)
+      stats: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   /** One merge-on-read DELETE commit's position-delete files — the
    * Iceberg v2 position-delete shape: `paths` are parquet files of
@@ -90,7 +97,8 @@ object SnapshotTable {
       operation: String = "write",
       columns: Seq[(String, String)] = Seq.empty,
       deletes: Seq[DeleteEntry] = Seq.empty,
-      eqDeletes: Seq[EqDeleteEntry] = Seq.empty)
+      eqDeletes: Seq[EqDeleteEntry] = Seq.empty,
+      bloomKinds: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,6 +142,10 @@ object SnapshotTable {
       val kn = node.putObject("statsKinds")
       s.statsKinds.foreach { case (k, v) => kn.put(k, v) }
     }
+    if (s.bloomKinds.nonEmpty) {
+      val bn = node.putObject("bloomKinds")
+      s.bloomKinds.foreach { case (k, v) => bn.put(k, v) }
+    }
     val fl = node.putArray("files")
     s.files.foreach { f =>
       val fn = fl.addObject()
@@ -147,6 +159,10 @@ object SnapshotTable {
         f.stats.foreach { case (c, (lo, hi)) =>
           val cn = sn.putObject(c); cn.put("min", lo); cn.put("max", hi)
         }
+      }
+      if (f.blooms.nonEmpty) {
+        val bn = fn.putObject("blooms")
+        f.blooms.foreach { case (c, b64) => bn.put(c, b64) }
       }
     }
     if (s.deletes.nonEmpty) {
@@ -239,6 +255,11 @@ object SnapshotTable {
       val it = node.get("statsKinds").fields()
       while (it.hasNext) { val e = it.next(); kinds(e.getKey) = e.getValue.asText() }
     }
+    val bKinds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (node.has("bloomKinds")) {
+      val it = node.get("bloomKinds").fields()
+      while (it.hasNext) { val e = it.next(); bKinds(e.getKey) = e.getValue.asText() }
+    }
     val files = (0 until node.get("files").size()).map { i =>
       val fn = node.get("files").get(i)
       val part = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -253,8 +274,14 @@ object SnapshotTable {
             e.getValue.get("max").asText())
         }
       }
+      val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      if (fn.has("blooms")) {
+        val bi = fn.get("blooms").fields()
+        while (bi.hasNext) { val e = bi.next(); blooms(e.getKey) = e.getValue.asText() }
+      }
       FileEntry(fn.get("path").asText(), part.toMap,
-        fn.get("rows").asLong(), fn.get("bytes").asLong(), stats.toMap)
+        fn.get("rows").asLong(), fn.get("bytes").asLong(), stats.toMap,
+        blooms.toMap)
     }
     val columns: Seq[(String, String)] =
       if (!node.has("columns")) Seq.empty
@@ -284,7 +311,7 @@ object SnapshotTable {
       }
     Snapshot(v, pcols, files, kinds.toMap,
       if (node.has("operation")) node.get("operation").asText() else "write",
-      columns, deletes, eqDeletes)
+      columns, deletes, eqDeletes, bKinds.toMap)
   }
 
   // --- commit --------------------------------------------------------------
@@ -305,31 +332,36 @@ object SnapshotTable {
   def commit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
       statsCols: Seq[String] = Seq.empty,
-      allowSchemaEvolution: Boolean = false): Snapshot =
+      allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Seq.empty): Snapshot =
     commitImpl(df, root, partitionCols, overwritePartitions, statsCols,
-      allowSchemaEvolution, staged = false)
+      allowSchemaEvolution, staged = false, bloomCols = bloomCols)
 
   private def commitImpl(df: DataFrame, root: String,
       partitionCols: Seq[String], overwritePartitions: Boolean,
       statsCols: Seq[String], allowSchemaEvolution: Boolean,
-      staged: Boolean): Snapshot = {
+      staged: Boolean, bloomCols: Seq[String] = Seq.empty): Snapshot = {
     require(partitionCols.nonEmpty, "snapshot tables are partitioned")
     val spark = df.sparkSession
     requireNoPendingStage(spark, root)
-    statsCols.foreach { c =>
-      require(!partitionCols.contains(c),
-        s"stats column '$c' is a partition column — partition pruning already covers it")
-      require(df.columns.contains(c), s"stats column '$c' not in the frame")
-    }
-    val kinds: Map[String, String] = statsCols.map { c =>
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => c -> "long"
-        case StringType => c -> "string"
-        case dt => throw new IllegalArgumentException(
-          s"stats column '$c' must be integral or string, got ${dt.simpleString}")
+    def colKinds(cols: Seq[String], what: String): Map[String, String] = {
+      cols.foreach { c =>
+        require(!partitionCols.contains(c),
+          s"$what column '$c' is a partition column — partition pruning already covers it")
+        require(df.columns.contains(c), s"$what column '$c' not in the frame")
       }
-    }.toMap
+      cols.map { c =>
+        import org.apache.spark.sql.types._
+        df.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => c -> "long"
+          case StringType => c -> "string"
+          case dt => throw new IllegalArgumentException(
+            s"$what column '$c' must be integral or string, got ${dt.simpleString}")
+        }
+      }.toMap
+    }
+    val kinds: Map[String, String] = colKinds(statsCols, "stats")
+    val bloomKinds: Map[String, String] = colKinds(bloomCols, "bloom")
     val prev = currentVersion(spark, root).map(v => snapshot(spark, root, Some(v)))
     // the commit's logical data-column schema (partition cols excluded)
     val dataSchema: Seq[(String, String)] = df.schema.fields.toSeq
@@ -341,6 +373,9 @@ object SnapshotTable {
       require(s.statsKinds.isEmpty || statsCols.isEmpty ||
         s.statsKinds == kinds,
         s"stats spec mismatch: table has ${s.statsKinds}, got $kinds")
+      require(s.bloomKinds.isEmpty || bloomCols.isEmpty ||
+        s.bloomKinds == bloomKinds,
+        s"bloom spec mismatch: table has ${s.bloomKinds}, got $bloomKinds")
       // schema governance (Iceberg-style): a validation table fails fast
       // on ACCIDENTAL drift; evolution is explicit, and ADDITIVE only —
       // old files read back with NULL for columns added after them.
@@ -364,7 +399,14 @@ object SnapshotTable {
     val version = prev.map(_.version + 1).getOrElse(1)
     val dataDir = s"$root/data/s$version"
     df.write.partitionBy(partitionCols: _*).parquet(dataDir)
-    val statted = enumerateDelta(spark, root, version, statsCols)
+    // an append to a bloom-indexed table keeps indexing even when the
+    // caller doesn't re-spell bloomCols — a file without a bloom is
+    // unprunable forever, silently eroding point-lookup skipping
+    val effBloomCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else prev.map(_.bloomKinds.keys.toSeq).getOrElse(Seq.empty)
+        .filter(df.columns.contains)
+    val statted = enumerateDelta(spark, root, version, statsCols, effBloomCols)
     val newFiles = statted
 
     val overwritten: Set[Map[String, String]] =
@@ -380,7 +422,10 @@ object SnapshotTable {
       deletes = carriedDeletes(
         prev.map(_.deletes).getOrElse(Seq.empty), carried ++ statted),
       eqDeletes = carriedEqDeletes(
-        prev.map(_.eqDeletes).getOrElse(Seq.empty), carried ++ statted))
+        prev.map(_.eqDeletes).getOrElse(Seq.empty), carried ++ statted),
+      bloomKinds =
+        if (bloomCols.nonEmpty) bloomKinds
+        else prev.map(_.bloomKinds).getOrElse(Map.empty))
     if (staged) writeStagedManifest(spark, root, snap)
     else writeManifest(spark, root, snap)
     snap
@@ -399,7 +444,7 @@ object SnapshotTable {
    * silently widen every interval. Shared by [[commit]] and [[compact]].
    */
   private def enumerateDelta(spark: SparkSession, root: String, version: Int,
-      statsCols: Seq[String]): Seq[FileEntry] = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val dataDir = s"$root/data/s$version"
     val base = new Path(dataDir)
     val f = fs(spark, base)
@@ -427,17 +472,33 @@ object SnapshotTable {
     // answer, exactly what Iceberg writers track) and, when configured,
     // the min/max column bounds. count(*) over parquet is footer-cheap.
     {
-      import org.apache.spark.sql.functions.{col, count, lit, max, min, regexp_extract}
-      val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
+      import org.apache.spark.sql.functions.{col, count, lit, max, min, regexp_extract, when, xxhash64}
+      val delta = spark.read.parquet(dataDir)
+      // the per-file Bloom filter rides the SAME aggregate pass as the
+      // min/max bounds: one shot over the delta, map-side-combined (the
+      // TypedImperativeAggregate partials union), zero extra jobs. Blooms
+      // are built over xxhash64 of the column (integrals canonicalized to
+      // long) so the manifest carries ~10 bits/key instead of the keys.
+      def bloomHash(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types._
+        val base = delta.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+          case _ => col(c)
+        }
+        when(col(c).isNotNull, xxhash64(base))
+      }
+      val aggs = count(lit(1)).as("__rows") +: (statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
+        max(col(c)).cast("string").as(s"__max_$c"))) ++
+        bloomCols.map(c => graft.functions.BloomKeysAgg
+          .agg(bloomHash(c), BloomFpp, BloomMaxDistinct).as(s"__bloom_$c")))
       val relMarker = s"/data/s$version/"
       def rel(p: String): String = {
         val i = p.indexOf(relMarker)
         require(i >= 0, s"file $p is not under the snapshot tree $relMarker")
         p.substring(i + relMarker.length)
       }
-      val byRel = spark.read.parquet(dataDir)
+      val byRel = delta
         .groupBy(regexp_extract(col("_metadata.file_path"),
           java.util.regex.Pattern.quote(relMarker) + "(.*)$", 1).as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -446,14 +507,26 @@ object SnapshotTable {
             val lo = r.getAs[String](s"__min_$c")
             val hi = r.getAs[String](s"__max_$c")
             if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+          }.toMap, bloomCols.flatMap { c =>
+            Option(r.getAs[Array[Byte]](s"__bloom_$c")) // null = saturated/empty
+              .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
           }.toMap))
         }.toMap
       newFiles.toSeq.map { fe =>
-        val (rows, stats) = byRel.getOrElse(rel(fe.path), (-1L, Map.empty[String, (String, String)]))
-        fe.copy(rows = rows, stats = stats)
+        val (rows, stats, blooms) = byRel.getOrElse(rel(fe.path),
+          (-1L, Map.empty[String, (String, String)], Map.empty[String, String]))
+        fe.copy(rows = rows, stats = stats, blooms = blooms)
       }
     }
   }
+
+  /** Per-file Bloom sizing: ~10 bits/key at 1% FPP, built at eval to the
+   * file's ACTUAL distinct count (BloomKeysAgg is adaptive). The distinct
+   * cap bounds the manifest cost per file (~120 KB binary worst case);
+   * past it the file simply records no bloom — degraded skipping, never
+   * a wrong answer. */
+  private val BloomFpp = 0.01
+  private val BloomMaxDistinct = 100000
 
   // --- write-audit-publish (staged commits) ---------------------------------
 
@@ -489,9 +562,10 @@ object SnapshotTable {
   def stageCommit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
       statsCols: Seq[String] = Seq.empty,
-      allowSchemaEvolution: Boolean = false): Snapshot =
+      allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Seq.empty): Snapshot =
     commitImpl(df, root, partitionCols, overwritePartitions, statsCols,
-      allowSchemaEvolution, staged = true)
+      allowSchemaEvolution, staged = true, bloomCols = bloomCols)
 
   /** The pending staged snapshot, if any. */
   def stagedSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
@@ -723,13 +797,14 @@ object SnapshotTable {
     spread.write.partitionBy(pcols: _*).parquet(dataDir)
 
     val statted = enumerateDelta(spark, root, version,
-      snap.statsKinds.keys.toSeq)
+      snap.statsKinds.keys.toSeq, snap.bloomKinds.keys.toSeq)
     val rewritten = toRewrite.map(_.path).toSet
     val carried = snap.files.filterNot(fe => rewritten.contains(fe.path))
     val out = Snapshot(version, pcols, carried ++ statted, snap.statsKinds,
       operation = "replace", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, carried ++ statted),
-      eqDeletes = carriedEqDeletes(snap.eqDeletes, carried ++ statted))
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, carried ++ statted),
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     out
   }
@@ -849,16 +924,32 @@ object SnapshotTable {
    */
   def read(spark: SparkSession, root: String, version: Option[Int] = None,
       partitionFilter: Map[String, String] = Map.empty,
-      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame =
-    planRead(spark, snapshot(spark, root, version), partitionFilter, rangeFilter)
+      rangeFilter: Map[String, (String, String)] = Map.empty,
+      keyEquals: Map[String, String] = Map.empty): DataFrame =
+    planRead(spark, snapshot(spark, root, version), partitionFilter,
+      rangeFilter, keyEquals)
 
   /** Plan a scan over an already-resolved snapshot — shared by [[read]]
-   * (the version chain) and [[readStaged]] (a pending WAP stage). */
+   * (the version chain) and [[readStaged]] (a pending WAP stage).
+   *
+   * `keyEquals` is the point-lookup complement to `rangeFilter`: for an
+   * equality probe on a bloom-indexed column (`commit = '<sha>'` — the
+   * reference's MD5/UUID identity types, Types.pm:32-40, where every
+   * file's [min,max] spans the domain and range stats prune nothing),
+   * files whose per-file Bloom says DEFINITELY-ABSENT are skipped
+   * manifest-side. Same contract as `rangeFilter`: pruning only — the
+   * surviving frame still needs the row predicate applied (a Bloom "maybe"
+   * is not a match). */
   private def planRead(spark: SparkSession, snap: Snapshot,
       partitionFilter: Map[String, String],
-      rangeFilter: Map[String, (String, String)]): DataFrame = {
+      rangeFilter: Map[String, (String, String)],
+      keyEquals: Map[String, String] = Map.empty): DataFrame = {
     rangeFilter.keys.foreach(c => require(snap.statsKinds.contains(c),
       s"no committed stats for column '$c' (statsKinds: ${snap.statsKinds.keySet})"))
+    keyEquals.keys.foreach(c => require(snap.bloomKinds.contains(c),
+      s"no committed bloom for column '$c' (bloomKinds: ${snap.bloomKinds.keySet})"))
+    val probes: Map[String, Long] = keyEquals.map { case (c, v) =>
+      c -> probeHash(snap.bloomKinds(c), v) }
     val survivors = snap.files.filter(fe =>
       partitionFilter.forall { case (k, v) => fe.partition.get(k).contains(v) } &&
         rangeFilter.forall { case (c, (lo, hi)) =>
@@ -868,6 +959,13 @@ object SnapshotTable {
               case "long" => !(fHi.toLong < lo.toLong || fLo.toLong > hi.toLong)
               case _ => !(fHi < lo || fLo > hi)
             }
+          }
+        } &&
+        probes.forall { case (c, h) =>
+          fe.blooms.get(c) match {
+            case None => true // no bloom recorded (saturated file): keep
+            case Some(b64) => graft.functions.BloomKeysAgg.mightContain(
+              java.util.Base64.getDecoder.decode(b64), h)
           }
         })
     if (survivors.isEmpty) {
@@ -1233,13 +1331,14 @@ object SnapshotTable {
       .filter(!(predicate <=> lit(true)))
       .drop("__suffix", "__pos")
       .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
-    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq, snap.bloomKinds.keys.toSeq)
     val gone = affected.map(_.path).toSet
     val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
     val out = Snapshot(version, snap.partitionCols, outFiles,
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, outFiles),
-      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles))
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles),
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1310,7 +1409,8 @@ object SnapshotTable {
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, snap.files) :+
         DeleteEntry(delFiles, perTarget),
-      eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files))
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files),
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1366,7 +1466,8 @@ object SnapshotTable {
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, snap.files),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files) :+
-        EqDeleteEntry(delFiles, keyCols, version, nKeys))
+        EqDeleteEntry(delFiles, keyCols, version, nKeys),
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     (out, nKeys)
   }
@@ -1394,12 +1495,13 @@ object SnapshotTable {
     readLive(spark, targeted, snap)
       .drop("__suffix", "__pos")
       .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
-    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq, snap.bloomKinds.keys.toSeq)
     val gone = targeted.map(_.path).toSet
     val out = Snapshot(version, snap.partitionCols,
       snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
       snap.statsKinds, operation = "replace", columns = snap.columns,
-      deletes = Seq.empty, eqDeletes = Seq.empty)
+      deletes = Seq.empty, eqDeletes = Seq.empty,
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     out
   }
@@ -1411,6 +1513,21 @@ object SnapshotTable {
       lo: String, hi: String): Boolean = kind match {
     case "long" => !(fHi.toLong < lo.toLong || fLo.toLong > hi.toLong)
     case _ => !(fHi < lo || fLo > hi)
+  }
+
+  /** Driver-side xxhash64 of an equality-probe value, matching EXACTLY
+   * what [[enumerateDelta]] fed the per-file Bloom (integrals
+   * canonicalized to long; Spark's default seed) — evaluated via the
+   * Catalyst expression itself so the two can never drift. */
+  private def probeHash(kind: String, value: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit = kind match {
+      case "long" => Literal(value.toLong)
+      case _ => Literal.create(value, org.apache.spark.sql.types.StringType)
+    }
+    // 42L = Spark's default hash seed, what the SQL xxhash64() used at
+    // bloom-build time (functions.scala `xxhash64`) bakes in
+    XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
   }
 
   /** Manifest-side candidate pruning against a key frame's min/max bounds
@@ -1476,13 +1593,14 @@ object SnapshotTable {
       .join(broadcast(k), keyCols, "left_anti")
       .drop("__suffix", "__pos")
       .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
-    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq, snap.bloomKinds.keys.toSeq)
     val gone = affected.map(_.path).toSet
     val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
     val out = Snapshot(version, snap.partitionCols, outFiles,
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, outFiles),
-      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles))
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles),
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1570,13 +1688,14 @@ object SnapshotTable {
         .unionByName(deltaAligned)
     rewritten.write.partitionBy(snap.partitionCols: _*)
       .parquet(s"$root/data/s$version")
-    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq)
+    val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq, snap.bloomKinds.keys.toSeq)
     val gone = affected.map(_.path).toSet
     val outFiles = snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted
     val out = Snapshot(version, snap.partitionCols, outFiles,
       snap.statsKinds, operation = "merge", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, outFiles),
-      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles))
+      eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles),
+      bloomKinds = snap.bloomKinds)
     writeManifest(spark, root, out)
     out
   }
