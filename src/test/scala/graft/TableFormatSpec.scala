@@ -2,20 +2,22 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{SnapshotTableFormat, TableFormat}
+import graft.sources.{DirVersionedTableFormat, SnapshotTableFormat, TableFormat}
 
 /**
- * Conformance spec for the [[graft.sources.TableFormat]] seam, written
- * against the TRAIT so an Iceberg binding runs the identical contract
- * when its jars exist. [[graft.sources.SnapshotTableFormat]] is the
- * in-sandbox implementation under test; behavior must match calling
- * SnapshotTable directly (no behavior change — the seam is pure
- * indirection).
+ * Conformance suite for the [[graft.sources.TableFormat]] seam, written
+ * against the TRAIT and run against TWO architecturally independent
+ * bindings (manifest-chained [[graft.sources.SnapshotTable]]; full-state
+ * directory-versioned [[graft.sources.DirVersionedTableFormat]]) that
+ * share no code — the proof the seam isn't shaped around its first
+ * implementation. An Iceberg DSv2 binding would be the third, running
+ * this identical contract when its jars exist.
  */
-class TableFormatSpec extends SparkSuite {
+abstract class TableFormatConformance(val fmt: TableFormat, formatName: String)
+    extends SparkSuite {
   import spark.implicits._
 
-  val fmt: TableFormat = SnapshotTableFormat
+  override def suiteName: String = s"TableFormatConformance[$formatName]"
 
   private def freshRoot(): String = {
     val d = java.nio.file.Files.createTempDirectory("tablefmt").toFile
@@ -126,3 +128,13 @@ class TableFormatSpec extends SparkSuite {
     assert(fmt.read(spark, root, version = Some(v2)).count() === 3)
   }
 }
+
+/** The manifest-chained in-sandbox binding — behavior must match calling
+ * SnapshotTable directly (the seam is pure indirection). */
+class TableFormatSpec
+  extends TableFormatConformance(SnapshotTableFormat, "snapshot-manifest")
+
+/** The full-state directory-versioned binding: same contract, zero
+ * shared code with SnapshotTable. */
+class DirVersionedFormatSpec
+  extends TableFormatConformance(DirVersionedTableFormat, "dir-versioned")
