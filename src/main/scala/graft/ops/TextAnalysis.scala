@@ -693,4 +693,102 @@ object TextAnalysis {
       .select(col(idCol), size(toks).as("n_tokens"),
         round(nll, 6).as("avg_nll"))
   }
+
+  /**
+   * Distributed BPE-merge training (Sennrich, Haddow & Birch, ACL 2016 —
+   * the byte-pair-encoding tokenizer learner every LLM pipeline runs over
+   * its corpus). Returns the learned merge table
+   * `(merge_rank, lhs, rhs, n)`: at each round the most frequent adjacent
+   * symbol pair (count desc, then lhs/rhs asc — fully deterministic)
+   * becomes one symbol everywhere, `numMerges` rounds.
+   *
+   * Scale shape — the whole point of training BPE ON Spark:
+   *  - the corpus collapses ONCE into a `(word, freq)` table via a
+   *    map-side-combined count; every later round works on this
+   *    VOCAB-scale state (distinct words), never the corpus again;
+   *  - per round: pair counts are one explode + map-side-combined sum
+   *    over the vocab table; the winning pair is a TakeOrderedAndProject
+   *    of exactly 1 row (never a full sort); the merge itself is a
+   *    SHUFFLE-FREE `aggregate` fold over each word's symbol array
+   *    (leftmost-first non-overlapping, the reference semantics);
+   *  - `localCheckpoint` per round cuts the otherwise numMerges-deep
+   *    nested-HOF lineage (the [[collocations]] / Clustering precedent);
+   *  - rounds are BOUNDED by `numMerges` and stop early when no pair
+   *    reaches `minPairCount` — at which point the oracle's per-round
+   *    CTEs go empty in exactly the same way.
+   *
+   * Words are restricted to printable ASCII (`^[!-~]+$` in both engines)
+   * so character splitting is code-unit-agnostic, and carry the standard
+   * `</w>` end-of-word marker so merges never cross word boundaries.
+   */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(tokensLower(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[!-~]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var state = words.select(col("word"), col("freq"),
+      concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var r = 1
+    while (r <= numMerges && !done) {
+      val top = state.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("s1"),
+            element_at(col("syms"), i + 2).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        val prev = state
+        state = state.withColumn("syms",
+          aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
+            array(element_at(col("syms"), 1)),
+            (acc, s) => when(
+              element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s)))))
+          .localCheckpoint()
+        prev.unpersist()
+        r += 1
+      }
+    }
+    state.unpersist()
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** Segment text with a TRAINED merge table: each word splits to
+   * characters + `</w>` and every merge applies in rank order — the
+   * inference half of [[bpeTrain]], a pure shuffle-free projection (the
+   * merge table is a handful of rows, inlined as literals). */
+  def bpeSegment(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "bpe_tokens"): Column = {
+    // one transform LAYER per merge over the array-of-symbol-arrays — the
+    // lambda variable is a leaf, so the expression tree grows LINEARLY in
+    // the merge count (a per-merge function composition would reference
+    // its input subtree three times per level and blow up exponentially)
+    val base = transform(tokensLower(col(textCol)),
+      w => concat(split(w, ""), array(lit("</w>"))))
+    val mergedAll = merges.foldLeft(base) { case (cur, (a, b)) =>
+      transform(cur, syms =>
+        aggregate(slice(syms, lit(2), size(syms) - 1),
+          array(element_at(syms, 1)),
+          (acc, s) => when(
+            element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s)))))
+    }
+    flatten(mergedAll).as(outCol)
+  }
 }

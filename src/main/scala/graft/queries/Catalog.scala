@@ -425,6 +425,18 @@ object Catalog {
     TextAnalysis.vocabulary(docs(spark, dir), "doc_id", "text")
       .orderBy("token")
 
+  /** How many merge rounds [[taBpe]] trains — the oracle's chained CTEs
+   * are generated for EXACTLY this count. */
+  val BpeMerges = 12
+
+  /** Distributed BPE-merge training over the documents corpus
+   * ([[graft.ops.TextAnalysis.bpeTrain]]): the first [[BpeMerges]]
+   * learned merges with their pair counts, deterministic tie-break.
+   * Oracle: [[Oracles.taBpe]] restates every round as a
+   * pair-count → top-1 → list_reduce-merge CTE chain. */
+  def taBpe(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(docs(spark, dir), "text", BpeMerges)
+
   /** Bounded-memory frequent-items sketch over the token stream
    * ([[graft.functions.FreqItemsSketch]], Misra–Gries). Capacity 64
    * exceeds the corpus's distinct-token count, so the sketch runs in its

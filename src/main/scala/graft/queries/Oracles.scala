@@ -438,6 +438,53 @@ object Oracles {
       |FROM t, n GROUP BY token, n_docs ORDER BY token""".stripMargin
 
   /**
+   * Oracle for [[Catalog.taBpe]]: BPE-merge training restated as a
+   * GENERATED chain of CTEs, one triple per merge round over the
+   * vocab-scale `(word, freq, syms)` state — `pairs_i` counts adjacent
+   * symbol pairs (unnest over `range(1, len(syms))`), `top_i` picks the
+   * winner (count desc, lhs, rhs — the engine's tie-break), `state_i`
+   * applies it with the SAME leftmost-first non-overlapping fold
+   * (`list_reduce` with a list accumulator == Spark's `aggregate`).
+   * Words are printable-ASCII-only in both engines so character
+   * splitting is code-unit-agnostic; `</w>` marks word ends. A round
+   * whose pair table is empty yields no merge row and an unchanged
+   * state in BOTH engines (the engine breaks, the CTE goes empty).
+   */
+  val taBpe: String = {
+    val b = new StringBuilder
+    b ++= """WITH state_0 AS (
+      |  SELECT word, count(*) AS freq,
+      |         list_concat(regexp_split_to_array(word, ''), ['</w>']) AS syms
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[\s\x0b]+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE regexp_matches(word, '^[!-~]+$')
+      |  GROUP BY word)""".stripMargin
+    for (i <- 1 to Catalog.BpeMerges) {
+      b ++= s""",
+      |pairs_$i AS (
+      |  SELECT syms[j] AS s1, syms[j+1] AS s2, CAST(sum(freq) AS BIGINT) AS n
+      |  FROM state_${i - 1} w, unnest(range(1, len(w.syms))) AS t(j)
+      |  GROUP BY 1, 2),
+      |top_$i AS (SELECT s1, s2, n FROM pairs_$i ORDER BY n DESC, s1, s2 LIMIT 1),
+      |state_$i AS (
+      |  SELECT word, freq,
+      |    CASE WHEN t.s1 IS NULL THEN syms ELSE
+      |      list_reduce(list_transform(syms, s -> [s]),
+      |        (acc, x) -> CASE WHEN acc[-1] = t.s1 AND x[1] = t.s2
+      |                    THEN acc[:-2] || [t.s1 || t.s2]
+      |                    ELSE acc || x END)
+      |    END AS syms
+      |  FROM state_${i - 1} LEFT JOIN top_$i t ON TRUE)""".stripMargin
+    }
+    b ++= s"""
+      |SELECT * FROM (${(1 to Catalog.BpeMerges).map(i =>
+        s"SELECT $i AS merge_rank, s1 AS lhs, s2 AS rhs, n FROM top_$i")
+        .mkString(" UNION ALL ")})
+      |ORDER BY merge_rank""".stripMargin
+    b.toString
+  }
+
+  /**
    * Oracle for [[Catalog.taHeavy]]: with capacity > distinct tokens the
    * Misra–Gries sketch never decrements, so its estimates ARE the exact
    * token counts — the oracle is the plain word count over the shared

@@ -2051,4 +2051,61 @@ class OpsSpec extends SparkSuite {
     // non-vacuous: the small vocab guarantees organic duplicate spans
     assert(got.values.exists(_._2 > 0))
   }
+
+  test("bpeTrain matches a sequential reference BPE; bpeSegment applies " +
+      "the learned merges") {
+    val corpus = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "low new lower newer"),
+      (4L, "wide wider widest wide"))
+    // sequential reference (Sennrich et al.): word freq -> char syms ->
+    // repeat: count pairs, merge the (count desc, lhs, rhs) winner
+    def seqBpe(docs: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+      val freq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      docs.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.matches("^[!-~]+$"))
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1)
+      var state: Map[Vector[String], Long] =
+        freq.toSeq.map { case (w, f) => (w.split("").toVector :+ "</w>") -> f }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to n) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach(p =>
+            pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + f) }
+        if (pairs.nonEmpty) {
+          val ((a, b), c) = pairs.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+          out += ((r, a, b, c))
+          state = state.toSeq.map { case (syms, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (acc.nonEmpty && acc.last == a && s == b)
+                acc(acc.size - 1) = a + b
+              else acc += s }
+            acc.toVector -> f
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    val want = seqBpe(corpus.map(_._2), 8)
+    val got = TextAnalysis.bpeTrain(corpus.toDF("doc_id", "text"), "text", 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+    // segmentation with the learned merges reproduces a hand-check:
+    // enough merges to fuse "low</w>" into one token
+    val merges = got.map(t => (t._2, t._3))
+    val seg = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.bpeSegment(
+        corpus.toDF("doc_id", "text"), "text", merges))
+      .filter(col("doc_id") === 1L).head().getSeq[String](1)
+    // every token of doc 1 segments into learned symbols; the flattened
+    // segmentation must reconstruct the original text exactly
+    assert(seg.mkString("").replace("</w>", " ").trim ===
+      "low lower lowest low low")
+    // and the corpus's hottest word ends fully merged
+    assert(seg.contains("low</w>"))
+  }
 }
