@@ -234,6 +234,44 @@ object Similarity {
   }
 
   /**
+   * IVFADC — the composition FAISS ships as IndexIVFPQ (Jégou, Douze &
+   * Schmid, "Product quantization for nearest neighbor search",
+   * TPAMI 2011) and the actual 100 TB ANN shape: coarse-quantize the
+   * corpus into IVF cells so the probe touches only the `nprobe` cells
+   * nearest the query (the scan shrinks ~nprobe/k), then score the
+   * survivors with PQ asymmetric-distance lookups over the codes (each
+   * row costs m table lookups on 8 code ints instead of a 64-float dot).
+   * Codes are over the RAW vectors (FAISS `by_residual=false`), which
+   * keeps the oracle restatement exact; residual encoding is a recall
+   * refinement, not a scale change. One shuffle-free projection + a
+   * TakeOrderedAndProject — no global sort, no join. Returns
+   * (id, cell, code0, adc): `cell` pins the coarse routing, `code0` the
+   * fine assignment, `adc` ascending the approximate ranking.
+   */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], topK: Int, centroids: Array[Array[Double]],
+      nprobe: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def l2sq(c: Array[Double]): Double =
+      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeIds = centroids.zipWithIndex
+      .sortBy { case (c, i) => (l2sq(c), i) }
+      .take(nprobe).map(_._2)
+    val lut = graft.functions.PqKernels.adcLut(qd, codebooks)
+    val k = codebooks(0).length
+    df.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).as("cell"))
+      .filter(col("cell").isin(probeIds.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), col("cell"),
+        graft.functions.PqKernels.encode(col(vecCol), codebooks).as("codes"))
+      .select(col(idCol), col("cell"),
+        element_at(col("codes"), 1).as("code0"),
+        round(graft.functions.PqKernels.adcScore(col("codes"), lut, k), 6).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /**
    * Brute-force batch kNN join (probe set x large corpus): broadcast the
    * probe side, stream the corpus, then reduce to top-k per probe with the
    * bounded [[graft.functions.TopKByScore]] aggregate.

@@ -686,6 +686,29 @@ object Catalog {
     Similarity.pqAdcTopK(corpus, "vec_id", "embedding", q, 10, cbs)
   }
 
+  /** Trained (centroids, codebooks) of the most recent [[annIvfPq]] run —
+   * inlined into [[Oracles.annIvfPq]] post-run like the IVF/PQ halves. */
+  @volatile var lastIvfPqParams: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
+  /** IVFADC composition ([[graft.ops.Similarity.ivfAdcTopK]]) — FAISS's
+   * IndexIVFPQ shape: coarse-route through nprobe=2 of 8 IVF cells, score
+   * survivors with m=8 × k=16 PQ ADC lookups, top-10 for the vec_id=0
+   * query. The oracle inlines BOTH trained parameter sets and restates
+   * routing (expanded-dot argmin + probe list) and ADC scoring exactly. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    lastIvfPqParams = Some((cents, cbs))
+    Similarity.ivfAdcTopK(corpus, "vec_id", "embedding", q, 10, cents,
+      nprobe = 2, cbs)
+  }
+
   /** Multimodal metadata pass: payload stays unread (column pruning). */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(

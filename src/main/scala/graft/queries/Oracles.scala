@@ -1050,6 +1050,72 @@ ORDER BY id_a, id_b"""
   }
 
   /**
+   * Oracle for [[Catalog.annIvfPq]], parameterized by BOTH trained
+   * parameter sets (inlined post-run). The IVF half is [[annIvf]]'s
+   * assignment + probe-list restatement verbatim; the PQ half is
+   * [[annPq]]'s per-subspace assignment + ADC sum restricted to the
+   * probed cells' survivors — the exact candidate set the engine's
+   * isin filter admits. `cell` pins coarse routing, `code0` the fine
+   * assignment; round-6 absorbs sum-order ulp as everywhere.
+   */
+  def annIvfPq(centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int = 2): String = {
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${listLit(c)})" }.mkString(",\n    ")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => s"($j, $c, ${listLit(cent)})" }
+    }.mkString(",\n    ")
+    s"""WITH cents(ci, c) AS (VALUES
+       |    $cents),
+       |cb(j, pc, cent) AS (VALUES
+       |    $cb),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT e.vec_id, e.v, cents.ci,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cents.c)
+       |        + list_dot_product(cents.c, cents.c) ASC, cents.ci ASC) AS rn
+       |  FROM e, cents WHERE e.vec_id <> 0),
+       |probe AS (
+       |  SELECT cents.ci FROM cents, q
+       |  ORDER BY list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, cents.c)
+       |    + list_dot_product(cents.c, cents.c) ASC, cents.ci ASC LIMIT $nprobe),
+       |cand AS (
+       |  SELECT a.vec_id, a.v, a.ci FROM assign a
+       |  WHERE a.rn = 1 AND a.ci IN (SELECT ci FROM probe)),
+       |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       |sub AS (
+       |  SELECT vec_id, j, v[j * $dsub + 1 : (j + 1) * $dsub] AS sv
+       |  FROM cand, js),
+       |passign AS (
+       |  SELECT vec_id, j, pc, cent,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY
+       |      list_dot_product(sv, sv) - 2 * list_dot_product(sv, cent)
+       |        + list_dot_product(cent, cent) ASC, pc ASC) AS rn
+       |  FROM sub JOIN cb USING (j)),
+       |ch AS (SELECT vec_id, j, pc, cent FROM passign WHERE rn = 1),
+       |qs AS (
+       |  SELECT j, qv[j * $dsub + 1 : (j + 1) * $dsub] AS sv
+       |  FROM (SELECT v AS qv FROM e WHERE vec_id = 0), js),
+       |adc AS (
+       |  SELECT ch.vec_id,
+       |    round(sum(list_dot_product(qs.sv, qs.sv)
+       |      - 2 * list_dot_product(qs.sv, ch.cent)
+       |      + list_dot_product(ch.cent, ch.cent)), 6) AS adc,
+       |    max(CASE WHEN ch.j = 0 THEN ch.pc END) AS code0
+       |  FROM ch JOIN qs USING (j) GROUP BY ch.vec_id)
+       |SELECT adc.vec_id, CAST(cand.ci AS INT) AS cell,
+       |  CAST(code0 AS INT) AS code0, adc
+       |FROM adc JOIN cand USING (vec_id)
+       |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /**
    * Full-value oracle for [[Catalog.ddSemantic]], parameterized by the
    * centroids the Spark query trained (inlined post-run like [[annIvf]]'s).
    * Restates the ENTIRE SemDeDup pipeline in SQL: the planted clone corpus
