@@ -98,7 +98,13 @@ object SnapshotTable {
       columns: Seq[(String, String)] = Seq.empty,
       deletes: Seq[DeleteEntry] = Seq.empty,
       eqDeletes: Seq[EqDeleteEntry] = Seq.empty,
-      bloomKinds: Map[String, String] = Map.empty)
+      bloomKinds: Map[String, String] = Map.empty,
+      // catalog types of every column that is (or ever was) a partition
+      // column — the read path casts directory-inferred values to these so
+      // mixed-spec subtrees union losslessly after a partition-spec
+      // evolution; empty for pre-evolution manifests (single spec, the
+      // union is trivially consistent)
+      partitionColTypes: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -145,6 +151,10 @@ object SnapshotTable {
     if (s.bloomKinds.nonEmpty) {
       val bn = node.putObject("bloomKinds")
       s.bloomKinds.foreach { case (k, v) => bn.put(k, v) }
+    }
+    if (s.partitionColTypes.nonEmpty) {
+      val pn = node.putObject("partitionColTypes")
+      s.partitionColTypes.foreach { case (k, v) => pn.put(k, v) }
     }
     val fl = node.putArray("files")
     s.files.foreach { f =>
@@ -260,6 +270,11 @@ object SnapshotTable {
       val it = node.get("bloomKinds").fields()
       while (it.hasNext) { val e = it.next(); bKinds(e.getKey) = e.getValue.asText() }
     }
+    val pTypes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (node.has("partitionColTypes")) {
+      val it = node.get("partitionColTypes").fields()
+      while (it.hasNext) { val e = it.next(); pTypes(e.getKey) = e.getValue.asText() }
+    }
     val files = (0 until node.get("files").size()).map { i =>
       val fn = node.get("files").get(i)
       val part = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -311,7 +326,7 @@ object SnapshotTable {
       }
     Snapshot(v, pcols, files, kinds.toMap,
       if (node.has("operation")) node.get("operation").asText() else "write",
-      columns, deletes, eqDeletes, bKinds.toMap)
+      columns, deletes, eqDeletes, bKinds.toMap, pTypes.toMap)
   }
 
   // --- commit --------------------------------------------------------------
@@ -333,14 +348,17 @@ object SnapshotTable {
       overwritePartitions: Boolean = true,
       statsCols: Seq[String] = Seq.empty,
       allowSchemaEvolution: Boolean = false,
-      bloomCols: Seq[String] = Seq.empty): Snapshot =
+      bloomCols: Seq[String] = Seq.empty,
+      allowSpecEvolution: Boolean = false): Snapshot =
     commitImpl(df, root, partitionCols, overwritePartitions, statsCols,
-      allowSchemaEvolution, staged = false, bloomCols = bloomCols)
+      allowSchemaEvolution, staged = false, bloomCols = bloomCols,
+      allowSpecEvolution = allowSpecEvolution)
 
   private def commitImpl(df: DataFrame, root: String,
       partitionCols: Seq[String], overwritePartitions: Boolean,
       statsCols: Seq[String], allowSchemaEvolution: Boolean,
-      staged: Boolean, bloomCols: Seq[String] = Seq.empty): Snapshot = {
+      staged: Boolean, bloomCols: Seq[String] = Seq.empty,
+      allowSpecEvolution: Boolean = false): Snapshot = {
     require(partitionCols.nonEmpty, "snapshot tables are partitioned")
     val spark = df.sparkSession
     requireNoPendingStage(spark, root)
@@ -367,9 +385,11 @@ object SnapshotTable {
     val dataSchema: Seq[(String, String)] = df.schema.fields.toSeq
       .filterNot(f => partitionCols.contains(f.name))
       .map(f => f.name -> f.dataType.catalogString)
+    val specChanged = prev.exists(_.partitionCols != partitionCols)
     prev.foreach { s =>
-      require(s.partitionCols == partitionCols,
-        s"partition spec mismatch: table has ${s.partitionCols}, got $partitionCols")
+      require(s.partitionCols == partitionCols || allowSpecEvolution,
+        s"partition spec mismatch: table has ${s.partitionCols}, got $partitionCols" +
+          " — pass allowSpecEvolution=true to evolve the layout")
       require(s.statsKinds.isEmpty || statsCols.isEmpty ||
         s.statsKinds == kinds,
         s"stats spec mismatch: table has ${s.statsKinds}, got $kinds")
@@ -380,7 +400,7 @@ object SnapshotTable {
       // on ACCIDENTAL drift; evolution is explicit, and ADDITIVE only —
       // old files read back with NULL for columns added after them.
       // Type changes are never evolution (silent data corruption).
-      if (s.columns.nonEmpty) {
+      if (s.columns.nonEmpty && !specChanged) {
         val prevT = s.columns.toMap
         val newT = dataSchema.toMap
         val retyped = s.columns.collect {
@@ -394,6 +414,24 @@ object SnapshotTable {
         require(added.isEmpty || allowSchemaEvolution,
           s"commit adds columns ${added.mkString(", ")} not in the table schema; " +
             "pass allowSchemaEvolution=true to evolve the table")
+      }
+      // partition-spec evolution (the Iceberg rule): the LAYOUT changes,
+      // the LOGICAL schema does not — old files keep their old directory
+      // layout, readers union across specs, writers use the new spec.
+      // A column moving out of the spec keeps the type the manifest
+      // recorded for it; a column moving in must have been a data column.
+      if (s.columns.nonEmpty && specChanged) {
+        val prevLogical = (s.columns.map(_._1) ++ s.partitionCols).toSet
+        val newLogical = (dataSchema.map(_._1) ++ partitionCols).toSet
+        require(prevLogical == newLogical,
+          "partition-spec evolution cannot add or drop columns: table has " +
+            s"${prevLogical.toSeq.sorted.mkString(", ")}, got " +
+            s"${newLogical.toSeq.sorted.mkString(", ")}")
+        val prevT = s.columns.toMap
+        val retyped = dataSchema.collect {
+          case (n, t) if prevT.get(n).exists(_ != t) => s"$n: ${prevT(n)} -> $t" }
+        require(retyped.isEmpty,
+          s"partition-spec evolution cannot retype columns: ${retyped.mkString(", ")}")
       }
     }
     val version = prev.map(_.version + 1).getOrElse(1)
@@ -425,7 +463,11 @@ object SnapshotTable {
         prev.map(_.eqDeletes).getOrElse(Seq.empty), carried ++ statted),
       bloomKinds =
         if (bloomCols.nonEmpty) bloomKinds
-        else prev.map(_.bloomKinds).getOrElse(Map.empty))
+        else prev.map(_.bloomKinds).getOrElse(Map.empty),
+      // every spec column ever seen keeps its recorded catalog type, so
+      // mixed-spec reads cast directory-inferred values losslessly
+      partitionColTypes = prev.map(_.partitionColTypes).getOrElse(Map.empty) ++
+        partitionCols.map(c => c -> df.schema(c).dataType.catalogString))
     if (staged) writeStagedManifest(spark, root, snap)
     else writeManifest(spark, root, snap)
     snap
@@ -694,7 +736,14 @@ object SnapshotTable {
       "compacting fewer than 2 files is a rename")
     requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
-    val toRewrite: Seq[FileEntry] = snap.files.groupBy(_.partition).toSeq
+    // only CURRENT-spec files binpack (the per-file routing frame carries
+    // partition values under the current layout); files from an older
+    // partition spec migrate to the current one when a row-level rewrite
+    // touches them ([[deleteWhere]]/[[merge]]/[[materializeDeletes]] all
+    // write under the current spec) — Iceberg's rewrite behaves the same
+    val toRewrite: Seq[FileEntry] = snap.files
+      .filter(_.partition.keySet == snap.partitionCols.toSet)
+      .groupBy(_.partition).toSeq
       .flatMap { case (_, fes) =>
         val small = fes.filter(_.bytes < targetFileBytes)
         if (small.size >= minInputFiles) small else Seq.empty
@@ -804,7 +853,8 @@ object SnapshotTable {
       operation = "replace", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, carried ++ statted),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, carried ++ statted),
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     out
   }
@@ -950,8 +1000,16 @@ object SnapshotTable {
       s"no committed bloom for column '$c' (bloomKinds: ${snap.bloomKinds.keySet})"))
     val probes: Map[String, Long] = keyEquals.map { case (c, v) =>
       c -> probeHash(snap.bloomKinds(c), v) }
+    // a partition key must exist in SOME spec (typos fail loud); a file
+    // written under a spec WITHOUT that key cannot be pruned by it —
+    // the Iceberg mixed-spec rule: old-layout files always survive
+    // new-layout partition predicates and filter row-side instead
+    partitionFilter.keys.foreach(k => require(
+      snap.partitionCols.contains(k) || snap.files.exists(_.partition.contains(k)),
+      s"'$k' is not a partition column of any spec of this table"))
     val survivors = snap.files.filter(fe =>
-      partitionFilter.forall { case (k, v) => fe.partition.get(k).contains(v) } &&
+      partitionFilter.forall { case (k, v) =>
+        !fe.partition.contains(k) || fe.partition(k) == v } &&
         rangeFilter.forall { case (c, (lo, hi)) =>
           fe.stats.get(c) match {
             case None => true // no bounds recorded for this file: keep
@@ -1026,10 +1084,17 @@ object SnapshotTable {
     else {
       import org.apache.spark.sql.functions.lit
       val have = df.columns.toSet
+      // present columns CAST to the declared type: a no-op on the
+      // homogeneous path, and the lossless reconciliation that lets
+      // mixed-partition-spec subtrees union (a column read from
+      // directory names in one subtree and from parquet in another must
+      // surface with ONE type — the recorded one)
       val data = snap.columns.map { case (n, t) =>
-        if (have(n)) col(n) else lit(null).cast(t).as(n) }
-      df.select(data ++ snap.partitionCols.filter(have).map(col)
-        ++ extra.map(col): _*)
+        if (have(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n) }
+      val parts = snap.partitionCols.filter(have).map(c =>
+        snap.partitionColTypes.get(c)
+          .map(t => col(c).cast(t).as(c)).getOrElse(col(c)))
+      df.select(data ++ parts ++ extra.map(col): _*)
     }
   }
 
@@ -1102,6 +1167,12 @@ object SnapshotTable {
       version: Option[Int] = None,
       partitionFilter: Map[String, String] = Map.empty): Long = {
     val snap = snapshot(spark, root, version)
+    // a metadata-only count cannot evaluate a partition predicate against
+    // files whose (older) spec lacks the key — loud miss over silent wrong
+    partitionFilter.keys.foreach(k => require(
+      snap.files.forall(_.partition.contains(k)),
+      s"mixed partition specs: '$k' is absent from some files' layout — " +
+        "rowCount cannot answer this filter from metadata; use read().count()"))
     val survivors = snap.files
       .filter(fe => partitionFilter.forall {
         case (k, v) => fe.partition.get(k).contains(v) })
@@ -1314,11 +1385,16 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{collect_set, count, lit}
     requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
+    // mixed-spec rule: a file whose (older) layout lacks a filtered key
+    // stays a candidate — its rows evaluate the same predicate ROW-side
+    // below, so the delete's scope is exact across spec evolutions
     val candidates = snap.files.filter(fe => partitionFilter.forall {
-      case (k, v) => fe.partition.get(k).contains(v) })
+      case (k, v) => !fe.partition.contains(k) || fe.partition(k) == v })
     if (candidates.isEmpty) return (snap, 0L)
+    val scoped = partitionFilter.foldLeft(predicate) {
+      case (p, (k, v)) => p && col(k) === lit(v) }
     val hit = readLive(spark, candidates, snap)
-      .filter(predicate <=> lit(true))
+      .filter(scoped <=> lit(true))
       .agg(count(lit(1)).as("n"), collect_set(col("__suffix")).as("fs"))
       .head()
     val nDeleted = hit.getLong(0)
@@ -1328,7 +1404,7 @@ object SnapshotTable {
       affectedSuffixes.contains(pathSuffix(fe.path)))
     val version = snap.version + 1
     readLive(spark, affected, snap)
-      .filter(!(predicate <=> lit(true)))
+      .filter(!(scoped <=> lit(true)))
       .drop("__suffix", "__pos")
       .write.partitionBy(snap.partitionCols: _*).parquet(s"$root/data/s$version")
     val statted = enumerateDelta(spark, root, version, snap.statsKinds.keys.toSeq, snap.bloomKinds.keys.toSeq)
@@ -1338,7 +1414,8 @@ object SnapshotTable {
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, outFiles),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles),
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1378,9 +1455,13 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.lit
     requireNoPendingStage(spark, root)
     val snap = snapshot(spark, root)
+    // same mixed-spec rule as [[deleteWhere]]: unprunable files stay
+    // candidates, the partition predicate re-applies row-side
     val candidates = snap.files.filter(fe => partitionFilter.forall {
-      case (k, v) => fe.partition.get(k).contains(v) })
+      case (k, v) => !fe.partition.contains(k) || fe.partition(k) == v })
     if (candidates.isEmpty) return (snap, 0L)
+    val scoped = partitionFilter.foldLeft(predicate) {
+      case (p, (k, v)) => p && col(k) === lit(v) }
     val version = snap.version + 1
     val delDir = s"$root/deletes/s$version"
     // Overwrite: a crashed earlier attempt at this same version may have
@@ -1388,7 +1469,7 @@ object SnapshotTable {
     // (the manifest commit below is what publishes it), same rule as a
     // stale data/sN subtree
     readLive(spark, candidates, snap)
-      .filter(predicate <=> lit(true))
+      .filter(scoped <=> lit(true))
       .select(col("__suffix"), col("__pos"))
       .write.mode("overwrite").parquet(delDir)
     // per-target counts off the just-written delta (two slim columns,
@@ -1410,7 +1491,8 @@ object SnapshotTable {
       deletes = carriedDeletes(snap.deletes, snap.files) :+
         DeleteEntry(delFiles, perTarget),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files),
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1467,7 +1549,8 @@ object SnapshotTable {
       deletes = carriedDeletes(snap.deletes, snap.files),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files) :+
         EqDeleteEntry(delFiles, keyCols, version, nKeys),
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     (out, nKeys)
   }
@@ -1501,7 +1584,8 @@ object SnapshotTable {
       snap.files.filterNot(fe => gone.contains(fe.path)) ++ statted,
       snap.statsKinds, operation = "replace", columns = snap.columns,
       deletes = Seq.empty, eqDeletes = Seq.empty,
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     out
   }
@@ -1600,7 +1684,8 @@ object SnapshotTable {
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, outFiles),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles),
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     (out, nDeleted)
   }
@@ -1695,7 +1780,8 @@ object SnapshotTable {
       snap.statsKinds, operation = "merge", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, outFiles),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, outFiles),
-      bloomKinds = snap.bloomKinds)
+      bloomKinds = snap.bloomKinds,
+      partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)
     out
   }

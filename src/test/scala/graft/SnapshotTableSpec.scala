@@ -1024,4 +1024,67 @@ class SnapshotTableSpec extends SparkSuite {
     val hit2 = SnapshotTable.read(spark, root, keyEquals = Map("payload" -> "k500"))
     assert(hit2.filter(col("payload") === "k500").count() === 1)
   }
+
+  test("partition-spec evolution: old files keep the old layout, reads " +
+      "union across specs, writers use the current spec, time travel " +
+      "sees per-version specs") {
+    val root = freshRoot()
+    val v1df = Seq((1L, "s0", "east", "a"), (2L, "s0", "west", "b"),
+      (3L, "s1", "east", "c")).toDF("id", "source", "region", "payload")
+    SnapshotTable.commit(v1df, root, Seq("source"))
+    val v2df = Seq((4L, "s1", "west", "d"), (5L, "s2", "east", "e"))
+      .toDF("id", "source", "region", "payload")
+    // accidental drift still fails fast; evolution is explicit
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(v2df, root, Seq("region"))
+    }
+    assert(err.getMessage.contains("partition spec mismatch"))
+    val s2 = SnapshotTable.commit(v2df, root, Seq("region"),
+      overwritePartitions = false, allowSpecEvolution = true)
+    assert(s2.partitionCols === Seq("region"))
+    // the manifest holds BOTH layouts: old files under source=, new under region=
+    assert(s2.files.exists(_.partition.keySet === Set("source")))
+    assert(s2.files.exists(_.partition.keySet === Set("region")))
+    // mixed-spec read: every row, every logical column, value-exact
+    val cur = SnapshotTable.read(spark, root)
+      .select("id", "source", "region", "payload").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(cur.toSeq === Seq((1L, "s0", "east", "a"), (2L, "s0", "west", "b"),
+      (3L, "s1", "east", "c"), (4L, "s1", "west", "d"), (5L, "s2", "east", "e")))
+    // time travel sees the per-version spec AND content
+    assert(SnapshotTable.snapshot(spark, root, Some(1)).partitionCols === Seq("source"))
+    assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 3)
+    // a NEW-spec partition filter prunes only new-spec files; old-layout
+    // files survive (they cannot be pruned) and filter row-side
+    val east = SnapshotTable.read(spark, root,
+      partitionFilter = Map("region" -> "east"))
+    assert(east.filter(col("region") === "east").count() === 3)
+    assert(!east.inputFiles.exists(_.contains("region=west")))
+    // OLD-spec filters still prune their files and keep new-spec ones
+    val src0 = SnapshotTable.read(spark, root,
+      partitionFilter = Map("source" -> "s0"))
+    assert(src0.filter(col("source") === "s0").count() === 2)
+    assert(!src0.inputFiles.exists(_.contains("source=s1")))
+    // a key in NO spec fails loud
+    val typo = intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, partitionFilter = Map("nope" -> "x"))
+    }
+    assert(typo.getMessage.contains("not a partition column of any spec"))
+    // deleteWhere scoped by a new-spec partition filter still reaches rows
+    // in old-layout files (row-side residual), and the rewrite MIGRATES
+    // the touched file to the current spec
+    val (s3, n) = SnapshotTable.deleteWhere(spark, root,
+      col("payload") === "a", partitionFilter = Map("region" -> "east"))
+    assert(n === 1L)
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    assert(s3.files.filter(_.path.contains(s"/data/s${s3.version}/"))
+      .forall(_.partition.keySet === Set("region")))
+    // metadata row counts stay exact table-wide, and fail LOUD for a
+    // partition filter that mixed specs cannot answer from metadata
+    assert(SnapshotTable.rowCount(spark, root) === 4L)
+    val rc = intercept[IllegalArgumentException] {
+      SnapshotTable.rowCount(spark, root, partitionFilter = Map("region" -> "east"))
+    }
+    assert(rc.getMessage.contains("mixed partition specs"))
+  }
 }
