@@ -399,7 +399,15 @@ object DirVersionedTableFormat extends TableFormat {
     val spark = keys.sparkSession
     val v = requireTable(spark, root)
     val m = readMeta(spark, root, v)
-    val k = keys.select(keyCols.map(col): _*).distinct()
+    // NULL key components never match (SQL equality) — filter them at
+    // write like the manifest binding, so the returned count is the
+    // number of keys that can actually retract something. Count BEFORE
+    // writing: a 0-row parquet write leaves no readable files.
+    val k = keys.select(keyCols.map(col): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct().cache()
+    val nKeys = k.count()
+    if (nKeys == 0L) { k.unpersist(); return (v, 0L) }
     val next = v + 1
     val dir = new Path(vdir(root, next))
     val f = fs(spark, dir)
@@ -408,8 +416,7 @@ object DirVersionedTableFormat extends TableFormat {
       f.delete(dir, true)
     }
     k.write.parquet(s"${vdir(root, next)}/tombstones")
-    val nKeys = spark.read.parquet(s"${vdir(root, next)}/tombstones").count()
-    if (nKeys == 0L) { f.delete(dir, true); return (v, 0L) }
+    k.unpersist()
     publish(spark, root, next, m.copy(mor = Some((v, "keys", keyCols))))
     (next, nKeys)
   }

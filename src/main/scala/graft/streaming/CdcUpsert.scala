@@ -61,16 +61,22 @@ object CdcUpsert {
     if (lastApplied(spark, root).exists(_ >= batchId))
       return BatchResult(batchId, skipped = true, None, None)
 
-    // resolve multiple changes per key: max-seq row wins (CDC log order)
+    // resolve multiple changes per key: max-seq row wins (CDC log order).
+    // NULL-key rows are exempt — they never match anything (SQL equality,
+    // the merge contract), so each is an independent insert, not a
+    // contender in its key's resolution.
+    val nonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val resolved = seqCol match {
       case Some(s) =>
-        val w = batch.withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(keyCols.map(col): _*)
-            .orderBy(col(s).desc)))
+        val w = batch.filter(nonNullKeys).withColumn("__rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+              .orderBy(col(s).desc)))
         w.filter(col("__rn") === 1).drop("__rn")
+          .unionByName(batch.filter(!nonNullKeys))
       case None =>
-        val dup = batch.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        val dup = batch.filter(nonNullKeys)
           .groupBy(keyCols.map(col): _*).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,

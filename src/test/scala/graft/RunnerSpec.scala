@@ -495,5 +495,20 @@ class RunnerSpec extends SparkSuite {
     assert(content(streamRoot) === content(batchRoot))
     assert(content(streamRoot).contains((6L, "s0", "f2")) &&
       !content(streamRoot).exists(_._1 == 2L))
+
+    // NULL-key rows under seqCol resolution: each is an independent
+    // insert (the merge contract — NULL keys never match anything), NOT
+    // contenders in one window partition that max-seq would collapse
+    val b4 = Seq((Option(7L), "s0", "g1", "U", 1L),
+      (Option.empty[Long], "s0", "n1", "U", 1L),
+      (Option.empty[Long], "s0", "n2", "U", 2L))
+      .toDF("k", "source", "payload", "op", "seq")
+    val r4 = CdcUpsert.upsertBatch(b4, 4L, streamRoot, Seq("source"), Seq("k"),
+      seqCol = Some("seq"), opCol = Some("op"))
+    assert(!r4.skipped && r4.appendVersion.nonEmpty)
+    val payloads = SnapshotTable.read(spark, streamRoot)
+      .filter(col("k").isNull).select("payload").collect()
+      .map(_.getString(0)).toSet
+    assert(payloads === Set("n1", "n2"))
   }
 }

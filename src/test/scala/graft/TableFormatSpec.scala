@@ -127,6 +127,27 @@ abstract class TableFormatConformance(val fmt: TableFormat, formatName: String)
     assert(fmt.read(spark, root, version = Some(v1)).count() === 4)
     assert(fmt.read(spark, root, version = Some(v2)).count() === 3)
   }
+
+  test("conformance: equality-delete key hygiene — empty and NULL-component key frames commit nothing") {
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1").coalesce(1), root, Seq("source"))
+    // empty key frame: no version, zero keys (a 0-row tombstone write has
+    // no readable parquet files — the count must happen before the write)
+    val (vE, nE) = fmt.deleteByKeysMoR(
+      Seq.empty[Long].toDF("id"), root, Seq("id"))
+    assert(vE === v1 && nE === 0L)
+    // all-NULL key components: SQL equality never matches them, so the
+    // frame is as empty as the empty one
+    val (vN, nN) = fmt.deleteByKeysMoR(
+      Seq(Option.empty[Long], Option.empty[Long]).toDF("id"), root, Seq("id"))
+    assert(vN === v1 && nN === 0L)
+    // a mixed frame retracts only the non-NULL key
+    val (vM, nM) = fmt.deleteByKeysMoR(
+      Seq(Option(2L), Option.empty[Long]).toDF("id"), root, Seq("id"))
+    assert(vM === v1 + 1 && nM === 1L)
+    assert(fmt.read(spark, root).count() === 3)
+    assert(fmt.read(spark, root).filter(col("id") === 2).count() === 0)
+  }
 }
 
 /** The manifest-chained in-sandbox binding — behavior must match calling
