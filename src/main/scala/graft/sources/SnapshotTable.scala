@@ -1054,8 +1054,19 @@ object SnapshotTable {
     // targets a surviving file, read through the delete-applying path
     // (the plain sliceRead stays the fast path — no metadata columns, no
     // joins)
-    if (noPendingDeletes(snap, survivors)) sliceRead(spark, survivors, snap)
-    else readLive(spark, survivors, snap).drop("__suffix", "__pos")
+    val base =
+      if (noPendingDeletes(snap, survivors)) sliceRead(spark, survivors, snap)
+      else readLive(spark, survivors, snap).drop("__suffix", "__pos")
+    // mixed-spec exactness: a surviving file whose older layout lacks a
+    // filtered key was only pruning-exempt, not a match — the predicate
+    // re-applies ROW-side for those keys so read(partitionFilter) means
+    // the same thing before and after a spec evolution (the same `scoped`
+    // rule deleteWhere uses). Homogeneous tables skip this: pruning
+    // already made the cut exact, and the fast path stays filter-free.
+    val rowSide = partitionFilter.filter { case (k, _) =>
+      survivors.exists(fe => !fe.partition.contains(k)) }
+    rowSide.foldLeft(base) { case (df, (k, v)) =>
+      df.filter(col(k) === org.apache.spark.sql.functions.lit(v)) }
   }
 
   /** Group surviving files by snapshot subtree (= basePath) and union —

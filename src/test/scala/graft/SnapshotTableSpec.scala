@@ -1055,15 +1055,20 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.snapshot(spark, root, Some(1)).partitionCols === Seq("source"))
     assert(SnapshotTable.read(spark, root, version = Some(1)).count() === 3)
     // a NEW-spec partition filter prunes only new-spec files; old-layout
-    // files survive (they cannot be pruned) and filter row-side
+    // files survive the manifest cut (they cannot be pruned) and the
+    // predicate re-applies ROW-side, so the read is EXACT — the filter
+    // means the same thing before and after the evolution
     val east = SnapshotTable.read(spark, root,
       partitionFilter = Map("region" -> "east"))
-    assert(east.filter(col("region") === "east").count() === 3)
+    assert(east.count() === 3)
+    assert(east.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
     assert(!east.inputFiles.exists(_.contains("region=west")))
-    // OLD-spec filters still prune their files and keep new-spec ones
+    // OLD-spec filters still prune their files, keep new-spec ones, and
+    // are row-side exact the same way
     val src0 = SnapshotTable.read(spark, root,
       partitionFilter = Map("source" -> "s0"))
-    assert(src0.filter(col("source") === "s0").count() === 2)
+    assert(src0.count() === 2)
+    assert(src0.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
     assert(!src0.inputFiles.exists(_.contains("source=s1")))
     // a key in NO spec fails loud
     val typo = intercept[IllegalArgumentException] {
