@@ -59,7 +59,7 @@ case class BloomKeysAgg(
   }
 
   override def merge(b: BloomKeysAgg.Buffer, o: BloomKeysAgg.Buffer): BloomKeysAgg.Buffer = {
-    if (o.saturated) b.saturated = true
+    if (o.saturated) { b.saturated = true; b.set.clear() } // saturation is sticky; drop the dead weight
     else {
       val it = o.set.iterator()
       while (it.hasNext && !b.saturated) b.add(it.next())
@@ -118,6 +118,22 @@ object BloomKeysAgg {
   /** Probe a serialized filter: false = the hash is DEFINITELY absent. */
   def mightContain(bloomBytes: Array[Byte], hash: Long): Boolean =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes)).mightContainLong(hash)
+
+  /** Driver-side hash of an equality-probe value, guaranteed identical to
+   * what the bloom-build aggregate fed this sketch (integrals
+   * canonicalized to long; Spark's default xxhash64 seed) — evaluated via
+   * the Catalyst expression itself so the two can never drift. `kind` is
+   * the recorded catalog kind ("long" | "string"). */
+  def probeHash(kind: String, value: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit = kind match {
+      case "long" => Literal(value.toLong)
+      case _ => Literal.create(value, org.apache.spark.sql.types.StringType)
+    }
+    // 42L = Spark's default hash seed, what the SQL xxhash64() used at
+    // bloom-build time (functions.scala `xxhash64`) bakes in
+    XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+  }
 
   /** Distinct-hash accumulator with a sticky saturation flag. */
   final class Buffer(val maxDistinct: Int) {

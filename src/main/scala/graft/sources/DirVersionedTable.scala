@@ -52,7 +52,8 @@ object DirVersionedTableFormat extends TableFormat {
   private final case class Meta(partitionCols: Seq[String],
       statsKinds: Map[String, String],
       // MoR pointer: (baseVersion, tombstone mode "rows" | "keys", keyCols)
-      mor: Option[(Long, String, Seq[String])])
+      mor: Option[(Long, String, Seq[String])],
+      bloomKinds: Map[String, String] = Map.empty)
 
   private def writeJson(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
     val p = new Path(path)
@@ -65,6 +66,10 @@ object DirVersionedTableFormat extends TableFormat {
     val pc = node.putArray("partitionCols"); m.partitionCols.foreach(pc.add)
     val sk = node.putObject("statsKinds")
     m.statsKinds.foreach { case (k, kind) => sk.put(k, kind) }
+    if (m.bloomKinds.nonEmpty) {
+      val bk = node.putObject("bloomKinds")
+      m.bloomKinds.foreach { case (k, kind) => bk.put(k, kind) }
+    }
     m.mor.foreach { case (base, mode, keyCols) =>
       val mn = node.putObject("mor")
       mn.put("base", base); mn.put("mode", mode)
@@ -90,7 +95,43 @@ object DirVersionedTableFormat extends TableFormat {
       Some((mn.get("base").asLong(), mn.get("mode").asText(),
         (0 until mn.get("keyCols").size()).map(mn.get("keyCols").get(_).asText()).toSeq))
     }
-    Meta(pcols, kinds.toMap, mor)
+    val bKinds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (node.has("bloomKinds")) {
+      val it = node.get("bloomKinds").fields()
+      while (it.hasNext) { val e = it.next(); bKinds(e.getKey) = e.getValue.asText() }
+    }
+    Meta(pcols, kinds.toMap, mor, bKinds.toMap)
+  }
+
+  /** rel file path -> per-column base64 Bloom over xxhash64(col) — the
+   * point-lookup sidecar beside `_stats.json`. */
+  private def writeBlooms(spark: SparkSession, root: String, v: Long,
+      blooms: Map[String, Map[String, String]]): Unit = {
+    val node = mapper.createObjectNode()
+    blooms.foreach { case (rel, cols) =>
+      val fn = node.putObject(rel)
+      cols.foreach { case (c, b64) => fn.put(c, b64) }
+    }
+    writeJson(spark, s"${vdir(root, v)}/_blooms.json",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+  }
+
+  private def readBlooms(spark: SparkSession, root: String,
+      v: Long): Map[String, Map[String, String]] = {
+    val p = new Path(s"${vdir(root, v)}/_blooms.json")
+    if (!fs(spark, p).exists(p)) return Map.empty
+    val in = fs(spark, p).open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val ci = e.getValue.fields()
+      while (ci.hasNext) { val c = ci.next(); cols(c.getKey) = c.getValue.asText() }
+      out(e.getKey) = cols.toMap
+    }
+    out.toMap
   }
 
   /** rel file path -> per-column (min, max), the skipping sidecar. */
@@ -174,9 +215,11 @@ object DirVersionedTableFormat extends TableFormat {
     fs(spark, marker).create(marker, true).close()
   }
 
-  /** Write `state` as full version `v` with per-file stats for `statsCols`. */
+  /** Write `state` as full version `v` with per-file stats for `statsCols`
+   * and per-file Blooms for `bloomCols` — both from ONE aggregate pass. */
   private def writeFull(state: DataFrame, root: String, v: Long,
-      partitionCols: Seq[String], statsCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String] = Seq.empty): Unit = {
     val spark = state.sparkSession
     val dir = new Path(vdir(root, v))
     val f = fs(spark, dir)
@@ -189,35 +232,56 @@ object DirVersionedTableFormat extends TableFormat {
     if (partitionCols.nonEmpty)
       state.write.partitionBy(partitionCols: _*).parquet(dataDir)
     else state.write.parquet(dataDir)
-    val kinds: Map[String, String] = statsCols.map { c =>
+    def colKinds(cols: Seq[String], what: String): Map[String, String] = cols.map { c =>
       import org.apache.spark.sql.types._
       state.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => c -> "long"
         case StringType => c -> "string"
         case dt => throw new IllegalArgumentException(
-          s"stats column '$c' must be integral or string, got ${dt.simpleString}")
+          s"$what column '$c' must be integral or string, got ${dt.simpleString}")
       }
     }.toMap
-    if (statsCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{max, min, regexp_extract}
+    val kinds = colKinds(statsCols, "stats")
+    val bloomKinds = colKinds(bloomCols, "bloom")
+    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{max, min, regexp_extract, when, xxhash64}
       val marker = s"/v$v/data/"
+      val written = spark.read.parquet(dataDir)
+      def bloomHash(c: String): Column = {
+        import org.apache.spark.sql.types._
+        val base = written.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+          case _ => col(c)
+        }
+        when(col(c).isNotNull, xxhash64(base))
+      }
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
-      val stats = spark.read.parquet(dataDir)
+        max(col(c)).cast("string").as(s"__max_$c"))) ++
+        bloomCols.map(c => graft.functions.BloomKeysAgg
+          .agg(bloomHash(c), 0.01, 100000).as(s"__bloom_$c"))
+      val rows = written
         .groupBy(regexp_extract(col("_metadata.file_path"),
           java.util.regex.Pattern.quote(marker) + "(.*)$", 1).as("__f"))
         .agg(aggs.head, aggs.tail: _*)
-        .collect().map { r =>
+        .collect()
+      if (statsCols.nonEmpty)
+        writeStats(spark, root, v, rows.map { r =>
           r.getString(0) -> statsCols.flatMap { c =>
             val lo = r.getAs[String](s"__min_$c")
             val hi = r.getAs[String](s"__max_$c")
             if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
           }.toMap
-        }.toMap
-      writeStats(spark, root, v, stats)
+        }.toMap)
+      if (bloomCols.nonEmpty)
+        writeBlooms(spark, root, v, rows.map { r =>
+          r.getString(0) -> bloomCols.flatMap { c =>
+            Option(r.getAs[Array[Byte]](s"__bloom_$c")) // null = saturated
+              .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
+          }.toMap
+        }.toMap)
     }
-    publish(spark, root, v, Meta(partitionCols, kinds, None))
+    publish(spark, root, v, Meta(partitionCols, kinds, None, bloomKinds))
   }
 
   private def requireTable(spark: SparkSession, root: String): Long =
@@ -228,7 +292,8 @@ object DirVersionedTableFormat extends TableFormat {
 
   override def commit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val prevV = currentVersion(spark, root)
     prevV.foreach { v =>
@@ -236,10 +301,15 @@ object DirVersionedTableFormat extends TableFormat {
       require(m.partitionCols == partitionCols,
         s"partition spec mismatch: table has ${m.partitionCols}, got $partitionCols")
     }
-    // a full-state format inherits the stats spec so skipping never erodes
+    // a full-state format inherits the stats + bloom specs so skipping
+    // never erodes across commits that don't re-spell them
     val effStats =
       if (statsCols.nonEmpty) statsCols
       else prevV.map(v => readMeta(spark, root, v).statsKinds.keys.toSeq
+        .filter(df.columns.contains)).getOrElse(Seq.empty)
+    val effBlooms =
+      if (bloomCols.nonEmpty) bloomCols
+      else prevV.map(v => readMeta(spark, root, v).bloomKinds.keys.toSeq
         .filter(df.columns.contains)).getOrElse(Seq.empty)
     val newState = prevV match {
       case None => df
@@ -251,19 +321,21 @@ object DirVersionedTableFormat extends TableFormat {
         } else prev.unionByName(df)
     }
     val v = prevV.getOrElse(0L) + 1
-    writeFull(newState, root, v, partitionCols, effStats)
+    writeFull(newState, root, v, partitionCols, effStats, effBlooms)
     v
   }
 
   override def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty,
-      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame = {
+      rangeFilter: Map[String, (String, String)] = Map.empty,
+      keyEquals: Map[String, String] = Map.empty): DataFrame = {
     val v = version.getOrElse(requireTable(spark, root))
     val m = readMeta(spark, root, v)
     m.mor match {
       case Some((base, mode, keyCols)) =>
-        val baseDf = read(spark, root, Some(base), partitionFilter, rangeFilter)
+        val baseDf = read(spark, root, Some(base), partitionFilter, rangeFilter,
+          keyEquals)
         val tomb = spark.read.parquet(s"${vdir(root, v)}/tombstones")
         mode match {
           case "keys" => baseDf.join(tomb, keyCols, "left_anti")
@@ -274,8 +346,14 @@ object DirVersionedTableFormat extends TableFormat {
       case None =>
         rangeFilter.keys.foreach(c => require(m.statsKinds.contains(c),
           s"no committed stats for column '$c' (statsKinds: ${m.statsKinds.keySet})"))
+        keyEquals.keys.foreach(c => require(m.bloomKinds.contains(c),
+          s"no committed bloom for column '$c' (bloomKinds: ${m.bloomKinds.keySet})"))
         val stats = if (rangeFilter.isEmpty) Map.empty[String, Map[String, (String, String)]]
           else readStats(spark, root, v)
+        val blooms = if (keyEquals.isEmpty) Map.empty[String, Map[String, String]]
+          else readBlooms(spark, root, v)
+        val probes: Map[String, Long] = keyEquals.map { case (c, pv) =>
+          c -> graft.functions.BloomKeysAgg.probeHash(m.bloomKinds(c), pv) }
         val files = listFiles(spark, root, v)
         val survivors = files.filter { case (_, rel, part) =>
           partitionFilter.forall { case (k, pv) => part.get(k).contains(pv) } &&
@@ -286,6 +364,13 @@ object DirVersionedTableFormat extends TableFormat {
                   case "long" => !(fHi.toLong < lo.toLong || fLo.toLong > hi.toLong)
                   case _ => !(fHi < lo || fLo > hi)
                 }
+              }
+            } &&
+            probes.forall { case (c, h) =>
+              blooms.get(rel).flatMap(_.get(c)) match {
+                case None => true // no bloom for this file (saturated): keep
+                case Some(b64) => graft.functions.BloomKeysAgg.mightContain(
+                  java.util.Base64.getDecoder.decode(b64), h)
               }
             }
         }
@@ -337,7 +422,7 @@ object DirVersionedTableFormat extends TableFormat {
     val doomed = cur.filter(scoped).count()
     if (doomed == 0L) return (v, 0L)
     writeFull(cur.filter(!scoped), root, v + 1, m.partitionCols,
-      m.statsKinds.keys.toSeq)
+      m.statsKinds.keys.toSeq, m.bloomKinds.keys.toSeq)
     (v + 1, doomed)
   }
 
@@ -358,7 +443,8 @@ object DirVersionedTableFormat extends TableFormat {
       s"merge delta has multiple rows for key ${dup.headOption.map(_.toSeq.init.mkString("(", ", ", ")")).getOrElse("")}")
     val next = cur.join(delta.select(keyCols.map(col): _*).distinct(),
       keyCols, "left_anti").unionByName(delta.select(cur.columns.map(col): _*))
-    writeFull(next, root, v + 1, m.partitionCols, m.statsKinds.keys.toSeq)
+    writeFull(next, root, v + 1, m.partitionCols, m.statsKinds.keys.toSeq,
+      m.bloomKinds.keys.toSeq)
     v + 1
   }
 
@@ -426,7 +512,7 @@ object DirVersionedTableFormat extends TableFormat {
     val m = readMeta(spark, root, v)
     if (m.mor.isEmpty) return v // nothing pending: idempotent no-op
     writeFull(read(spark, root, Some(v)), root, v + 1, m.partitionCols,
-      m.statsKinds.keys.toSeq)
+      m.statsKinds.keys.toSeq, m.bloomKinds.keys.toSeq)
     v + 1
   }
 }

@@ -1614,16 +1614,8 @@ object SnapshotTable {
    * what [[enumerateDelta]] fed the per-file Bloom (integrals
    * canonicalized to long; Spark's default seed) — evaluated via the
    * Catalyst expression itself so the two can never drift. */
-  private def probeHash(kind: String, value: String): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val lit = kind match {
-      case "long" => Literal(value.toLong)
-      case _ => Literal.create(value, org.apache.spark.sql.types.StringType)
-    }
-    // 42L = Spark's default hash seed, what the SQL xxhash64() used at
-    // bloom-build time (functions.scala `xxhash64`) bakes in
-    XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
-  }
+  private def probeHash(kind: String, value: String): Long =
+    graft.functions.BloomKeysAgg.probeHash(kind, value)
 
   /** Manifest-side candidate pruning against a key frame's min/max bounds
    * (one key-frame-scale aggregate, zero table I/O) — shared by [[merge]]

@@ -57,10 +57,16 @@ trait TableFormat {
    * every partition value present in `df`), `false` = append.
    * `statsCols` records per-file min/max bounds for those columns in the
    * manifest (Iceberg writers collect these automatically; the in-sandbox
-   * implementation runs one aggregate over the commit's own delta). */
+   * implementation runs one aggregate over the commit's own delta).
+   * `bloomCols` records a per-file Bloom filter for those columns — the
+   * point-lookup complement to range stats (Iceberg mapping: the
+   * `write.parquet.bloom-filter-enabled.column.<c>` table property; both
+   * in-sandbox bindings record it in their own metadata layer). Both
+   * specs are INHERITED by later commits that don't re-spell them. */
   def commit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
-      statsCols: Seq[String] = Seq.empty): Long
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long
 
   /** Scan the table at `version` (None = current), pruned MANIFEST-SIDE
    * to the partitions matching `partitionFilter` and (when per-file
@@ -69,10 +75,17 @@ trait TableFormat {
    * data skipping, which an Iceberg binding gets from an ordinary
    * `.filter` pushdown; the explicit map keeps the in-sandbox
    * implementation honest about WHAT got skipped. Callers still apply
-   * the row-level residual filter. */
+   * the row-level residual filter.
+   * `keyEquals` is the point-lookup complement for bloom-indexed columns
+   * (see [[commit]]'s `bloomCols`): files whose per-file Bloom says the
+   * value is DEFINITELY absent are skipped before any I/O — the pruning
+   * a high-cardinality identity column's [min,max] can never provide.
+   * Same contract as `rangeFilter`: pruning only, row predicate still
+   * the caller's; a Bloom "maybe" is not a match. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty,
-      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame
+      rangeFilter: Map[String, (String, String)] = Map.empty,
+      keyEquals: Map[String, String] = Map.empty): DataFrame
 
   /** Rows ADDED between the two snapshot ids (incremental append scan);
    * `from == to` yields an empty frame with the table schema. */
@@ -139,16 +152,18 @@ object SnapshotTableFormat extends TableFormat {
 
   override def commit(df: DataFrame, root: String, partitionCols: Seq[String],
       overwritePartitions: Boolean = true,
-      statsCols: Seq[String] = Seq.empty): Long =
-    SnapshotTable.commit(df, root, partitionCols, overwritePartitions, statsCols)
-      .version.toLong
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long =
+    SnapshotTable.commit(df, root, partitionCols, overwritePartitions, statsCols,
+      bloomCols = bloomCols).version.toLong
 
   override def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty,
-      rangeFilter: Map[String, (String, String)] = Map.empty): DataFrame =
+      rangeFilter: Map[String, (String, String)] = Map.empty,
+      keyEquals: Map[String, String] = Map.empty): DataFrame =
     SnapshotTable.read(spark, root, version.map(_.toInt), partitionFilter,
-      rangeFilter)
+      rangeFilter, keyEquals)
 
   override def changesBetween(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame =

@@ -128,6 +128,40 @@ abstract class TableFormatConformance(val fmt: TableFormat, formatName: String)
     assert(fmt.read(spark, root, version = Some(v2)).count() === 3)
   }
 
+  test("conformance: per-file Bloom point-lookup skipping through the seam") {
+    val root = freshRoot()
+    // 40 rows with a high-cardinality identity column, hash-spread over
+    // several files per partition so neither range stats nor partition
+    // pruning could help an equality probe
+    val rows = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "src0" else "src1", s"sha_$i"))
+      .toDF("id", "source", "sha").repartition(4, col("sha"))
+    val v1 = fmt.commit(rows, root, Seq("source"), bloomCols = Seq("sha"))
+    val full = fmt.read(spark, root)
+    assert(full.count() === 40)
+    // present key: exact answer after the caller's row predicate, and the
+    // scan touched FEWER files than the full read (manifest-side pruning)
+    val probed = fmt.read(spark, root, keyEquals = Map("sha" -> "sha_17"))
+    assert(probed.filter(col("sha") === "sha_17").count() === 1)
+    assert(probed.inputFiles.length < full.inputFiles.length)
+    // absent key: near-total prune, still an exact (empty) answer
+    val absent = fmt.read(spark, root, keyEquals = Map("sha" -> "sha_nope"))
+    assert(absent.filter(col("sha") === "sha_nope").count() === 0)
+    assert(absent.inputFiles.length < full.inputFiles.length)
+    // an un-bloomed column fails loud, not silently unpruned
+    val err = intercept[IllegalArgumentException] {
+      fmt.read(spark, root, keyEquals = Map("id" -> "17"))
+    }
+    assert(err.getMessage.contains("no committed bloom"))
+    // the bloom spec is INHERITED by a later commit that doesn't re-spell
+    // it, and new files are probe-able immediately
+    val v2 = fmt.commit(Seq((41L, "src0", "sha_41")).toDF("id", "source", "sha"),
+      root, Seq("source"), overwritePartitions = false)
+    assert(v2 === v1 + 1)
+    val p41 = fmt.read(spark, root, keyEquals = Map("sha" -> "sha_41"))
+    assert(p41.filter(col("sha") === "sha_41").count() === 1)
+  }
+
   test("conformance: equality-delete key hygiene — empty and NULL-component key frames commit nothing") {
     val root = freshRoot()
     val v1 = fmt.commit(corpus("v1").coalesce(1), root, Seq("source"))
