@@ -73,11 +73,13 @@ object SnapshotTable {
    * doomed key tuples (columns = `keyCols`), applying to every row of a
    * data file written BEFORE the delete (file sequence < `version` — the
    * sequence-number rule that lets a later re-insert of the same key
-   * survive). `rows` is the key count. Committing one reads NOTHING —
+   * survive). `rows` is the key count and `bytes` the delete files'
+   * on-disk parquet size (0 in pre-round-5 manifests — readers fall back
+   * to a per-row width estimate). Committing one reads NOTHING —
    * the streaming-CDC ingest shape; the cost moves to the read side
    * until [[materializeDeletes]] folds it. */
   final case class EqDeleteEntry(paths: Seq[String], keyCols: Seq[String],
-      version: Int, rows: Long)
+      version: Int, rows: Long, bytes: Long = 0L)
 
   /** `operation` is the Iceberg snapshot-summary operation kind:
    * "write" (append / dynamic overwrite — the data-changing commits) or
@@ -192,6 +194,7 @@ object SnapshotTable {
         val kn = en.putArray("keyCols"); e.keyCols.foreach(kn.add)
         en.put("version", e.version)
         en.put("rows", e.rows)
+        en.put("bytes", e.bytes)
       }
     }
     mapper.writeValueAsBytes(node)
@@ -322,7 +325,8 @@ object SnapshotTable {
         EqDeleteEntry(
           (0 until en.get("paths").size()).map(en.get("paths").get(_).asText()),
           (0 until en.get("keyCols").size()).map(en.get("keyCols").get(_).asText()),
-          en.get("version").asInt(), en.get("rows").asLong())
+          en.get("version").asInt(), en.get("rows").asLong(),
+          if (en.has("bytes")) en.get("bytes").asLong() else 0L)
       }
     Snapshot(v, pcols, files, kinds.toMap,
       if (node.has("operation")) node.get("operation").asText() else "write",
@@ -1168,6 +1172,123 @@ object SnapshotTable {
     else readLive(spark, added, to).drop("__suffix", "__pos")
   }
 
+  /**
+   * Row-level CHANGELOG scan — the Iceberg changelog-scan / Delta CDF
+   * analog: every logical row change in `(fromVersion, toVersion]`,
+   * tagged `_change_type` ("insert" | "delete") and `_commit_version`.
+   * [[changesBetween]] answers "what rows are new?"; this answers "what
+   * happened?", the feed a downstream mirror or audit log replays. The
+   * defining invariant (spec-pinned): for every version v in the
+   * interval, multiset(state v) == multiset(state v-1) − deletes(v) +
+   * inserts(v).
+   *
+   * Granularity follows Iceberg's changelog scan:
+   *  - appends / dynamic overwrites: added files' rows as inserts,
+   *    replaced files' LIVE rows as deletes;
+   *  - copy-on-write rewrites ([[deleteWhere]]/[[deleteByKeys]]/
+   *    [[merge]]): whole-file granularity — removed files' live
+   *    pre-image rows as deletes, rewritten files' rows as inserts
+   *    (a surviving row appears as a delete+insert pair; net-change
+   *    folding is the consumer's join, as in Iceberg);
+   *  - merge-on-read commits are ROW-EXACT, the reason a CDC source
+   *    uses them: a [[deleteWhereMoR]] commit emits exactly the doomed
+   *    (file, position) rows; a [[deleteByKeysMoR]] commit emits
+   *    exactly the live pre-image rows matching its key tuples (a key
+   *    that matched nothing emits nothing);
+   *  - `replace` snapshots ([[compact]]/[[materializeDeletes]]) are
+   *    logical no-ops and emit nothing.
+   *
+   * Every manifest in the interval must still exist — a changelog over
+   * an expired snapshot cannot be reconstructed, and a silent gap would
+   * corrupt any replayed mirror, so this fails loud where
+   * [[changesBetween]] may skip. Pre-evolution rows surface added
+   * columns as NULL, exactly like the read path.
+   */
+  def changelogBetween(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val f = fs(spark, new Path(root))
+    (fromVersion to toVersion).foreach(v => require(
+      f.exists(new Path(root, s"metadata/v$v.json")),
+      s"snapshot v$v expired — the changelog over it cannot be reconstructed"))
+    def tag(df: DataFrame, kind: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    val parts: Seq[DataFrame] = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val prev = snapshot(spark, root, Some(v - 1))
+      val cur = snapshot(spark, root, Some(v))
+      if (cur.operation == "replace") Seq.empty
+      else {
+        val prevPaths = prev.files.map(_.path).toSet
+        val curPaths = cur.files.map(_.path).toSet
+        val addedFiles = cur.files.filterNot(fe => prevPaths(fe.path))
+        val removedFiles = prev.files.filterNot(fe => curPaths(fe.path))
+        val inserts =
+          if (addedFiles.isEmpty) None
+          else Some(tag(sliceRead(spark, addedFiles, cur), "insert", v))
+        // removed files' rows through prev's LIVE view: rows already
+        // dead under a pending MoR delete at v-1 must not re-report
+        val fileDeletes =
+          if (removedFiles.isEmpty) None
+          else Some(tag(
+            if (noPendingDeletes(prev, removedFiles))
+              sliceRead(spark, removedFiles, prev)
+            else readLive(spark, removedFiles, prev)
+              .drop("__suffix", "__pos"),
+            "delete", v))
+        // a position-delete commit at v: its (suffix, position) pairs
+        // name the doomed physical rows exactly — fetch them from the
+        // targeted files as they stood at v-1
+        val posEntries = cur.deletes.filter(
+          _.paths.exists(_.contains(s"/deletes/s$v/")))
+        val posDeletes =
+          if (posEntries.isEmpty) None
+          else {
+            val targets = posEntries.flatMap(_.targets.keys).toSet
+            val targetFiles = prev.files.filter(fe =>
+              targets(pathSuffix(fe.path)))
+            val pairs = spark.read.parquet(posEntries.flatMap(_.paths): _*)
+            val estBytes = posEntries.iterator.flatMap(_.targets.iterator)
+              .map { case (s, n) => n * (2L * s.length + 48L) }.sum
+            val pSide =
+              if (estBytes <= 64L * 1024 * 1024) broadcast(pairs) else pairs
+            Some(tag(readWithSuffix(spark, targetFiles, prev)
+              .join(pSide, Seq("__suffix", "__pos"))
+              .drop("__suffix", "__pos"), "delete", v))
+          }
+        // an equality-delete commit at v: pre-image rows = prev's live
+        // rows matching the key tuples (every v-1 file's sequence
+        // precedes v, so the sequence rule is satisfied by construction;
+        // NULL key components never match — SQL equality)
+        val eqEntries = cur.eqDeletes.filter(_.version == v)
+        val eqDeletes =
+          if (eqEntries.isEmpty || prev.files.isEmpty) None
+          else {
+            val live = readLive(spark, prev.files, prev)
+              .drop("__suffix", "__pos")
+            val doomed = eqEntries.map { e =>
+              val k = spark.read.parquet(e.paths: _*)
+              val kSide =
+                if ((if (e.bytes > 0L) e.bytes * 4L
+                     else e.rows * (48L + 32L * e.keyCols.size))
+                    <= 64L * 1024 * 1024) broadcast(k) else k
+              live.join(kSide,
+                e.keyCols.map(c => live(c) === kSide(c)).reduce(_ && _),
+                "left_semi")
+            }.reduce(_.unionByName(_))
+            Some(tag(doomed, "delete", v))
+          }
+        Seq(inserts, fileDeletes, posDeletes, eqDeletes).flatten
+      }
+    }
+    if (parts.isEmpty)
+      tag(read(spark, root, Some(toVersion)).filter(lit(false)), "insert",
+        toVersion)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Metadata-only row count — Iceberg's `count(*)` pushdown: the
    * manifest already records per-file row counts, so a full-table or
    * per-partition count is a driver-side sum over manifest entries,
@@ -1309,8 +1430,12 @@ object SnapshotTable {
    * frame: each entry's key tuples drop every matching row whose data
    * file sequence precedes the delete commit. One anti-join per pending
    * entry ([[materializeDeletes]] and the CoW rewriters keep that list
-   * short); broadcast below the same threshold as position deletes.
-   * NULL key components never match (SQL equality). */
+   * short); broadcast gated on estimated in-memory BYTES like position
+   * deletes — the manifest records each entry's on-disk parquet size,
+   * decompressed here at a conservative 4x (dictionary-heavy key
+   * columns expand more than the path suffixes position deletes carry);
+   * legacy entries without the size fall back to a per-key width
+   * estimate. NULL key components never match (SQL equality). */
   private def applyEqDeletes(df: DataFrame, snap: Snapshot,
       files: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit, regexp_extract}
@@ -1321,7 +1446,10 @@ object SnapshotTable {
       regexp_extract(col("__suffix"), "^/data/s(\\d+)/", 1).cast("int"))
     rel.foldLeft(withSeq) { (acc, e) =>
       val k = spark.read.parquet(e.paths: _*)
-      val kSide = if (e.rows <= 5000000L) broadcast(k) else k
+      val estBytes =
+        if (e.bytes > 0L) e.bytes * 4L
+        else e.rows * (48L + 32L * e.keyCols.size)
+      val kSide = if (estBytes <= 64L * 1024 * 1024) broadcast(k) else k
       val cond = e.keyCols.map(c => acc(c) === kSide(c)).reduce(_ && _) &&
         acc("__seq") < lit(e.version)
       acc.join(kSide, cond, "left_anti")
@@ -1552,14 +1680,15 @@ object SnapshotTable {
       f.delete(new Path(delDir), true)
       return (snap, 0L)
     }
-    val delFiles = f.listStatus(new Path(delDir)).toSeq
+    val delStatuses = f.listStatus(new Path(delDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
+    val delFiles = delStatuses.map(_.getPath.toString)
+    val delBytes = delStatuses.map(_.getLen).sum
     val out = Snapshot(version, snap.partitionCols, snap.files,
       snap.statsKinds, operation = "delete", columns = snap.columns,
       deletes = carriedDeletes(snap.deletes, snap.files),
       eqDeletes = carriedEqDeletes(snap.eqDeletes, snap.files) :+
-        EqDeleteEntry(delFiles, keyCols, version, nKeys),
+        EqDeleteEntry(delFiles, keyCols, version, nKeys, delBytes),
       bloomKinds = snap.bloomKinds,
       partitionColTypes = snap.partitionColTypes)
     writeManifest(spark, root, out)

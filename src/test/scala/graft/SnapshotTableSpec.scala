@@ -1092,4 +1092,97 @@ class SnapshotTableSpec extends SparkSuite {
     }
     assert(rc.getMessage.contains("mixed partition specs"))
   }
+
+  test("changelogBetween: row-level CDF — replay invariant across appends, " +
+      "MoR position + equality deletes, CoW merge; replace emits nothing; " +
+      "MoR versions are row-exact; expired interval fails loud") {
+    val root = freshRoot()
+    // v1: initial commit
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    // v2: pure append into existing partitions
+    SnapshotTable.commit(
+      Seq((5L, "src0", "e-v2"), (6L, "src1", "f-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    // v3: MoR position delete (row-exact changelog entry)
+    val (_, nPos) = SnapshotTable.deleteWhereMoR(spark, root, col("id") === 2L)
+    assert(nPos === 1L)
+    // v4: MoR equality delete — one live key, one absent key
+    SnapshotTable.deleteByKeysMoR(
+      Seq(3L, 99L).toDF("id"), root, Seq("id"))
+    // v5: CoW merge — update id=1, insert id=7 (applies + sheds pending MoR)
+    SnapshotTable.merge(
+      Seq((1L, "src0", "a-UPD"), (7L, "src1", "g-v5")).toDF("id", "source", "payload"),
+      root, Seq("id"))
+    // v6: compact = replace, logically silent
+    SnapshotTable.compact(spark, root, targetFileBytes = 64L * 1024 * 1024)
+    // v7: re-insert the equality-deleted key (sequence rule: survives)
+    SnapshotTable.commit(
+      Seq((3L, "src1", "c-BACK")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+
+    val log = SnapshotTable.changelogBetween(spark, root, 1, 7)
+      .select("id", "source", "payload", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+
+    // replace snapshots emit nothing
+    assert(!log.exists(_._5 == 6), "compact (replace) must emit no changes")
+    // MoR position delete is row-exact: exactly the doomed row, only it
+    assert(log.filter(_._5 == 3).toSet === Set((2L, "src0", "b-v1", "delete", 3)))
+    // MoR equality delete is row-exact: the live pre-image of the matched
+    // key; the absent key (99) emits nothing
+    assert(log.filter(_._5 == 4).toSet === Set((3L, "src1", "c-v1", "delete", 4)))
+    // append versions emit only inserts
+    assert(log.filter(_._5 == 2).toSet === Set(
+      (5L, "src0", "e-v2", "insert", 2), (6L, "src1", "f-v2", "insert", 2)))
+    assert(log.filter(_._5 == 7).toSet === Set((3L, "src1", "c-BACK", "insert", 7)))
+    // CoW merge at whole-file granularity: pre-image LIVE rows of the
+    // rewritten files as deletes (rows 2 and 3, already dead under the
+    // pending MoR deletes, must NOT re-report), rewritten rows as inserts
+    val v5 = log.filter(_._5 == 5)
+    assert(!v5.exists(t => t._1 == 2L || t._1 == 3L),
+      "rows already MoR-deleted must not re-report at the CoW rewrite")
+    assert(v5.filter(_._4 == "insert").exists(t => t._1 == 1L && t._3 == "a-UPD"))
+    assert(v5.filter(_._4 == "insert").exists(t => t._1 == 7L && t._3 == "g-v5"))
+    assert(v5.filter(_._4 == "delete").exists(t => t._1 == 1L && t._3 == "a-v1"))
+
+    // THE defining invariant: state(v-1) - deletes(v) + inserts(v) == state(v)
+    def state(v: Int): Map[(Long, String, String), Int] =
+      SnapshotTable.read(spark, root, Some(v))
+        .select("id", "source", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    for (v <- 2 to 7) {
+      val ins = log.filter(t => t._5 == v && t._4 == "insert")
+        .map(t => (t._1, t._2, t._3)).groupBy(identity).view.mapValues(_.length)
+      val del = log.filter(t => t._5 == v && t._4 == "delete")
+        .map(t => (t._1, t._2, t._3)).groupBy(identity).view.mapValues(_.length)
+      val replayed = (state(v - 1).keySet ++ ins.keys).flatMap { k =>
+        val n = state(v - 1).getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0)
+        if (n > 0) Some(k -> n) else None
+      }.toMap
+      assert(replayed === state(v), s"replay of changelog v$v diverged")
+    }
+
+    // sub-interval slices see only their versions
+    val slice = SnapshotTable.changelogBetween(spark, root, 3, 4).collect()
+    assert(slice.length === 1)
+    // empty interval: zero rows, changelog schema intact
+    val empty = SnapshotTable.changelogBetween(spark, root, 4, 4)
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("_change_type") &&
+      empty.columns.contains("_commit_version"))
+
+    // an expired snapshot inside the interval fails loud — a silent gap
+    // would corrupt a replayed mirror
+    SnapshotTable.expireSnapshots(spark, root, keepLast = 3)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.changelogBetween(spark, root, 1, 7)
+    }
+    assert(ex.getMessage.contains("expired"))
+    // the surviving tail is still reconstructable
+    assert(SnapshotTable.changelogBetween(spark, root, 5, 7).count() ===
+      log.count(_._5 > 5))
+  }
 }
