@@ -397,6 +397,33 @@ object DirVersionedTableFormat extends TableFormat {
     else to.exceptAll(read(spark, root, Some(fromVersion)))
   }
 
+  /** Row-level changelog: a full-state format's change feed is the
+   * per-version multiset DIFF — inserts(v) = state(v) EXCEPT ALL
+   * state(v-1), deletes(v) the reverse. NET semantics (a rewrite that
+   * leaves a row in place reports nothing for it), row-exact for every
+   * operation kind, and scan-priced like [[changesBetween]] — honest
+   * for this format. A [[materializeDeletes]] version diffs empty and
+   * so emits nothing, matching the manifest binding's silent `replace`
+   * snapshots. */
+  override def changelogBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    def tag(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val prev = read(spark, root, Some(v - 1))
+      val cur = read(spark, root, Some(v))
+      Seq(tag(cur.exceptAll(prev), "insert", v),
+        tag(prev.exceptAll(cur), "delete", v))
+    }
+    if (parts.isEmpty)
+      tag(read(spark, root, Some(toVersion)).filter(lit(false)), "insert",
+        toVersion)
+    else parts.reduce(_.unionByName(_))
+  }
+
   override def partitions(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[Map[String, String]] = {
     val v = version.getOrElse(requireTable(spark, root))

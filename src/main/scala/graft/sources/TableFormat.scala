@@ -92,6 +92,21 @@ trait TableFormat {
   def changesBetween(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame
 
+  /** Row-level CHANGELOG over `(from, to]` — Iceberg's changelog scan
+   * (`CALL create_changelog_view(...)`) / Delta's Change Data Feed
+   * (`readChangeFeed`): table rows tagged `_change_type` ("insert" |
+   * "delete") and `_commit_version` (long). The cross-format contract,
+   * conformance-pinned, is the REPLAY INVARIANT: for every version v in
+   * the interval, multiset(state v) == multiset(state v-1) − deletes(v)
+   * + inserts(v). Merge-on-read delete commits are row-exact in both
+   * in-sandbox bindings; a copy-on-write rewrite MAY report at
+   * whole-file granularity (a surviving row as a delete+insert pair —
+   * Iceberg's non-net contract; the full-state binding reports net
+   * diffs), so consumers must not assume netness, only the invariant.
+   * `from == to` yields an empty frame with the changelog schema. */
+  def changelogBetween(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame
+
   /** Distinct partition values of a snapshot, from pure metadata. */
   def partitions(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[Map[String, String]]
@@ -168,6 +183,12 @@ object SnapshotTableFormat extends TableFormat {
   override def changesBetween(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame =
     SnapshotTable.changesBetween(spark, root, fromVersion.toInt, toVersion.toInt)
+
+  override def changelogBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    SnapshotTable.changelogBetween(spark, root, fromVersion.toInt, toVersion.toInt)
+      .withColumn("_commit_version",
+        org.apache.spark.sql.functions.col("_commit_version").cast("long"))
 
   override def partitions(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[Map[String, String]] =

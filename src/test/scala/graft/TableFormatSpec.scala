@@ -182,6 +182,60 @@ abstract class TableFormatConformance(val fmt: TableFormat, formatName: String)
     assert(fmt.read(spark, root).count() === 3)
     assert(fmt.read(spark, root).filter(col("id") === 2).count() === 0)
   }
+
+  test("conformance: row-level changelog — replay invariant across appends, " +
+      "MoR deletes and a CoW merge; MoR commits row-exact; empty interval") {
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1").coalesce(1), root, Seq("source"))
+    val v2 = fmt.commit(
+      Seq((5L, "src0", "e-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val (v3, _) = fmt.deleteWhereMoR(spark, root, col("id") === 2L)
+    val (v4, _) = fmt.deleteByKeysMoR(Seq(3L, 99L).toDF("id"), root, Seq("id"))
+    val v5 = fmt.merge(
+      Seq((1L, "src0", "a-UPD"), (7L, "src1", "g-v5")).toDF("id", "source", "payload"),
+      root, Seq("id"))
+
+    val log = fmt.changelogBetween(spark, root, v1, v5)
+      .select("id", "source", "payload", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // changelog schema: version tags are Long across the seam
+    assert(log.forall(t => t._4 == "insert" || t._4 == "delete"))
+    // MoR commits are row-exact in every binding
+    assert(log.filter(_._5 == v3).toSet === Set((2L, "src0", "b-v1", "delete", v3)))
+    assert(log.filter(_._5 == v4).toSet === Set((3L, "src1", "c-v1", "delete", v4)))
+    assert(log.filter(_._5 == v2).toSet === Set((5L, "src0", "e-v2", "insert", v2)))
+    // the cross-format contract: state(v-1) − deletes(v) + inserts(v)
+    // == state(v) as multisets, for EVERY version (CoW granularity may
+    // differ per binding — netness is not asserted, the invariant is)
+    def state(v: Long): Map[(Long, String, String), Int] =
+      fmt.read(spark, root, Some(v))
+        .select("id", "source", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    for (v <- (v1 + 1) to v5) {
+      val ins = log.filter(t => t._5 == v && t._4 == "insert")
+        .map(t => (t._1, t._2, t._3)).groupBy(identity).view.mapValues(_.length)
+      val del = log.filter(t => t._5 == v && t._4 == "delete")
+        .map(t => (t._1, t._2, t._3)).groupBy(identity).view.mapValues(_.length)
+      val replayed = (state(v - 1).keySet ++ ins.keys).flatMap { k =>
+        val n = state(v - 1).getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0)
+        if (n > 0) Some(k -> n) else None
+      }.toMap
+      assert(replayed === state(v), s"[$formatName] changelog replay of v$v diverged")
+    }
+    // materialization is logically silent in the changelog
+    val vM = fmt.materializeDeletes(spark, root)
+    if (vM > v5)
+      assert(fmt.changelogBetween(spark, root, v5, vM).count() === 0)
+    // empty interval: zero rows, changelog schema intact
+    val empty = fmt.changelogBetween(spark, root, v4, v4)
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("_change_type") &&
+      empty.columns.contains("_commit_version"))
+  }
 }
 
 /** The manifest-chained in-sandbox binding — behavior must match calling
