@@ -863,6 +863,125 @@ object SnapshotTable {
     out
   }
 
+  // --- named refs: tags and branches --------------------------------------
+
+  /** A named pointer into the version chain — the Iceberg refs analog
+   * (`SnapshotRef`: tags immutable, branches movable). */
+  case class Ref(kind: String, version: Int) {
+    require(kind == "tag" || kind == "branch", s"unknown ref kind '$kind'")
+  }
+
+  private def refsPath(root: String) = new Path(root, "metadata/refs.json")
+
+  private val refNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** All named refs on the table (empty when none were ever created). */
+  def refs(spark: SparkSession, root: String): Map[String, Ref] = {
+    val p = refsPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val out = Map.newBuilder[String, Ref]
+    node.fields().forEachRemaining { e =>
+      out += e.getKey -> Ref(e.getValue.get("type").asText(),
+        e.getValue.get("version").asInt())
+    }
+    out.result()
+  }
+
+  private def writeRefs(spark: SparkSession, root: String,
+      all: Map[String, Ref]): Unit = {
+    val node = mapper.createObjectNode()
+    all.toSeq.sortBy(_._1).foreach { case (n, r) =>
+      val rn = node.putObject(n)
+      rn.put("type", r.kind); rn.put("version", r.version)
+    }
+    // write-then-OVERWRITE-rename (the version-hint pattern): refs.json is
+    // rewritten on every ref mutation, and FileSystem.rename refuses an
+    // existing target while delete-then-rename would expose a no-refs
+    // window to concurrent readers
+    val dir = new Path(root, "metadata")
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, ".refs.json.tmp")
+    val out = f.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(node)); out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, refsPath(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def createRef(spark: SparkSession, root: String, name: String,
+      kind: String, version: Option[Int]): Ref = {
+    require(refNameRe.matches(name), s"invalid ref name '$name'")
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root")))
+    // resolve through the ordinary lookup so a missing/expired target
+    // fails with the standard missing-snapshot error, never a dead ref
+    snapshot(spark, root, Some(v))
+    val all = refs(spark, root)
+    require(!all.contains(name),
+      s"ref '$name' already exists (${all(name).kind} at v${all(name).version})")
+    val r = Ref(kind, v)
+    writeRefs(spark, root, all + (name -> r))
+    r
+  }
+
+  /** Create an IMMUTABLE tag at `version` (default: current). Fails if
+   * the name is taken — Iceberg tags never move; [[dropRef]] removes. */
+  def tagSnapshot(spark: SparkSession, root: String, name: String,
+      version: Option[Int] = None): Ref =
+    createRef(spark, root, name, "tag", version)
+
+  /** Create a movable branch head at `version` (default: current). This
+   * table's history is a single linear chain, so branches advance by
+   * [[fastForwardBranch]] only — the Iceberg `fast_forward` procedure;
+   * divergent branch WRITES (Iceberg's branch commits) are out of scope. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      version: Option[Int] = None): Ref =
+    createRef(spark, root, name, "branch", version)
+
+  /** Advance a branch head to `toVersion` (default: current). Fast-forward
+   * only: moving a head BACKWARD would silently unpin history that
+   * [[expireSnapshots]] may already have relied on it pinning. */
+  def fastForwardBranch(spark: SparkSession, root: String, name: String,
+      toVersion: Option[Int] = None): Ref = {
+    val all = refs(spark, root)
+    val cur = all.getOrElse(name,
+      throw new IllegalArgumentException(s"no ref named '$name'"))
+    require(cur.kind == "branch", s"ref '$name' is a ${cur.kind}, not a branch")
+    val v = toVersion.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root")))
+    require(v >= cur.version,
+      s"fast-forward only: branch '$name' is at v${cur.version}, target v$v")
+    snapshot(spark, root, Some(v))
+    val r = cur.copy(version = v)
+    writeRefs(spark, root, all + (name -> r))
+    r
+  }
+
+  /** Remove a tag or branch. The snapshots it pinned become expirable. */
+  def dropRef(spark: SparkSession, root: String, name: String): Unit = {
+    val all = refs(spark, root)
+    require(all.contains(name), s"no ref named '$name'")
+    writeRefs(spark, root, all - name)
+  }
+
+  /** Resolve a ref name to its pinned version. */
+  def refVersion(spark: SparkSession, root: String, name: String): Int =
+    refs(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"no ref named '$name'")).version
+
+  /** Read the table at a named ref — `VERSION AS OF 'tag'`. Same scan
+   * planning as [[read]] at the pinned version. */
+  def readRef(spark: SparkSession, root: String, name: String,
+      partitionFilter: Map[String, String] = Map.empty,
+      rangeFilter: Map[String, (String, String)] = Map.empty,
+      keyEquals: Map[String, String] = Map.empty): DataFrame =
+    read(spark, root, Some(refVersion(spark, root, name)),
+      partitionFilter, rangeFilter, keyEquals)
+
   /**
    * Reclaim history — the Iceberg `expire_snapshots` analog and
    * [[compact]]'s other half: compaction keeps its input files on disk so
@@ -872,8 +991,12 @@ object SnapshotTable {
    * directory listing (orphans from crashed commits are out of scope,
    * as in Iceberg, where that is `remove_orphan_files`). Time travel to
    * an expired version fails with the ordinary missing-snapshot error;
-   * everything the surviving snapshots reference is untouched. Returns
-   * the expired version numbers (empty when history is already short).
+   * everything the surviving snapshots reference is untouched. Versions
+   * pinned by a named ref ([[tagSnapshot]]/[[createBranch]]) are NEVER
+   * expired and their files stay live — the Iceberg retention rule that
+   * makes tags useful (pin a training-data release; expiration cannot
+   * eat it). Returns the expired version numbers (empty when history is
+   * already short).
    */
   def expireSnapshots(spark: SparkSession, root: String,
       keepLast: Int): Seq[Int] = {
@@ -881,11 +1004,15 @@ object SnapshotTable {
     val current = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val cutoff = current - keepLast + 1
-    val expired = (1 until cutoff).filter { v =>
-      fs(spark, new Path(root)).exists(new Path(root, s"metadata/v$v.json"))
-    }
+    val pinned: Set[Int] = refs(spark, root).values.map(_.version).toSet
+    val expired = (1 until cutoff)
+      .filterNot(pinned.contains)
+      .filter { v =>
+        fs(spark, new Path(root)).exists(new Path(root, s"metadata/v$v.json"))
+      }
     if (expired.isEmpty) return Seq.empty
-    val live: Set[String] = (cutoff to current)
+    val surviving = ((cutoff to current) ++ pinned.filter(_ < cutoff)).distinct
+    val live: Set[String] = surviving
       .filter(v => fs(spark, new Path(root))
         .exists(new Path(root, s"metadata/v$v.json")))
       .flatMap { v =>

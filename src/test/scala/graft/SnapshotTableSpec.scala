@@ -1185,4 +1185,94 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.changelogBetween(spark, root, 5, 7).count() ===
       log.count(_._5 > 5))
   }
+
+  test("named refs: immutable tags, fast-forward-only branches, ref reads") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))            // v1
+    SnapshotTable.commit(                                              // v2
+      Seq((10L, "src2", "g-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+
+    // a table with no refs reports none
+    assert(SnapshotTable.refs(spark, root).isEmpty)
+
+    // tag v1 explicitly; branch defaults to current (v2)
+    val t = SnapshotTable.tagSnapshot(spark, root, "release-1", Some(1))
+    assert(t.kind === "tag" && t.version === 1)
+    val b = SnapshotTable.createBranch(spark, root, "audit")
+    assert(b.kind === "branch" && b.version === 2)
+
+    // ref reads resolve through ordinary version-pinned scan planning
+    assert(SnapshotTable.readRef(spark, root, "release-1").count() === 4)
+    assert(SnapshotTable.readRef(spark, root, "audit").count() === 5)
+    assert(SnapshotTable.readRef(spark, root, "release-1",
+      partitionFilter = Map("source" -> "src0")).count() === 2)
+
+    // tags never move; names are single-namespace; bad inputs fail loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tagSnapshot(spark, root, "release-1", Some(2))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createBranch(spark, root, "release-1")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tagSnapshot(spark, root, "bad name")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tagSnapshot(spark, root, "ghost", Some(99))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readRef(spark, root, "nope")
+    }
+
+    // branches fast-forward only, and only branches fast-forward
+    SnapshotTable.commit(                                              // v3
+      Seq((11L, "src2", "h-v3")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val b2 = SnapshotTable.fastForwardBranch(spark, root, "audit")
+    assert(b2.version === 3)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.fastForwardBranch(spark, root, "audit", Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.fastForwardBranch(spark, root, "release-1", Some(3))
+    }
+    assert(SnapshotTable.refVersion(spark, root, "audit") === 3)
+  }
+
+  test("refs pin snapshots against expiration; dropRef releases them") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))            // v1
+    SnapshotTable.tagSnapshot(spark, root, "release-1")                // pin v1
+    SnapshotTable.commit(                                              // v2: overwrite src0
+      Seq((9L, "src0", "a-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"))
+    SnapshotTable.commit(                                              // v3 append
+      Seq((10L, "src2", "g-v3")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val v1Rows = SnapshotTable.read(spark, root, version = Some(1))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+
+    // keepLast=1 would expire v1 and v2 — but the tag pins v1, so only
+    // v2 goes, and v1 stays byte-complete (including the src0 files the
+    // v2 overwrite superseded)
+    assert(SnapshotTable.expireSnapshots(spark, root, keepLast = 1) === Seq(2))
+    assert(SnapshotTable.readRef(spark, root, "release-1")
+      .orderBy("id").collect().map(_.toSeq).toSeq === v1Rows)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, version = Some(2))
+    }
+
+    // releasing the pin makes v1 ordinarily expirable, files and all
+    SnapshotTable.dropRef(spark, root, "release-1")
+    assert(SnapshotTable.expireSnapshots(spark, root, keepLast = 1) === Seq(1))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, version = Some(1))
+    }
+    val f = new java.io.File(s"$root/data/s1/source=src0")
+    assert(!f.exists() || f.listFiles().forall(!_.getName.endsWith(".parquet")))
+    // current snapshot untouched throughout: 1 src0-overwrite row +
+    // 2 carried src1 rows + 1 appended src2 row
+    assert(SnapshotTable.read(spark, root).count() === 4)
+  }
 }
