@@ -1,7 +1,9 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 /**
@@ -53,7 +55,11 @@ object DirVersionedTableFormat extends TableFormat {
       statsKinds: Map[String, String],
       // MoR pointer: (baseVersion, tombstone mode "rows" | "keys", keyCols)
       mor: Option[(Long, String, Seq[String])],
-      bloomKinds: Map[String, String] = Map.empty)
+      bloomKinds: Map[String, String] = Map.empty,
+      // snapshot-summary operation kind ("write" | "delete" | "merge" |
+      // "replace") — what [[snapshotsTable]] reports; absent in
+      // pre-round-5 sidecars, which read back as "write"
+      op: String = "write")
 
   private def writeJson(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
     val p = new Path(path)
@@ -75,6 +81,7 @@ object DirVersionedTableFormat extends TableFormat {
       mn.put("base", base); mn.put("mode", mode)
       val kc = mn.putArray("keyCols"); keyCols.foreach(kc.add)
     }
+    node.put("op", m.op)
     writeJson(spark, s"${vdir(root, v)}/_meta.json",
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
   }
@@ -100,7 +107,8 @@ object DirVersionedTableFormat extends TableFormat {
       val it = node.get("bloomKinds").fields()
       while (it.hasNext) { val e = it.next(); bKinds(e.getKey) = e.getValue.asText() }
     }
-    Meta(pcols, kinds.toMap, mor, bKinds.toMap)
+    Meta(pcols, kinds.toMap, mor, bKinds.toMap,
+      if (node.has("op")) node.get("op").asText() else "write")
   }
 
   /** rel file path -> per-column base64 Bloom over xxhash64(col) — the
@@ -219,7 +227,7 @@ object DirVersionedTableFormat extends TableFormat {
    * and per-file Blooms for `bloomCols` — both from ONE aggregate pass. */
   private def writeFull(state: DataFrame, root: String, v: Long,
       partitionCols: Seq[String], statsCols: Seq[String],
-      bloomCols: Seq[String] = Seq.empty): Unit = {
+      bloomCols: Seq[String] = Seq.empty, op: String = "write"): Unit = {
     val spark = state.sparkSession
     val dir = new Path(vdir(root, v))
     val f = fs(spark, dir)
@@ -281,7 +289,7 @@ object DirVersionedTableFormat extends TableFormat {
           }.toMap
         }.toMap)
     }
-    publish(spark, root, v, Meta(partitionCols, kinds, None, bloomKinds))
+    publish(spark, root, v, Meta(partitionCols, kinds, None, bloomKinds, op))
   }
 
   private def requireTable(spark: SparkSession, root: String): Long =
@@ -449,7 +457,7 @@ object DirVersionedTableFormat extends TableFormat {
     val doomed = cur.filter(scoped).count()
     if (doomed == 0L) return (v, 0L)
     writeFull(cur.filter(!scoped), root, v + 1, m.partitionCols,
-      m.statsKinds.keys.toSeq, m.bloomKinds.keys.toSeq)
+      m.statsKinds.keys.toSeq, m.bloomKinds.keys.toSeq, op = "delete")
     (v + 1, doomed)
   }
 
@@ -471,7 +479,7 @@ object DirVersionedTableFormat extends TableFormat {
     val next = cur.join(delta.select(keyCols.map(col): _*).distinct(),
       keyCols, "left_anti").unionByName(delta.select(cur.columns.map(col): _*))
     writeFull(next, root, v + 1, m.partitionCols, m.statsKinds.keys.toSeq,
-      m.bloomKinds.keys.toSeq)
+      m.bloomKinds.keys.toSeq, op = "merge")
     v + 1
   }
 
@@ -498,7 +506,8 @@ object DirVersionedTableFormat extends TableFormat {
       f.delete(dir, true)
     }
     doomed.write.parquet(s"${vdir(root, next)}/tombstones")
-    publish(spark, root, next, m.copy(mor = Some((v, "rows", Seq.empty))))
+    publish(spark, root, next,
+      m.copy(mor = Some((v, "rows", Seq.empty)), op = "delete"))
     (next, n)
   }
 
@@ -530,7 +539,8 @@ object DirVersionedTableFormat extends TableFormat {
     }
     k.write.parquet(s"${vdir(root, next)}/tombstones")
     k.unpersist()
-    publish(spark, root, next, m.copy(mor = Some((v, "keys", keyCols))))
+    publish(spark, root, next,
+      m.copy(mor = Some((v, "keys", keyCols)), op = "delete"))
     (next, nKeys)
   }
 
@@ -539,7 +549,78 @@ object DirVersionedTableFormat extends TableFormat {
     val m = readMeta(spark, root, v)
     if (m.mor.isEmpty) return v // nothing pending: idempotent no-op
     writeFull(read(spark, root, Some(v)), root, v + 1, m.partitionCols,
-      m.statsKinds.keys.toSeq, m.bloomKinds.keys.toSeq)
+      m.statsKinds.keys.toSeq, m.bloomKinds.keys.toSeq, op = "replace")
     v + 1
+  }
+
+  // --- metadata tables -------------------------------------------------------
+
+  /** Per-file row count from the parquet FOOTER — metadata pages only,
+   * never data I/O; what this format pays for not recording counts at
+   * commit (the manifest binding answers from its manifest alone). */
+  private def footerRows(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** One [[TableFormat.filesTableSchema]] row per file version `v`
+   * references: a MoR version contributes its tombstone files (equality
+   * deletes — full-row tombstones are equality deletes on every column)
+   * and RECURSES to its base for the data files, mirroring how [[read]]
+   * resolves the pointer chain. */
+  private def filesRows(spark: SparkSession, root: String, v: Long): Seq[Row] = {
+    val m = readMeta(spark, root, v)
+    m.mor match {
+      case Some(_) =>
+        val tombDir = new Path(s"${vdir(root, v)}/tombstones")
+        val f = fs(spark, tombDir)
+        val tombs =
+          if (!f.exists(tombDir)) Seq.empty
+          else f.listStatus(tombDir).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => Row("equality-deletes", st.getPath.toString,
+              Map.empty[String, String], footerRows(spark, st.getPath),
+              st.getLen, Map.empty[String, String], Map.empty[String, String]))
+        filesRows(spark, root, m.mor.get._1) ++ tombs
+      case None =>
+        val stats = readStats(spark, root, v)
+        listFiles(spark, root, v).map { case (abs, rel, part) =>
+          val p = new Path(abs)
+          val st = fs(spark, p).getFileStatus(p)
+          val cs = stats.getOrElse(rel, Map.empty)
+          Row("data", abs, part, footerRows(spark, p), st.getLen,
+            cs.map { case (c, (lo, _)) => c -> lo },
+            cs.map { case (c, (_, hi)) => c -> hi })
+        }
+    }
+  }
+
+  override def filesTable(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(requireTable(spark, root))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](filesRows(spark, root, v).asJava),
+      TableFormat.filesTableSchema)
+  }
+
+  override def snapshotsTable(spark: SparkSession, root: String): DataFrame = {
+    val cur = requireTable(spark, root)
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val versions = f.listStatus(rootP).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        f.exists(new Path(st.getPath, Committed)) =>
+        st.getPath.getName.drop(1).toLong
+    }.sorted
+    val rows = versions.map { v =>
+      val rws = filesRows(spark, root, v)
+      val (data, del) = rws.partition(_.getString(0) == "data")
+      Row(v, readMeta(spark, root, v).op, data.size.toLong, del.size.toLong,
+        data.map(_.getLong(3)).sum, data.map(_.getLong(4)).sum, v == cur)
+    }
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
+      TableFormat.snapshotsTableSchema)
   }
 }

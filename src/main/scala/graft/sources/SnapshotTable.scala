@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -981,6 +983,72 @@ object SnapshotTable {
       keyEquals: Map[String, String] = Map.empty): DataFrame =
     read(spark, root, Some(refVersion(spark, root, name)),
       partitionFilter, rangeFilter, keyEquals)
+
+  // --- metadata tables -----------------------------------------------------
+
+  /** Iceberg's `files` metadata table, answered from PURE manifest
+   * metadata (one FileStatus probe per pending DELETE file for its size
+   * — delete commits don't record per-file bytes pre-round-5; zero data
+   * I/O either way). Schema: [[TableFormat.filesTableSchema]].
+   * `record_count` for a multi-file position-delete commit is NULL per
+   * file (the manifest records per-TARGET counts, not per-delete-file
+   * splits). */
+  def filesTable(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val snap = snapshot(spark, root, version)
+    val f = fs(spark, new Path(root))
+    def statLen(p: String): Any = {
+      val hp = new Path(p)
+      if (f.exists(hp)) f.getFileStatus(hp).getLen else null
+    }
+    val data = snap.files.map { fe =>
+      Row("data", fe.path, fe.partition, fe.rows, fe.bytes,
+        fe.stats.map { case (c, (lo, _)) => c -> lo },
+        fe.stats.map { case (c, (_, hi)) => c -> hi })
+    }
+    val posDel = snap.deletes.flatMap { d =>
+      val perFile: Any =
+        if (d.paths.size == 1) d.targets.valuesIterator.sum else null
+      d.paths.map(p => Row("position-deletes", p,
+        Map.empty[String, String], perFile, statLen(p),
+        Map.empty[String, String], Map.empty[String, String]))
+    }
+    val eqDel = snap.eqDeletes.flatMap { e =>
+      val perFile: Any = if (e.paths.size == 1) e.rows else null
+      e.paths.map(p => Row("equality-deletes", p,
+        Map.empty[String, String], perFile, statLen(p),
+        Map.empty[String, String], Map.empty[String, String]))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row]((data ++ posDel ++ eqDel).asJava),
+      TableFormat.filesTableSchema)
+  }
+
+  /** Iceberg's `snapshots`/`history` metadata table: one row per LIVE
+   * (unexpired) manifest, ascending. Pure metadata — the per-version
+   * counts come from the manifests alone. Schema:
+   * [[TableFormat.snapshotsTableSchema]]. */
+  def snapshotsTable(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val metaDir = new Path(root, "metadata")
+    val f = fs(spark, metaDir)
+    val rows = f.listStatus(metaDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .map(p => p.getName.stripPrefix("v").stripSuffix(".json").toInt)
+      .sorted
+      .map { v =>
+        val s = snapshot(spark, root, Some(v))
+        Row(v.toLong, s.operation, s.files.size.toLong,
+          (s.deletes.map(_.paths.size).sum +
+            s.eqDeletes.map(_.paths.size).sum).toLong,
+          s.files.map(_.rows).sum, s.files.map(_.bytes).sum, v == cur)
+      }
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
+      TableFormat.snapshotsTableSchema)
+  }
 
   /**
    * Reclaim history — the Iceberg `expire_snapshots` analog and

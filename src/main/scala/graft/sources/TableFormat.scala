@@ -155,6 +155,63 @@ trait TableFormat {
    * snapshot). Returns the resulting snapshot id (unchanged when
    * nothing is pending). */
   def materializeDeletes(spark: SparkSession, root: String): Long
+
+  /** Iceberg's `files` METADATA TABLE (`SELECT * FROM t.files`): one row
+   * per file the snapshot at `version` (None = current) REFERENCES —
+   * data files plus any pending merge-on-read delete files — with the
+   * cross-format schema [[TableFormat.filesTableSchema]]. This is how
+   * maintenance planners pick compaction candidates (small-file skew,
+   * delete-file amplification) WITHOUT listing the filesystem or
+   * scanning data: the manifest binding answers from pure manifest
+   * metadata; the full-state binding from its version directory plus
+   * parquet FOOTERS (metadata pages only, never data I/O).
+   * `record_count` is NULL where the format cannot know it without a
+   * scan (e.g. per-file splits of a multi-file position-delete commit);
+   * `lower_bounds`/`upper_bounds` carry the committed per-file column
+   * stats (empty maps when none were committed). */
+  def filesTable(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame
+
+  /** Iceberg's `snapshots` + `history` METADATA TABLE: one row per LIVE
+   * (unexpired) version, ascending, with the cross-format schema
+   * [[TableFormat.snapshotsTableSchema]]. `operation` is the snapshot-
+   * summary kind ("write" | "delete" | "merge" | "replace");
+   * `record_count`/`total_data_bytes` are the PHYSICAL data-file sums
+   * (pre-delete-application — pending MoR deletes show up as
+   * `delete_file_count`, not as a lower record_count, exactly as in
+   * Iceberg's summary counts). */
+  def snapshotsTable(spark: SparkSession, root: String): DataFrame
+}
+
+object TableFormat {
+  import org.apache.spark.sql.types._
+
+  /** Cross-format schema of [[TableFormat.filesTable]], conformance-pinned.
+   * `content` ∈ {"data", "position-deletes", "equality-deletes"} —
+   * Iceberg's file-content kinds (the full-state binding's full-row
+   * tombstones are equality deletes on every column). */
+  val filesTableSchema: StructType = StructType(Seq(
+    StructField("content", StringType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("partition", MapType(StringType, StringType,
+      valueContainsNull = false), nullable = false),
+    StructField("record_count", LongType, nullable = true),
+    StructField("file_size_in_bytes", LongType, nullable = true),
+    StructField("lower_bounds", MapType(StringType, StringType,
+      valueContainsNull = false), nullable = false),
+    StructField("upper_bounds", MapType(StringType, StringType,
+      valueContainsNull = false), nullable = false)))
+
+  /** Cross-format schema of [[TableFormat.snapshotsTable]], conformance-
+   * pinned. */
+  val snapshotsTableSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("data_file_count", LongType, nullable = false),
+    StructField("delete_file_count", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = true),
+    StructField("total_data_bytes", LongType, nullable = true),
+    StructField("is_current", BooleanType, nullable = false)))
 }
 
 /** [[SnapshotTable]] bound to the [[TableFormat]] seam — the in-sandbox
@@ -220,4 +277,11 @@ object SnapshotTableFormat extends TableFormat {
 
   override def materializeDeletes(spark: SparkSession, root: String): Long =
     SnapshotTable.materializeDeletes(spark, root).version.toLong
+
+  override def filesTable(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame =
+    SnapshotTable.filesTable(spark, root, version.map(_.toInt))
+
+  override def snapshotsTable(spark: SparkSession, root: String): DataFrame =
+    SnapshotTable.snapshotsTable(spark, root)
 }

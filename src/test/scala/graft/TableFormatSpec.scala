@@ -183,6 +183,51 @@ abstract class TableFormatConformance(val fmt: TableFormat, formatName: String)
     assert(fmt.read(spark, root).filter(col("id") === 2).count() === 0)
   }
 
+  test("conformance: files and snapshots metadata tables") {
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1").repartitionByRange(2, col("id")),
+      root, Seq("source"), statsCols = Seq("id"))
+    val v2 = fmt.commit(
+      Seq((5L, "src0", "e-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val (v3, _) = fmt.deleteByKeysMoR(Seq(3L).toDF("id"), root, Seq("id"))
+
+    // files: cross-format schema, one "data" row per scanned file,
+    // physical record/byte truth, partition + committed bounds attached
+    val files = fmt.filesTable(spark, root)
+    assert(files.schema === graft.sources.TableFormat.filesTableSchema)
+    val data = files.filter(col("content") === "data").collect()
+    assert(data.length === fmt.read(spark, root, version = Some(v2)).inputFiles.length)
+    assert(data.map(_.getLong(3)).sum === 5L) // pre-delete physical rows
+    assert(data.forall(r => Set("src0", "src1")(
+      r.getMap[String, String](2).toMap.apply("source"))))
+    assert(data.forall(r => r.getLong(4) > 0L))
+    // v1's files carry the committed id bounds; the un-stats'd delete
+    // files carry empty maps, never nulls
+    assert(data.exists(_.getMap[String, String](5).toMap.contains("id")))
+    val dels = files.filter(col("content") === "equality-deletes").collect()
+    assert(dels.nonEmpty)
+    assert(dels.map(r => Option(r.get(3)).fold(0L)(_ => r.getLong(3))).sum === 1L)
+    assert(dels.forall(_.getMap[String, String](2).toMap.isEmpty))
+    // time travel: the v1 view has no delete files and v1's row count
+    val at1 = fmt.filesTable(spark, root, version = Some(v1))
+    assert(at1.filter(col("content") =!= "data").count() === 0)
+    assert(at1.agg(sum("record_count")).head().getLong(0) === 4L)
+
+    // snapshots: one row per live version, ascending, operations and
+    // current flag right, physical counts consistent with filesTable
+    val snaps = fmt.snapshotsTable(spark, root)
+    assert(snaps.schema === graft.sources.TableFormat.snapshotsTableSchema)
+    val rows = snaps.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(v1, v2, v3))
+    assert(rows.map(_.getString(1)).toSeq === Seq("write", "write", "delete"))
+    assert(rows.map(_.getBoolean(6)).toSeq === Seq(false, false, true))
+    assert(rows.last.getLong(2) === data.length.toLong) // data_file_count
+    assert(rows.last.getLong(3) >= 1L)                  // delete_file_count
+    assert(rows.last.getLong(4) === 5L)                 // physical record_count
+    assert(rows.head.getLong(3) === 0L)
+  }
+
   test("conformance: row-level changelog — replay invariant across appends, " +
       "MoR deletes and a CoW merge; MoR commits row-exact; empty interval") {
     val root = freshRoot()
