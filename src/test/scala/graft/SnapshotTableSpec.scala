@@ -1275,4 +1275,57 @@ class SnapshotTableSpec extends SparkSuite {
     // 2 carried src1 rows + 1 appended src2 row
     assert(SnapshotTable.read(spark, root).count() === 4)
   }
+
+  test("metadata-driven maintenance: plan diagnoses small files, delete " +
+      "amplification and long history; runOnSnapshotTable heals all three " +
+      "and is idempotent") {
+    import graft.sources.{SnapshotTableFormat, TableMaintenance}
+    val root = freshRoot()
+    // 12 versions: v1 full, then 11 tiny single-row appends -> small-file
+    // skew in src0 plus a history longer than keepLast
+    SnapshotTable.commit(corpus("v1"), root, Seq("source"))
+    (1 to 11).foreach { i =>
+      SnapshotTable.commit(
+        Seq((100L + i, "src0", s"tiny-$i")).toDF("id", "source", "payload")
+          .coalesce(1),
+        root, Seq("source"), overwritePartitions = false)
+    }
+    // pending equality deletes -> read amplification
+    SnapshotTable.deleteByKeysMoR(Seq(2L, 101L).toDF("id"), root, Seq("id"))
+    val before = SnapshotTable.read(spark, root)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val actions = TableMaintenance.plan(SnapshotTableFormat, spark, root,
+      targetFileBytes = 64L * 1024 * 1024, minInputFiles = 2,
+      maxDeleteRatio = 0.01, keepLast = 5)
+    val kinds = actions.map(_.kind)
+    assert(kinds.contains("compact"), s"expected compact in $actions")
+    assert(kinds.contains("materializeDeletes"), s"expected materialize in $actions")
+    assert(kinds.contains("expireSnapshots"), s"expected expire in $actions")
+    // severity order: delete amplification first, storage-only last
+    assert(kinds.head === "materializeDeletes" && kinds.last === "expireSnapshots")
+    // the compact recommendation names the offending partition
+    assert(actions.exists(a => a.kind == "compact" && a.target == "source=src0"
+      && a.metric >= 2))
+
+    val ran = TableMaintenance.runOnSnapshotTable(spark, root,
+      targetFileBytes = 64L * 1024 * 1024, minInputFiles = 2,
+      maxDeleteRatio = 0.01, keepLast = 5)
+    assert(ran.map(_.kind).toSet === Set("compact", "materializeDeletes",
+      "expireSnapshots"))
+    // logical content untouched by maintenance
+    val after = SnapshotTable.read(spark, root)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before)
+    // healed: a re-plan with the same thresholds finds nothing, and the
+    // execute path is a no-op returning the empty plan
+    assert(TableMaintenance.plan(SnapshotTableFormat, spark, root,
+      targetFileBytes = 64L * 1024 * 1024, minInputFiles = 2,
+      maxDeleteRatio = 0.01, keepLast = 5).isEmpty)
+    val v = SnapshotTable.currentVersion(spark, root)
+    assert(TableMaintenance.runOnSnapshotTable(spark, root,
+      targetFileBytes = 64L * 1024 * 1024, minInputFiles = 2,
+      maxDeleteRatio = 0.01, keepLast = 5).isEmpty)
+    assert(SnapshotTable.currentVersion(spark, root) === v)
+  }
 }
