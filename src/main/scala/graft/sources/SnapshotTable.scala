@@ -986,6 +986,22 @@ object SnapshotTable {
 
   // --- metadata tables -----------------------------------------------------
 
+  /** Iceberg's `refs` metadata table: one row per named ref, sorted by
+   * name. Off the [[TableFormat]] seam — refs are a feature of THIS
+   * binding (the full-state format has none), like the maintenance
+   * procedures. */
+  def refsTable(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    val rows = refs(spark, root).toSeq.sortBy(_._1)
+      .map { case (n, r) => Row(n, r.kind, r.version.toLong) }
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+  }
+
   /** Iceberg's `files` metadata table, answered from PURE manifest
    * metadata (one FileStatus probe per pending DELETE file for its size
    * — delete commits don't record per-file bytes pre-round-5; zero data

@@ -1238,6 +1238,13 @@ class SnapshotTableSpec extends SparkSuite {
       SnapshotTable.fastForwardBranch(spark, root, "release-1", Some(3))
     }
     assert(SnapshotTable.refVersion(spark, root, "audit") === 3)
+
+    // the refs metadata table mirrors the pointer file, name-sorted
+    val rt = SnapshotTable.refsTable(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rt === Seq(("audit", "branch", 3L), ("release-1", "tag", 1L)))
+    SnapshotTable.dropRef(spark, root, "audit")
+    assert(SnapshotTable.refsTable(spark, root).count() === 1)
   }
 
   test("refs pin snapshots against expiration; dropRef releases them") {
