@@ -1,0 +1,190 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Constraint DISCOVERY — the profile-driven complement to the checklist
+ * engine's declared rules (the reference's checklists are hand-written,
+ * `environmental_checklist.conf`; at 10^12 rows nobody hand-writes the
+ * first draft). Three classic data-quality checks from the published
+ * Deequ family (Schelter et al., "Automating Large-Scale Data Quality
+ * Verification", VLDB 2018):
+ *
+ *  - inclusion dependency (containment): is A.x ⊆ B.y, and how badly not —
+ *    the discovery form of [[Referential]]'s declared-FK check;
+ *  - functional dependency violations: does `determinant → dependent` hold,
+ *    listing the violating determinant groups;
+ *  - constraint suggestion: profile every column in ONE aggregate pass and
+ *    emit the checklist rules the data currently satisfies (not-null,
+ *    unique, enum membership, numeric range, completeness floor) — the
+ *    machine-written first draft of the reference's checklist config.
+ *
+ * Scale shape: all three are single-shuffle aggregations with map-side
+ * partial combine; nothing collects unbounded state to the driver (the one
+ * bounded collect is the enum value list, gated to `enumMaxCard` values by
+ * a `limit`). The exact profile pass uses one multi-column COUNT DISTINCT
+ * (Catalyst expands to n_cols grouping sets — one pass, wider shuffle); the
+ * `approxDistinct` mode swaps in HLL sketches for the 100 TB profile where
+ * a ±2% distinct count changes no suggested rule except `unique`, which it
+ * then refuses to suggest (approximate uniqueness is not a constraint).
+ */
+object ConstraintDiscovery {
+
+  /**
+   * Inclusion-dependency stats: one row summarizing how much of
+   * `fact.factKey`'s distinct non-null value set is contained in
+   * `dim.dimKey` (NULLs are completeness's concern, not containment's —
+   * the reference's empty-cell skip semantics, Validator.pm).
+   *
+   * Plan: distinct on each side (partial-aggregated map-side), then a
+   * LEFT ANTI join of fact-distinct against dim-distinct. The dim side is
+   * broadcast when `broadcastDim` (the declared-FK case: dimensions fit);
+   * past broadcast scale it falls back to a shuffled anti-join on the key
+   * — both sides already distinct, so the shuffle moves value SETS, not
+   * rows. Output: (n_distinct, n_missing, coefficient) where coefficient
+   * is the standard inclusion coefficient |A ∩ B| / |A|, rounded to 6.
+   */
+  def inclusionStats(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      broadcastDim: Boolean = true): DataFrame = {
+    val a = fact.filter(col(factKey).isNotNull).select(col(factKey)).distinct()
+    val d0 = dim.filter(col(dimKey).isNotNull)
+      .select(col(dimKey).as(factKey)).distinct()
+    val d = if (broadcastDim) broadcast(d0) else d0
+    val missing = a.join(d, Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val total = a.agg(count(lit(1)).as("n_distinct"))
+    total.crossJoin(missing).select(
+      col("n_distinct"), col("n_missing"),
+      round((col("n_distinct") - col("n_missing")) /
+        when(col("n_distinct") === 0, lit(1)).otherwise(col("n_distinct")), 6)
+        .as("coefficient"))
+  }
+
+  /** The distinct fact values NOT contained in the dimension, with their
+   * fact-side occurrence counts — the row-level evidence behind
+   * [[inclusionStats]]'s coefficient (feeds the violations sink the same
+   * way [[Referential.violationSummary]] does for declared FKs). */
+  def inclusionViolations(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      broadcastDim: Boolean = true): DataFrame = {
+    val d0 = dim.filter(col(dimKey).isNotNull)
+      .select(col(dimKey).as(factKey)).distinct()
+    val d = if (broadcastDim) broadcast(d0) else d0
+    fact.filter(col(factKey).isNotNull)
+      .join(d, Seq(factKey), "left_anti")
+      .groupBy(col(factKey))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /**
+   * Functional-dependency violations: groups of `determinant` columns whose
+   * rows carry MORE than one distinct `dependent` value — the FD
+   * `determinant → dependent` fails exactly on these groups. One shuffle on
+   * the determinant; `countDistinct` partial-aggregates map-side. NULL
+   * dependents don't count as a value (SQL semantics, both engines).
+   * A determinant group that is entirely-NULL in `dependent` has 0 distinct
+   * values and never violates.
+   */
+  def fdViolations(df: DataFrame, determinant: Seq[String], dependent: String): DataFrame =
+    df.groupBy(determinant.map(col): _*)
+      .agg(countDistinct(col(dependent)).as("n_dependent"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_dependent") > 1)
+
+  /** One-row FD summary: total determinant groups, violating groups, and
+   * the FD satisfaction ratio (1.0 = the dependency holds). */
+  def fdStats(df: DataFrame, determinant: Seq[String], dependent: String): DataFrame =
+    df.groupBy(determinant.map(col): _*)
+      .agg(countDistinct(col(dependent)).as("n_dependent"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_dependent") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(col("n_groups"), col("n_violating"),
+        round((col("n_groups") - col("n_violating")) /
+          when(col("n_groups") === 0, lit(1)).otherwise(col("n_groups")), 6)
+          .as("fd_ratio"))
+
+  /**
+   * Profile-driven constraint suggestion (Deequ's ConstraintSuggestion,
+   * restated): ONE aggregate pass computes per-column (rows, non-nulls,
+   * distincts, min, max), then deterministic rules fire:
+   *
+   *  - `not_null`       — no NULLs observed;
+   *  - `unique`         — not_null AND every value distinct (refused under
+   *                       `approxDistinct`: a sketch can't certify it);
+   *  - `completeness`   — NULLs observed: suggest the per-mille floor the
+   *                       data currently clears (`completeness>=997/1000`)
+   *                       — integer detail, so the string is engine-stable;
+   *  - `enum`           — string column with ≤ `enumMaxCard` distinct
+   *                       values: suggest membership in the sorted value
+   *                       list (this is the reference's Enum plugin,
+   *                       machine-derived). Values come from a SECOND,
+   *                       per-candidate pass bounded by
+   *                       `limit(enumMaxCard + 1)` — never an unbounded
+   *                       collect, and only for columns the profile already
+   *                       proved small;
+   *  - `range`          — integral column: suggest `[min,max]` (the
+   *                       reference's Int min/max rule). Fractional
+   *                       columns are skipped: float-to-string formatting
+   *                       is engine-specific, and a float range constraint
+   *                       belongs to [[ColumnStats]]'s typed stats anyway.
+   *
+   * Output: (column, rule, detail) sorted by (column, rule) — directly
+   * convertible into a [[graft.model.Checklist]] first draft.
+   */
+  def suggestConstraints(df: DataFrame, enumMaxCard: Int = 16,
+      approxDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(enumMaxCard >= 1, s"enumMaxCard must be >= 1, got $enumMaxCard")
+
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val dCount =
+        if (approxDistinct) approx_count_distinct(c).as(s"${f.name}__distinct")
+        else countDistinct(c).as(s"${f.name}__distinct")
+      Seq(count(c).as(s"${f.name}__nonnull"), dCount) ++ (f.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          Seq(min(c).cast(StringType).as(s"${f.name}__min"),
+            max(c).cast(StringType).as(s"${f.name}__max"))
+        case _ => Nil
+      })
+    } :+ count(lit(1)).as("__rows")
+    val prof = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    val nRows = prof.getAs[Long]("__rows")
+    val out = cols.flatMap { f =>
+      val nonNull = prof.getAs[Long](s"${f.name}__nonnull")
+      val distinct = prof.getAs[Long](s"${f.name}__distinct")
+      val notNull = nonNull == nRows
+      val rules = Seq.newBuilder[(String, String, String)]
+      if (notNull) rules += ((f.name, "not_null", ""))
+      else {
+        val perMille = math.floor(nonNull * 1000.0 / nRows).toLong
+        rules += ((f.name, "completeness", s"completeness>=$perMille/1000"))
+      }
+      if (!approxDistinct && notNull && distinct == nonNull && nRows > 0)
+        rules += ((f.name, "unique", ""))
+      if (f.dataType == StringType && distinct <= enumMaxCard && distinct > 0) {
+        val vals = df.select(col(f.name)).filter(col(f.name).isNotNull)
+          .distinct().orderBy(col(f.name)).limit(enumMaxCard + 1)
+          .as[String].collect()
+        // approxDistinct can under-count past the gate; re-check exactly.
+        if (vals.length <= enumMaxCard)
+          rules += ((f.name, "enum", vals.mkString("|")))
+      }
+      f.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType if nonNull > 0 =>
+          val lo = prof.getAs[String](s"${f.name}__min")
+          val hi = prof.getAs[String](s"${f.name}__max")
+          rules += ((f.name, "range", s"[$lo,$hi]"))
+        case _ =>
+      }
+      rules.result()
+    }
+    out.sortBy(r => (r._1, r._2)).toSeq.toDF("column", "rule", "detail")
+  }
+}

@@ -62,7 +62,7 @@ object Catalog {
 
   // --- quality extensions (north_rule) -------------------------------------
 
-  import graft.quality.{ColumnStats, Drift, Uniqueness, Referential}
+  import graft.quality.{ColumnStats, Drift, Uniqueness, Referential, ConstraintDiscovery}
 
   /** Per-column stats over documents in one aggregation pass
    * (exact distinct here so the DuckDB oracle can reproduce it; the HLL
@@ -1339,4 +1339,39 @@ object Catalog {
         (hour(col("ts")) * 60 + minute(col("ts"))).cast("int")).as("zval"))
       .orderBy("event_id")
   }
+
+  /** Inclusion-dependency stats ([[graft.quality.ConstraintDiscovery.inclusionStats]]):
+   * how much of events.user_id's value set is contained in a customer
+   * dimension restricted to `c_custkey % 7 != 3` — the same restriction as
+   * [[qRiUser]], so missing values exist at EVERY scale factor and the
+   * coefficient is strictly below 1. One row:
+   * (n_distinct, n_missing, coefficient). */
+  def qIncl(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 7 =!= 3)
+    ConstraintDiscovery.inclusionStats(events, "user_id", dim, "c_custkey")
+  }
+
+  /** Functional-dependency violations
+   * ([[graft.quality.ConstraintDiscovery.fdViolations]]): does
+   * `user_id → event_type` hold over events? (It does not — users emit
+   * several event types; every violating user surfaces with its distinct
+   * type count.) NULL dependents don't count as a value in either engine. */
+  def qFd(spark: SparkSession, dir: String): DataFrame =
+    ConstraintDiscovery.fdViolations(
+      spark.read.parquet(s"$dir/events.parquet"), Seq("user_id"), "event_type")
+      .orderBy("user_id")
+
+  /** Profile-driven constraint suggestion
+   * ([[graft.quality.ConstraintDiscovery.suggestConstraints]]) over documents with
+   * `source` nullified on 'src3' so the completeness path fires alongside
+   * not_null/unique/enum/range — the machine-written first draft of the
+   * reference's hand-authored checklist config. */
+  def qSuggest(spark: SparkSession, dir: String): DataFrame =
+    ConstraintDiscovery.suggestConstraints(
+      docs(spark, dir).withColumn("source",
+        when(col("source") === "src3", lit(null)).otherwise(col("source"))),
+      enumMaxCard = 16)
+      .orderBy("column", "rule")
 }

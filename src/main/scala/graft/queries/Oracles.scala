@@ -2265,4 +2265,90 @@ GROUP BY dhd.id ORDER BY doc_id"""
       |  CAST(CAST(xa AS HUGEINT) + CAST(xb AS HUGEINT) * 2
       |       - 9223372036854775808 AS BIGINT) AS zval
       |FROM s5 ORDER BY event_id""".stripMargin
+
+  /** Oracle for [[Catalog.qIncl]]: inclusion coefficient of events.user_id
+   * in the mod-7-restricted customer keys — distinct sets on both sides,
+   * NOT EXISTS anti-join (NULL-safe like Spark's left_anti). */
+  val qIncl: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+      |d AS (SELECT DISTINCT c_custkey FROM customer
+      |      WHERE c_custkey IS NOT NULL AND c_custkey % 7 <> 3),
+      |m AS (SELECT count(*) AS n_missing FROM a
+      |      WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.c_custkey = a.user_id)),
+      |t AS (SELECT count(*) AS n_distinct FROM a)
+      |SELECT n_distinct, n_missing,
+      |  round((n_distinct - n_missing) * 1.0 /
+      |        (CASE WHEN n_distinct = 0 THEN 1 ELSE n_distinct END), 6) AS coefficient
+      |FROM t, m""".stripMargin
+
+  /** Oracle for [[Catalog.qFd]]: determinant groups violating
+   * `user_id → event_type` (NULL dependents don't count as a value —
+   * COUNT(DISTINCT) semantics agree across engines). */
+  val qFd: String =
+    """SELECT user_id, count(DISTINCT event_type) AS n_dependent,
+      |  count(*) AS n_rows
+      |FROM events GROUP BY user_id
+      |HAVING count(DISTINCT event_type) > 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Oracle for [[Catalog.qSuggest]]: the same deterministic suggestion
+   * rules ([[graft.quality.ConstraintDiscovery.suggestConstraints]]) restated as
+   * a per-column profile CTE + one UNION ALL branch per (column, rule).
+   * Rule firing is data-dependent in BOTH engines, so the oracle proves
+   * the rules, not a frozen expected list. The completeness detail is an
+   * integer per-mille floor (engine-stable string); range fires only for
+   * the integral columns; enum values aggregate sorted with '|'. */
+  val qSuggest: String = {
+    val d = "CASE WHEN source = 'src3' THEN NULL ELSE source END AS source"
+    def branches(c: String, integral: Boolean, str: Boolean): String = {
+      val base =
+        s"""SELECT '$c' AS "column", 'not_null' AS rule, '' AS detail
+           |FROM p WHERE ${c}_nn = n_rows
+           |UNION ALL
+           |SELECT '$c', 'completeness',
+           |  'completeness>=' || CAST(CAST(floor(${c}_nn * 1000.0 / n_rows) AS BIGINT) AS VARCHAR) || '/1000'
+           |FROM p WHERE ${c}_nn < n_rows
+           |UNION ALL
+           |SELECT '$c', 'unique', '' FROM p
+           |WHERE ${c}_nn = n_rows AND ${c}_nd = ${c}_nn AND n_rows > 0""".stripMargin
+      val range = if (!integral) "" else
+        s"""
+           |UNION ALL
+           |SELECT '$c', 'range', '[' || ${c}_min || ',' || ${c}_max || ']'
+           |FROM p WHERE ${c}_nn > 0""".stripMargin
+      val enumB = if (!str) "" else
+        s"""
+           |UNION ALL
+           |SELECT '$c', 'enum',
+           |  (SELECT string_agg(v, '|' ORDER BY v)
+           |   FROM (SELECT DISTINCT $c AS v FROM d WHERE $c IS NOT NULL))
+           |FROM p WHERE ${c}_nd <= 16 AND ${c}_nd > 0""".stripMargin
+      base + range + enumB
+    }
+    def stats(c: String, integral: Boolean): String = {
+      val mm = if (!integral) "" else
+        s""",
+           |  CAST(min($c) AS VARCHAR) AS ${c}_min, CAST(max($c) AS VARCHAR) AS ${c}_max""".stripMargin
+      s"""count($c) AS ${c}_nn, count(DISTINCT $c) AS ${c}_nd$mm""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, text, lang, $d, n_chars FROM documents),
+       |p AS (SELECT count(*) AS n_rows,
+       |  ${stats("doc_id", integral = true)},
+       |  ${stats("text", integral = false)},
+       |  ${stats("lang", integral = false)},
+       |  ${stats("source", integral = false)},
+       |  ${stats("n_chars", integral = true)}
+       |FROM d)
+       |SELECT "column", rule, detail FROM (
+       |${branches("doc_id", integral = true, str = false)}
+       |UNION ALL
+       |${branches("text", integral = false, str = true)}
+       |UNION ALL
+       |${branches("lang", integral = false, str = true)}
+       |UNION ALL
+       |${branches("source", integral = false, str = true)}
+       |UNION ALL
+       |${branches("n_chars", integral = true, str = false)}
+       |) r ORDER BY "column", rule""".stripMargin
+  }
 }

@@ -318,4 +318,67 @@ class QualitySpec extends SparkSuite {
     assert(dg.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
     assert(dg.forall(r => !r.getAs[Boolean]("anomalous")))
   }
+
+  test("ConstraintDiscovery.inclusionStats/Violations: containment over distinct sets") {
+    val fact = Seq(Some(1L), Some(2L), Some(3L), Some(3L), Some(4L), None)
+      .toDF("k").repartition(3)
+    val dim = Seq(1L, 2L, 5L).toDF("d")
+    val s = ConstraintDiscovery.inclusionStats(fact, "k", dim, "d").collect()(0)
+    // distinct non-null fact values {1,2,3,4}; {3,4} missing from {1,2,5}
+    assert(s.getAs[Long]("n_distinct") === 4L)
+    assert(s.getAs[Long]("n_missing") === 2L)
+    assert(s.getAs[Double]("coefficient") === 0.5)
+    val v = ConstraintDiscovery.inclusionViolations(fact, "k", dim, "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v === Map(3L -> 2L, 4L -> 1L)) // occurrence counts, NULL skipped
+
+    // full containment: coefficient exactly 1, no violations
+    val s2 = ConstraintDiscovery.inclusionStats(
+      Seq(1L, 2L).toDF("k"), "k", dim, "d").collect()(0)
+    assert(s2.getAs[Long]("n_missing") === 0L)
+    assert(s2.getAs[Double]("coefficient") === 1.0)
+  }
+
+  test("ConstraintDiscovery.fdViolations/fdStats: determinant -> dependent") {
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("y")), ("b", Some("x")), ("b", Some("x")),
+      ("c", None), ("c", None), ("d", Some("x")), ("d", None))
+      .toDF("k", "v").repartition(3)
+    val viol = ConstraintDiscovery.fdViolations(df, Seq("k"), "v").collect()
+    // only 'a' carries two distinct dependents; NULLs never count as a value
+    assert(viol.length === 1)
+    assert(viol(0).getString(0) === "a")
+    assert(viol(0).getAs[Long]("n_dependent") === 2L)
+    assert(viol(0).getAs[Long]("n_rows") === 2L)
+    val st = ConstraintDiscovery.fdStats(df, Seq("k"), "v").collect()(0)
+    assert(st.getAs[Long]("n_groups") === 4L)
+    assert(st.getAs[Long]("n_violating") === 1L)
+    assert(st.getAs[Double]("fd_ratio") === 0.75)
+  }
+
+  test("ConstraintDiscovery.suggestConstraints: rules fire deterministically from the profile") {
+    val df = Seq(
+      (1L, Some("a"), "p", 10),
+      (2L, Some("b"), "q", 20),
+      (3L, Some("a"), "r", 20),
+      (4L, None, "s", 30),
+      (5L, Some("b"), "t", 40)).toDF("id", "s", "t", "n").repartition(2)
+    val got = ConstraintDiscovery.suggestConstraints(df, enumMaxCard = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got === Map(
+      ("id", "not_null") -> "", ("id", "unique") -> "", ("id", "range") -> "[1,5]",
+      ("s", "completeness") -> "completeness>=800/1000", ("s", "enum") -> "a|b",
+      ("t", "not_null") -> "", ("t", "unique") -> "", ("t", "enum") -> "p|q|r|s|t",
+      ("n", "not_null") -> "", ("n", "range") -> "[10,40]"))
+
+    // enumMaxCard gates the value-list pass; unique is refused under approx
+    val gated = ConstraintDiscovery.suggestConstraints(df, enumMaxCard = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!gated.exists(_._2 == "enum"))
+    val approx = ConstraintDiscovery.suggestConstraints(df, enumMaxCard = 16,
+      approxDistinct = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!approx.exists(_._2 == "unique"))
+    assert(approx.contains(("id", "not_null")) && approx.contains(("n", "range")))
+  }
 }
