@@ -1,8 +1,11 @@
 package graft.quality
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.model.{Checklist, FieldDef, FieldType}
+import graft.compile.ChecklistCompiler.{isEmptyCell, stripQuotes, typePredicate}
 
 /**
  * Constraint DISCOVERY — the profile-driven complement to the checklist
@@ -186,5 +189,127 @@ object ConstraintDiscovery {
       rules.result()
     }
     out.sortBy(r => (r._1, r._2)).toSeq.toDF("column", "rule", "detail")
+  }
+
+  /** One inferred field: the reference plugin type, whether every cell was
+   * present (→ `required`), and the human detail (`[min,max]` / enum list). */
+  final case class InferredField(name: String, ftype: FieldType,
+      required: Boolean) {
+    def typeName: String = ftype.typeName
+    def detail: String = ftype match {
+      case FieldType.IntT(Some(lo), Some(hi)) => s"[$lo,$hi]"
+      case FieldType.EnumT(values)            => values.mkString("|")
+      case _                                   => ""
+    }
+  }
+
+  /**
+   * Checklist INFERENCE — discover, from the data alone, the checklist the
+   * reference's curator would have hand-written (the reference ships only
+   * hand-authored configs, `environmental_checklist.conf`; this is the
+   * machine-written first draft at engine scale). Every column is profiled
+   * through the validator's OWN lens — raw cell cast to string, one pair of
+   * wrapping quotes stripped, empty/blank cells excluded — so an inferred
+   * rule is exactly a rule the validator would find satisfied.
+   *
+   * ONE aggregate pass per call (map-side combined; no per-column jobs)
+   * computes, per column: empty-cell count, and over the non-empty stripped
+   * values the Bool-shape / Int-shape / ISO-8601 match counts (the SAME
+   * codegen predicates the compiled checklist runs, [[typePredicate]]),
+   * distinct count, and Int-cast min/max. Type priority, most specific
+   * wins, mirroring the reference plugin hierarchy:
+   *
+   *   Bool  — every non-empty value matches the Bool alternation;
+   *   Int   — every non-empty value is an integer literal (bounds attached
+   *           when they fit in Long; 19+-digit corpora get an unbounded Int);
+   *   DateTime — every non-empty value is strict ISO-8601;
+   *   Enum  — at most `enumMaxCard` distinct values (fetched in a SECOND
+   *           pass bounded by `limit(enumMaxCard+1)` — never unbounded);
+   *   Str   — everything else (also the all-empty column: nothing proven).
+   *
+   * `required` ⇔ no empty cell was observed. Round-trip guarantee (spec'd):
+   * validating `df` with its own inferred checklist yields zero violations
+   * — every rule was derived from what the data already satisfies.
+   *
+   * Typed TimestampType columns cast with a space separator (not ISO 'T'),
+   * so they deliberately fall to Enum/Str: inference is defined on the
+   * reference's untyped-string manifest model — format timestamps first.
+   */
+  def inferFields(df: DataFrame, enumMaxCard: Int = 16): Seq[InferredField] = {
+    require(enumMaxCard >= 1, s"enumMaxCard must be >= 1, got $enumMaxCard")
+    val names = df.schema.fields.map(_.name).toSeq
+
+    def v(n: String): Column = stripQuotes(col(n).cast(StringType))
+    def nonEmpty(n: String): Column = !isEmptyCell(col(n).cast(StringType))
+    def countIf(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+    val aggs = names.flatMap { n =>
+      val ne = nonEmpty(n)
+      Seq(
+        countIf(ne).as(s"${n}__ne"),
+        countIf(ne && typePredicate(FieldType.BoolT, v(n)))
+          .as(s"${n}__bool"),
+        countIf(ne && typePredicate(FieldType.IntT(None, None), v(n)))
+          .as(s"${n}__int"),
+        countIf(ne && typePredicate(FieldType.DateTimeT, v(n)))
+          .as(s"${n}__iso"),
+        countDistinct(when(ne, v(n))).as(s"${n}__nd"),
+        min(when(ne && typePredicate(FieldType.IntT(None, None), v(n)),
+          v(n).cast(DecimalType(38, 0)))).as(s"${n}__min"),
+        max(when(ne && typePredicate(FieldType.IntT(None, None), v(n)),
+          v(n).cast(DecimalType(38, 0)))).as(s"${n}__max"))
+    } :+ count(lit(1)).as("__rows")
+    val prof = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = prof.getAs[Long]("__rows")
+
+    names.map { n =>
+      val ne = prof.getAs[Long](s"${n}__ne")
+      val nd = prof.getAs[Long](s"${n}__nd")
+      def all(k: String): Boolean = ne > 0 && prof.getAs[Long](s"${n}__$k") == ne
+      def bound(k: String): Option[Long] =
+        Option(prof.getAs[java.math.BigDecimal](s"${n}__$k"))
+          .map(_.toBigInteger).filter(b =>
+            b.bitLength < 64 && BigInt(b).isValidLong)
+          .map(_.longValueExact())
+      val ftype: FieldType =
+        if (all("bool")) FieldType.BoolT
+        else if (all("int")) {
+          // bounds only when BOTH fit in Long (a one-sided bound would
+          // reject values the data contains on the unrepresentable side)
+          (bound("min"), bound("max")) match {
+            case (lo @ Some(_), hi @ Some(_)) => FieldType.IntT(lo, hi)
+            case _                            => FieldType.IntT(None, None)
+          }
+        } else if (all("iso")) FieldType.DateTimeT
+        else if (ne > 0 && nd <= enumMaxCard) {
+          val spark = df.sparkSession
+          import spark.implicits._
+          val vals = df.select(v(n).as("v")).filter(nonEmpty(n))
+            .distinct().orderBy(col("v")).limit(enumMaxCard + 1)
+            .as[String].collect()
+          if (vals.length <= enumMaxCard) FieldType.EnumT(vals.toSeq)
+          else FieldType.StrT(None)
+        } else FieldType.StrT(None)
+      InferredField(n, ftype, required = ne == nRows && nRows > 0)
+    }
+  }
+
+  /** [[inferFields]] materialized as a runnable [[graft.model.Checklist]]
+   * (field order = `df` column order — violation order is load-bearing,
+   * reference Validator.pm:219-279). */
+  def inferChecklist(df: DataFrame, name: String = "inferred",
+      enumMaxCard: Int = 16): Checklist =
+    Checklist(name, inferFields(df, enumMaxCard).map(f =>
+      FieldDef(f.name, f.ftype, required = f.required)))
+
+  /** [[inferFields]] as a (column, ftype, required, detail) frame sorted by
+   * column — the query/oracle surface of checklist inference. */
+  def checklistProfile(df: DataFrame, enumMaxCard: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    inferFields(df, enumMaxCard)
+      .map(f => (f.name, f.typeName, f.required, f.detail))
+      .sortBy(_._1)
+      .toDF("column", "ftype", "required", "detail")
   }
 }

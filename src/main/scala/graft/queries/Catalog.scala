@@ -1374,4 +1374,31 @@ object Catalog {
         when(col("source") === "src3", lit(null)).otherwise(col("source"))),
       enumMaxCard = 16)
       .orderBy("column", "rule")
+
+  /** Checklist inference ([[graft.quality.ConstraintDiscovery.checklistProfile]])
+   * over a derived string manifest that exercises every type branch:
+   * `okey` Int with bounds (required), `flag` Bool-shaped 0/1 with empty
+   * cells every 7th row (Bool beats Int in the priority chain, required
+   * false), `b` a yes/TRUE/no Bool (required), `d` extended-calendar
+   * ISO-8601 dates (DateTime), `pri` the 5-value priority Enum, `cmt`
+   * free text (Str). The oracle restates the same priority chain in SQL
+   * (Bool/Int shapes as regexes, the ISO subset this frame exercises via
+   * try_strptime), so the TYPE decision is data-dependent in both engines. */
+  def qCheckinfer(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val frame = o.select(
+      col("o_orderkey").cast("string").as("okey"),
+      when(col("o_orderkey") % 7 === 0, lit(""))
+        .otherwise((col("o_orderkey") % 2).cast("string")).as("flag"),
+      when(col("o_orderkey") % 3 === 0, lit("yes"))
+        .when(col("o_orderkey") % 3 === 1, lit("TRUE"))
+        .otherwise(lit("no")).as("b"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+      col("o_orderpriority").as("pri"),
+      // high-cardinality, decimal-pointed → Str in both engines (the
+      // rendered string differs across engines; only the TYPE decision
+      // feeds the output, and "not Bool/Int/ISO, >16 distinct" agrees)
+      col("o_totalprice").cast("string").as("cmt"))
+    ConstraintDiscovery.checklistProfile(frame, enumMaxCard = 16)
+  }
 }

@@ -2351,4 +2351,71 @@ GROUP BY dhd.id ORDER BY doc_id"""
        |${branches("n_chars", integral = true, str = false)}
        |) r ORDER BY "column", rule""".stripMargin
   }
+
+  /** Oracle for [[Catalog.qCheckinfer]]: the same derived manifest frame,
+   * then [[graft.quality.ConstraintDiscovery.inferFields]]'s priority chain
+   * restated in SQL — the validator's cell lens (quote-strip, `^\s*$`
+   * empty skip), Bool/Int shapes as the plugin regexes, ISO-8601 via the
+   * calendar-extended subset this frame exercises (try_strptime; the full
+   * engine family is wider, exactly like v_datetime's constructed rows),
+   * Enum gated on distinct ≤ 16, Str as the fallback. Type, required and
+   * detail are all data-dependent in BOTH engines. */
+  val qCheckinfer: String = {
+    val cols = Seq("okey", "flag", "b", "d", "pri", "cmt")
+    // the validator's cell lens: one wrapping-quote pair stripped
+    def sv(c: String): String = s"""regexp_replace($c, '^"?(.*?)"?$$', '\\1')"""
+    def nonEmpty(c: String): String =
+      s"NOT ($c IS NULL OR regexp_full_match($c, '\\s*'))"
+    def stats(c: String): String = {
+      val v = sv(c)
+      val ne = nonEmpty(c)
+      val isInt = s"regexp_full_match($v, '-?\\d+')"
+      s"""count(*) FILTER (WHERE $ne) AS ${c}_ne,
+         |  count(*) FILTER (WHERE $ne AND
+         |    regexp_full_match($v, '(?i)(1|true|yes|0|false|no)')) AS ${c}_bool,
+         |  count(*) FILTER (WHERE $ne AND $isInt) AS ${c}_int,
+         |  count(*) FILTER (WHERE $ne AND
+         |    try_strptime($v, '%Y-%m-%d') IS NOT NULL) AS ${c}_iso,
+         |  count(DISTINCT CASE WHEN $ne THEN $v END) AS ${c}_nd,
+         |  CAST(min(CASE WHEN $ne AND $isInt THEN CAST($v AS HUGEINT) END)
+         |    AS VARCHAR) AS ${c}_min,
+         |  CAST(max(CASE WHEN $ne AND $isInt THEN CAST($v AS HUGEINT) END)
+         |    AS VARCHAR) AS ${c}_max""".stripMargin
+    }
+    def row(c: String): String = {
+      val t =
+        s"""CASE WHEN ${c}_ne > 0 AND ${c}_bool = ${c}_ne THEN 'Bool'
+           |  WHEN ${c}_ne > 0 AND ${c}_int = ${c}_ne THEN 'Int'
+           |  WHEN ${c}_ne > 0 AND ${c}_iso = ${c}_ne THEN 'DateTime'
+           |  WHEN ${c}_ne > 0 AND ${c}_nd <= 16 THEN 'Enum'
+           |  ELSE 'Str' END""".stripMargin
+      val enumList =
+        s"""(SELECT string_agg(ev, '|' ORDER BY ev) FROM
+           |  (SELECT DISTINCT ${sv(c)} AS ev FROM f WHERE ${nonEmpty(c)}))"""
+          .stripMargin
+      s"""SELECT '$c' AS "column", $t AS ftype,
+         |  (${c}_ne = n_rows AND n_rows > 0) AS required,
+         |  CASE $t
+         |    WHEN 'Int' THEN '[' || ${c}_min || ',' || ${c}_max || ']'
+         |    WHEN 'Enum' THEN $enumList
+         |    ELSE '' END AS detail
+         |FROM p""".stripMargin
+    }
+    s"""WITH f AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN ''
+       |         ELSE CAST(o_orderkey % 2 AS VARCHAR) END AS flag,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN 'yes'
+       |         WHEN o_orderkey % 3 = 1 THEN 'TRUE' ELSE 'no' END AS b,
+       |    strftime(o_orderdate, '%Y-%m-%d') AS d,
+       |    o_orderpriority AS pri,
+       |    CAST(o_totalprice AS VARCHAR) AS cmt
+       |  FROM orders),
+       |p AS (SELECT count(*) AS n_rows,
+       |  ${cols.map(stats).mkString(",\n  ")}
+       |FROM f)
+       |SELECT "column", ftype, required, detail FROM (
+       |${cols.map(row).mkString("\nUNION ALL\n")}
+       |) r ORDER BY "column"""".stripMargin
+  }
 }

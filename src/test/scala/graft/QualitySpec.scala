@@ -381,4 +381,66 @@ class QualitySpec extends SparkSuite {
     assert(!approx.exists(_._2 == "unique"))
     assert(approx.contains(("id", "not_null")) && approx.contains(("n", "range")))
   }
+
+  test("ConstraintDiscovery.inferFields: every type branch + the priority chain") {
+    import graft.model.FieldType
+    val df = Seq(
+      // bool (beats int: 0/1 are both), int+bounds, big int (no Long bounds),
+      // iso, enum (quoted variant strips), str, all-empty
+      ("1",  "12", "99999999999999999999", "2024-02-29",         "\"red\"", "free text x", "",   "yes"),
+      ("0",  "-3", "1",                    "20240101T120000",    "blue",    "free text y", " ",  "TRUE"),
+      ("no", "45", "2",                    "2024-032",           "red",     "free text z", null, ""))
+      .toDF("bl", "it", "bigit", "dt", "en", "st", "mt", "req")
+      .repartition(2)
+    val fs = ConstraintDiscovery.inferFields(df, enumMaxCard = 16)
+      .map(f => f.name -> f).toMap
+    assert(fs("bl").ftype === FieldType.BoolT)
+    assert(fs("it").ftype === FieldType.IntT(Some(-3L), Some(45L)))
+    assert(fs("it").detail === "[-3,45]")
+    assert(fs("bigit").ftype === FieldType.IntT(None, None)) // > Long.Max
+    assert(fs("dt").ftype === FieldType.DateTimeT) // calendar/basic/ordinal forms
+    assert(fs("en").ftype === FieldType.EnumT(Seq("blue", "red"))) // quote-stripped
+    assert(fs("st").ftype === // tiny vocab: enum legitimately wins over Str
+      FieldType.EnumT(Seq("free text x", "free text y", "free text z")))
+    assert(fs("mt").ftype === FieldType.StrT(None)) // all-empty: nothing proven
+    // required = no empty cell; blank-like (" ") and NULL both count empty
+    assert(fs("bl").required && fs("it").required && fs("st").required)
+    assert(!fs("mt").required && !fs("req").required)
+
+    // enum cap: 17 distinct strings refuse the enum and fall to Str
+    val many = (0 until 17).map(i => f"v$i%02d").toDF("c")
+    val f17 = ConstraintDiscovery.inferFields(many, enumMaxCard = 16).head
+    assert(f17.ftype === FieldType.StrT(None))
+    assert(ConstraintDiscovery.inferFields(many, enumMaxCard = 17).head.ftype
+      === FieldType.EnumT((0 until 17).map(i => f"v$i%02d")))
+  }
+
+  test("ConstraintDiscovery.inferChecklist: round-trip zero violations; " +
+      "planted violations caught on new data") {
+    import graft.engine.Validator
+    val df = Seq(
+      ("1", "yes", "2024-01-01", "red",  "hello"),
+      ("2", "no",  "2024-06-15", "blue", "world"),
+      ("3", "",    "2024-12-31", "red",  "again"))
+      .toDF("id", "ok", "day", "color", "note").repartition(2)
+    val cl = ConstraintDiscovery.inferChecklist(df, name = "auto")
+    assert(cl.validateConfig().isRight)
+    assert(cl.fieldNames === Seq("id", "ok", "day", "color", "note")) // df order
+    // the defining property: the data satisfies its own inferred checklist
+    val rt = Validator.validate(df, cl)
+    assert(rt.filter(!col(Validator.PassedCol)).count() === 0L)
+    // new rows breaking the inferred rules ARE violations under it
+    val bad = Seq(
+      ("x",  "yes",   "2024-01-01", "red",   "fine"), // id not Int
+      ("9",  "maybe", "2024-01-01", "blue",  "fine"), // ok not Bool
+      ("10", "no",    "01/02/2024", "red",   "fine"), // day not ISO
+      ("11", "no",    "2024-01-01", "green", "fine"), // color not in enum
+      ("12", "no",    "2024-01-01", "red",   ""))     // note required, empty
+      .toDF("id", "ok", "day", "color", "note")
+    val checked = Validator.validate(bad, cl)
+    assert(checked.filter(!col(Validator.PassedCol)).count() === 5L)
+    // bounds travel: id outside [1,3] is invalid under the inferred IntT
+    assert(checked.filter(col("id") === "9")
+      .select(col(Validator.PassedCol)).head.getBoolean(0) === false)
+  }
 }
