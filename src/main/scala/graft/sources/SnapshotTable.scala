@@ -984,6 +984,47 @@ object SnapshotTable {
     read(spark, root, Some(refVersion(spark, root, name)),
       partitionFilter, rangeFilter, keyEquals)
 
+  /**
+   * Roll the table back to an earlier version's state — Iceberg's
+   * `rollback_to_snapshot` procedure, the recovery move after a bad
+   * commit (a botched backfill, a wrong-predicate delete). The rollback
+   * is a NEW commit, `operation = "rollback"`: history stays append-only,
+   * so the bad versions remain time-travelable evidence until
+   * [[expireSnapshots]] reaps them, and nothing ever moves the version
+   * hint backward (a hint rewind would re-issue version numbers, silently
+   * corrupting incremental consumers and refs pinned past the bad
+   * commit). Metadata-only and O(manifest): the new manifest re-references
+   * the target's files, pending MoR deletes, schema, partition spec and
+   * stats verbatim — zero data I/O, like [[compact]]'s commit step.
+   *
+   * Reads at the new current == reads at `targetVersion`, byte for byte.
+   * Incremental/changelog consumers: a rollback is a real state change —
+   * [[changelogBetween]] reports it as the NET row diff between the two
+   * live states (exceptAll both ways — scan-priced, exact even when the
+   * interval's only difference is a pending equality delete the rollback
+   * shed), and the replay invariant holds across it like any other
+   * version. Rolling back to the current version is a no-op (returns the
+   * current snapshot, no new commit — Iceberg's behavior). Fails loud if
+   * the target manifest is already expired or a staged commit pends.
+   */
+  def rollbackTo(spark: SparkSession, root: String,
+      targetVersion: Int): Snapshot = {
+    requireNoPendingStage(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    require(targetVersion <= cur,
+      s"rollback target v$targetVersion is ahead of current v$cur — " +
+        "use fastForwardBranch/readRef for forward movement")
+    if (targetVersion == cur) return snapshot(spark, root, Some(cur))
+    val p = new Path(root, s"metadata/v$targetVersion.json")
+    require(fs(spark, p).exists(p),
+      s"rollback target v$targetVersion expired — its manifest is gone")
+    val target = snapshot(spark, root, Some(targetVersion))
+    val snap = target.copy(version = cur + 1, operation = "rollback")
+    writeManifest(spark, root, snap)
+    snap
+  }
+
   // --- metadata tables -----------------------------------------------------
 
   /** Iceberg's `refs` metadata table: one row per named ref, sorted by
@@ -1431,6 +1472,35 @@ object SnapshotTable {
       val prev = snapshot(spark, root, Some(v - 1))
       val cur = snapshot(spark, root, Some(v))
       if (cur.operation == "replace") Seq.empty
+      else if (cur.operation == "rollback") {
+        // a rollback is a real state change, but the file diff alone can
+        // miss it (the interval's only difference may be a pending
+        // equality delete the rollback shed, resurrecting rows in files
+        // BOTH versions reference) — report the NET live-state diff,
+        // exact by construction; scan-priced, the one changelog shape
+        // that cannot be answered from manifests alone
+        def live(s: Snapshot): Option[DataFrame] =
+          if (s.files.isEmpty) None
+          else Some(readLive(spark, s.files, s).drop("__suffix", "__pos"))
+        (live(prev), live(cur)) match {
+          case (None, None)    => Seq.empty
+          case (None, Some(c)) => Seq(tag(c, "insert", v))
+          case (Some(p), None) => Seq(tag(p, "delete", v))
+          case (Some(p), Some(c)) =>
+            // align across a rolled-back schema evolution (additive-only:
+            // a column absent on one side NULL-patches with the other's type)
+            val cols = c.columns ++ p.columns.filterNot(c.columns.contains)
+            def align(df: DataFrame, other: DataFrame): DataFrame = {
+              val have = df.columns.toSet
+              val patched = cols.filterNot(have).foldLeft(df)((d, n) =>
+                d.withColumn(n, lit(null).cast(other.schema(n).dataType)))
+              patched.select(cols.map(org.apache.spark.sql.functions.col(_)): _*)
+            }
+            val pa = align(p, c); val ca = align(c, p)
+            Seq(tag(ca.exceptAll(pa), "insert", v),
+              tag(pa.exceptAll(ca), "delete", v))
+        }
+      }
       else {
         val prevPaths = prev.files.map(_.path).toSet
         val curPaths = cur.files.map(_.path).toSet

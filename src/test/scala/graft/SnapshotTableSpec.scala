@@ -1335,4 +1335,70 @@ class SnapshotTableSpec extends SparkSuite {
       maxDeleteRatio = 0.01, keepLast = 5).isEmpty)
     assert(SnapshotTable.currentVersion(spark, root) === v)
   }
+
+  test("rollbackTo: metadata-only rollback commit restores the target state; " +
+      "history append-only; changelog reports the net diff incl. a shed " +
+      "equality delete; no-op, ahead, and expired-target edges") {
+    val root = freshRoot()
+    SnapshotTable.commit(corpus("v1"), root, Seq("source")) // v1: ids 1-4
+    SnapshotTable.commit( // v2: append id 5
+      Seq((5L, "src0", "e-v2")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    SnapshotTable.deleteByKeysMoR( // v3: equality-delete id 1, zero table I/O
+      Seq(1L).toDF("id"), root, Seq("id"))
+    assert(SnapshotTable.read(spark, root).count() === 4) // 5 - deleted id 1
+
+    val snap = SnapshotTable.rollbackTo(spark, root, 1) // v4 = state(v1)
+    assert(snap.version === 4 && snap.operation === "rollback")
+    // byte-equal restore of the target state
+    def rows(v: Option[Int]) = SnapshotTable.read(spark, root, v)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(None) === rows(Some(1)))
+    assert(rows(None) === Set((1L, "a-v1"), (2L, "b-v1"), (3L, "c-v1"), (4L, "d-v1")))
+    // metadata-only: the rollback commit created no data subtree
+    assert(!new java.io.File(s"$root/data/s4").exists())
+    // history stays append-only: the bad versions remain time-travelable
+    assert(rows(Some(3)) === Set((2L, "b-v1"), (3L, "c-v1"), (4L, "d-v1"), (5L, "e-v2")))
+
+    // changelog across the rollback: NET diff — id 1 resurrects (the file
+    // is in BOTH versions; only the shed equality delete differs) and the
+    // rolled-back append's id 5 dies
+    val log = SnapshotTable.changelogBetween(spark, root, 3, 4)
+      .select("id", "payload", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(log === Set((1L, "a-v1", "insert", 4), (5L, "e-v2", "delete", 4)))
+    // replay invariant over the whole interval: state(1) + log(1..4) = state(4)
+    val replayed = SnapshotTable.changelogBetween(spark, root, 1, 4)
+      .select("id", "payload", "_change_type").collect()
+      .foldLeft(rows(Some(1)).toVector.groupBy(identity).view.mapValues(_.size).toMap) {
+        (acc, r) =>
+          val k = (r.getLong(0), r.getString(1))
+          if (r.getString(2) == "insert") acc + (k -> (acc.getOrElse(k, 0) + 1))
+          else acc + (k -> (acc.getOrElse(k, 0) - 1))
+      }.filter(_._2 > 0).keySet
+    assert(replayed === rows(None))
+
+    // the table keeps working after a rollback
+    SnapshotTable.commit( // v5
+      Seq((9L, "src1", "i-v5")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    assert(rows(None).contains(9L -> "i-v5") && rows(None).size === 5)
+
+    // no-op: rolling back to current returns it without a new commit
+    val cur = SnapshotTable.rollbackTo(spark, root, 5)
+    assert(cur.version === 5 &&
+      SnapshotTable.currentVersion(spark, root) === Some(5))
+    // ahead of current fails loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rollbackTo(spark, root, 6)
+    }
+    // an expired target fails loud (manifests v1-v3 reaped; v4 pins v1's
+    // files live, so the current read is untouched)
+    SnapshotTable.expireSnapshots(spark, root, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rollbackTo(spark, root, 2)
+    }
+    assert(rows(None).size === 5)
+  }
 }
