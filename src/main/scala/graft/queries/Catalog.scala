@@ -1375,6 +1375,20 @@ object Catalog {
       enumMaxCard = 16)
       .orderBy("column", "rule")
 
+  /** OLAP ROLLUP over the documents dimensions — hierarchical subtotals
+   * (lang, source) → (lang) → () in ONE pass: Catalyst expands the rollup
+   * to grouping sets inside a single Expand + hash aggregate with
+   * map-side partial combine, so the 100 TB cost is one shuffle, not one
+   * scan per level. `grouping_id` disambiguates a real NULL dimension
+   * value from an aggregated-away level (bit set = rolled up). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+
   /** Checklist inference ([[graft.quality.ConstraintDiscovery.checklistProfile]])
    * over a derived string manifest that exercises every type branch:
    * `okey` Int with bounds (required), `flag` Bool-shaped 0/1 with empty

@@ -2352,6 +2352,17 @@ GROUP BY dhd.id ORDER BY doc_id"""
        |) r ORDER BY "column", rule""".stripMargin
   }
 
+  /** Oracle for [[Catalog.qRollup]]: the same hierarchical subtotals —
+   * DuckDB's GROUPING() bit order matches Spark's grouping_id (first
+   * listed column = high bit); sums cast to BIGINT (DuckDB promotes
+   * sum(BIGINT) to HUGEINT). */
+  val qRollup: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY gid, lang, source""".stripMargin
+
   /** Oracle for [[Catalog.qCheckinfer]]: the same derived manifest frame,
    * then [[graft.quality.ConstraintDiscovery.inferFields]]'s priority chain
    * restated in SQL — the validator's cell lens (quote-strip, `^\s*$`
