@@ -1389,6 +1389,50 @@ object Catalog {
         grouping_id().cast("long").as("gid"))
       .orderBy(col("gid"), col("lang"), col("source"))
 
+  /** Ordered windowed funnel ([[graft.ops.EventAnalytics.funnelCounts]]):
+   * view → click → purchase within 6 hours of each user's FIRST view
+   * (earliest-anchor greedy — each step takes the earliest event strictly
+   * after the previous step's time, within the window of the anchor).
+   * ONE shuffle on user_id; the per-user fold is a higher-order
+   * `aggregate` over that user's funnel-step events. The oracle restates
+   * the greedy semantics as three chained min(ts) aggregates. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnelCounts(
+      spark.read.parquet(s"$dir/events.parquet"),
+      Seq("user_id"), "ts", "event_type",
+      Seq("view", "click", "purchase"), windowSeconds = 6L * 3600L)
+      .orderBy("step")
+
+  /** Cohort retention ([[graft.ops.EventAnalytics.cohortRetention]]) over
+   * a deterministically staggered activity stream (each user's events
+   * shift by `user_id % 8` weeks and thin to `event_id % 23 = 0`, so
+   * cohorts spread and retention actually decays): distinct users of
+   * cohort week c active in week c+offset, computed with no join and no
+   * countDistinct — one user-keyed aggregate collapses each user to
+   * (first week, distinct active weeks). */
+  def evCohort(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.cohortRetention(
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") % 23 === 0)
+        .select(col("user_id"),
+          (col("ts") + expr("make_interval(0, 0, cast(user_id % 8 as int), 0, 0, 0, 0)"))
+            .as("ts")),
+      Seq("user_id"), "ts")
+      .withColumnRenamed("offset", "week_offset")
+      .orderBy("cohort", "week_offset")
+
+  /** Fixed-grid resample with gap fill ([[graft.ops.EventAnalytics.resample]]):
+   * hourly buckets per event_type over the full observed span — empty
+   * buckets zero-fill the count and forward-fill the last observed hourly
+   * value sum (metrics-pipeline shape; ~75% of grid cells are gaps at
+   * sf0.01). Spine = sequence + explode (never a driver loop); the fill
+   * window carries one row of state per key. */
+  def evResample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.resample(
+      spark.read.parquet(s"$dir/events.parquet"),
+      Seq("event_type"), "ts", "hour", round(sum("value"), 6))
+      .orderBy("event_type", "bucket")
+
   /** Checklist inference ([[graft.quality.ConstraintDiscovery.checklistProfile]])
    * over a derived string manifest that exercises every type branch:
    * `okey` Int with bounds (required), `flag` Bool-shaped 0/1 with empty

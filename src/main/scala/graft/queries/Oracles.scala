@@ -2363,6 +2363,65 @@ GROUP BY dhd.id ORDER BY doc_id"""
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY gid, lang, source""".stripMargin
 
+  /** Oracle for [[Catalog.evFunnel]]: earliest-anchor greedy funnel as
+   * three chained min(ts) aggregates — t1 = earliest 'view'; t2 = earliest
+   * 'click' strictly after t1 within 6h of t1; t3 = earliest 'purchase'
+   * strictly after t2 within 6h of t1. Equivalent to the engine's sorted
+   * per-user fold by induction on step index. */
+  val evFunnel: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 6 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s1.t1 + INTERVAL 6 HOUR GROUP BY 1)
+      |SELECT step, event_type, n_users FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3) t
+      |ORDER BY step""".stripMargin
+
+  /** Oracle for [[Catalog.evCohort]]: the same staggered/thinned stream
+   * (shift = user_id % 8 weeks, keep event_id % 23 = 0), then first-week
+   * cohort × distinct-active-week cells; both engines truncate weeks to
+   * ISO Mondays so day-diffs are exact multiples of 7. */
+  val evCohort: String =
+    """WITH ev AS (SELECT user_id, ts + (user_id % 8) * 7 * INTERVAL 1 DAY AS ts2
+      |  FROM events WHERE event_id % 23 = 0),
+      |fw AS (SELECT user_id, min(date_trunc('week', ts2)) AS cohort
+      |  FROM ev GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts2) AS w FROM ev)
+      |SELECT fw.cohort,
+      |  CAST(datediff('day', fw.cohort, act.w) / 7 AS BIGINT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM act JOIN fw ON act.user_id = fw.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for [[Catalog.evResample]]: hourly buckets, generate_series
+   * spine (inclusive both ends, like Spark's sequence), zero-filled
+   * counts, IGNORE NULLS last_value forward fill; per-bucket sums round
+   * to 6dp in BOTH engines before the fill carries them. */
+  val evResample: String =
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      |  FROM bounds),
+      |k AS (SELECT DISTINCT event_type FROM events),
+      |g AS (SELECT k.event_type, spine.bucket, b.n, b.v
+      |  FROM k CROSS JOIN spine
+      |  LEFT JOIN b ON b.event_type = k.event_type AND b.bucket = spine.bucket)
+      |SELECT event_type, bucket, COALESCE(n, 0) AS n, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      |FROM g ORDER BY event_type, bucket""".stripMargin
+
   /** Oracle for [[Catalog.qCheckinfer]]: the same derived manifest frame,
    * then [[graft.quality.ConstraintDiscovery.inferFields]]'s priority chain
    * restated in SQL — the validator's cell lens (quote-strip, `^\s*$`

@@ -461,4 +461,33 @@ class PlanSpec extends SparkSuite {
       s"small delete sets must not sort-merge:\n$plan")
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L))
   }
+
+  test("event analytics plans: funnel folds in ONE user shuffle; " +
+      "resample broadcasts the spine and never shuffles the grid join") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "A", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+
+    // funnel: the per-user fold is a higher-order aggregate over the
+    // collected step events — exactly one exchange (the user groupBy),
+    // no Window, no self-join
+    val fl = graft.ops.EventAnalytics.funnelLevels(
+      ev, Seq("user_id"), "ts", "event_type", Seq("A", "B"), 3600L)
+    val fPlan = physical(fl).split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(fPlan).length == 1,
+      s"funnel must shuffle exactly once (user key):\n$fPlan")
+    assert(!fPlan.contains("Window") && !fPlan.contains("Join"),
+      s"funnel must not window or join:\n$fPlan")
+
+    // resample: the generated spine×keys grid joins the bucketed
+    // aggregate as a BROADCAST (the fact side is the aggregate, the grid
+    // is small by construction); the fill window partitions by key
+    val rs = graft.ops.EventAnalytics.resample(
+      ev, Seq("event_type"), "ts", "hour", round(sum("value"), 6))
+    val rPlan = physical(rs).split("== Initial Plan ==").head
+    assert(rPlan.contains("BroadcastNestedLoopJoin") ||
+      rPlan.contains("BroadcastHashJoin"),
+      s"grid must broadcast into the join:\n$rPlan")
+    assert(!rPlan.contains("SortMergeJoin"),
+      s"gap-fill must not sort-merge the grid:\n$rPlan")
+  }
 }
