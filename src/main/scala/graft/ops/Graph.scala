@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link analysis over a directed edge list — the graph-centrality
+ * complement to [[Clustering]]'s connected components: rank web-scale
+ * corpora by citation/link structure (the classic crawl-prioritization
+ * and quality-weighting signal for training-data curation).
+ *
+ * The rank arithmetic is FIXED-POINT int64, not floating point, on
+ * purpose: every per-node update is integer division and an exact
+ * integer sum, so the result is INDEPENDENT OF AGGREGATION ORDER —
+ * bit-identical across partitionings, cluster sizes and engines (the
+ * DuckDB oracle restates the same arithmetic and matches exactly,
+ * something float PageRank cannot promise because `sum(double)` depends
+ * on reduction order). At scale=10^12 the quantization error per update
+ * is ~1e-12 of total mass — far below any ranking-relevant difference.
+ *
+ * Per-iteration semantics (Page et al. 1999, dangling mass redistributed
+ * uniformly, all divisions integer-floor on non-negative values):
+ *
+ *   base     = scale div N
+ *   contrib(v) = Σ over in-edges (u,v) of r(u) div outdeg(u)
+ *   dangling = Σ of r(u) over nodes with outdeg 0
+ *   r'(v)    = (15·base) div 100  +  (85·(contrib(v) + dangling div N)) div 100
+ *
+ * Scale shape: each iteration is one src-keyed equi-join of the rank
+ * table onto the edge list, a map-side-combined integer sum per dst, a
+ * broadcast 1-row dangling aggregate, and a left join back onto the node
+ * frame — rank and edge tables shuffle on their keys, nothing
+ * materializes per-node state in one place. Lineage is cut per round
+ * (same contract as [[Clustering.connectedComponents]]); iteration count
+ * is a fixed parameter, so the job graph is k joins, not a convergence
+ * loop with driver probes.
+ */
+object Graph {
+
+  /**
+   * Fixed-point PageRank after exactly `iterations` rounds. Returns
+   * (node BIGINT, rank_fp BIGINT) — rank_fp / scale is the rank mass;
+   * total mass ≈ scale minus integer-rounding loss. Self-loops are
+   * dropped and parallel edges collapse (distinct) before ranking.
+   */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) {
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
+    if (reliableCheckpoint)
+      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
+          "pointing at durable storage")
+
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct())
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val base = scale / n
+    val baseTerm = (15L * base) / 100L
+
+    var r = nodes.withColumn("r", lit(base))
+    for (_ <- 1 to iterations) {
+      // src-keyed join + dst-keyed integer sum: the only row-scale shuffles
+      val contrib = e.join(r, e("src") === r("node")).join(od, "src")
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      // dangling mass: 1-row aggregate, broadcast into the update
+      val dang = r.join(od, r("node") === od("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      r = cut(nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(baseTerm) +
+            expr(s"(85 * (coalesce(contrib, 0) + (dang div $n))) div 100"))
+            .as("r")))
+    }
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
+}

@@ -1433,6 +1433,22 @@ object Catalog {
       Seq("event_type"), "ts", "hour", round(sum("value"), 6))
       .orderBy("event_type", "bucket")
 
+  /** Fixed-point PageRank ([[graft.ops.Graph.pageRankFixedPoint]]) over a
+   * deterministic directed graph derived from orders (97 nodes, 37 of
+   * them dangling, ~1300 distinct edges at sf0.001): 3 iterations at
+   * scale 10^12. All arithmetic is int64 with floor division, so the
+   * ranks are independent of aggregation order — the oracle restates the
+   * identical integer recurrence and matches bit-for-bit. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    graft.ops.Graph.pageRankFixedPoint(
+      orders.select(
+        (col("o_custkey") % 60).cast("long").as("src"),
+        ((col("o_orderkey") * 37 + 11) % 97).cast("long").as("dst")),
+      "src", "dst", iterations = 3)
+      .orderBy("node")
+  }
+
   /** Checklist inference ([[graft.quality.ConstraintDiscovery.checklistProfile]])
    * over a derived string manifest that exercises every type branch:
    * `okey` Int with bounds (required), `flag` Bool-shaped 0/1 with empty

@@ -2422,6 +2422,48 @@ GROUP BY dhd.id ORDER BY doc_id"""
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
       |FROM g ORDER BY event_type, bucket""".stripMargin
 
+  /** Oracle for [[Catalog.qPagerank]]: the same integer recurrence,
+   * unrolled 3 iterations — base = 10^12 // N; contrib(v) = Σ r(u) //
+   * outdeg(u); r' = (15·base)//100 + (85·(contrib + dangling//N))//100.
+   * DuckDB `//` on BIGINT is integer floor division (all values
+   * non-negative), sums cast back out of HUGEINT, so every step is
+   * exact and order-independent — the hash matches bit-for-bit. */
+  val qPagerank: String = {
+    val edges =
+      """SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT) AS src,
+        |       CAST((o_orderkey * 37 + 11) % 97 AS BIGINT) AS dst
+        |FROM orders
+        |WHERE CAST(o_custkey % 60 AS BIGINT) <> CAST((o_orderkey * 37 + 11) % 97 AS BIGINT)"""
+        .stripMargin
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node, CAST((SELECT baseterm FROM p) +
+         |    (85 * (COALESCE(c.contrib, 0) + d.dang // (SELECT nn FROM p))) // 100
+         |    AS BIGINT) AS r
+         |  FROM n
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum($prev.r // od.outdeg) AS BIGINT) AS contrib
+         |    FROM e JOIN $prev ON e.src = $prev.node
+         |    JOIN od ON e.src = od.node GROUP BY 1) c ON n.node = c.node
+         |  CROSS JOIN (SELECT CAST(COALESCE(sum($prev.r), 0) AS BIGINT) AS dang
+         |    FROM $prev LEFT JOIN od ON $prev.node = od.node
+         |    WHERE od.node IS NULL) d)""".stripMargin
+    s"""WITH e AS ($edges),
+       |n AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+       |  CAST(1000000000000 // count(*) AS BIGINT) AS base,
+       |  CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS baseterm
+       |  FROM n),
+       |r0 AS (SELECT node, (SELECT base FROM p) AS r FROM n),
+       |${step("r0", "it1")},
+       |${step("it1", "it2")},
+       |${step("it2", "it3")}
+       |SELECT node, r AS rank_fp FROM it3 ORDER BY node""".stripMargin
+  }
+
   /** Oracle for [[Catalog.qCheckinfer]]: the same derived manifest frame,
    * then [[graft.quality.ConstraintDiscovery.inferFields]]'s priority chain
    * restated in SQL — the validator's cell lens (quote-strip, `^\s*$`
