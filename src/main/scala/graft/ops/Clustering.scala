@@ -51,26 +51,11 @@ object Clustering {
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30, reliableCheckpoint: Boolean = false): DataFrame = {
-    // localCheckpoint is executor-local and NON-RESILIENT: on a real
-    // cluster a lost executor kills the whole iterative job. For cluster
-    // runs pass reliableCheckpoint=true (with spark.sparkContext
-    // .setCheckpointDir pointing at durable storage, e.g. HDFS/S3) so each
-    // round's lineage cut survives executor loss; local[k] keeps the
-    // cheaper executor-local cut as the default.
+    // Lineage-cut policy shared with every iterative op — see
+    // [[IterativeCheckpoint]] for the localCheckpoint-vs-durable contract.
     def cut(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) {
-        // persist first: Dataset.checkpoint() runs one job to materialize
-        // and a SECOND to write checkpoint files — without the cache the
-        // whole round's join+aggregate lineage would execute twice
-        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = cached.checkpoint()
-        cached.unpersist(blocking = false)
-        out
-      } else df.localCheckpoint()
-    if (reliableCheckpoint)
-      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
-          "pointing at durable storage")
+      IterativeCheckpoint.cut(df, reliableCheckpoint)
+    IterativeCheckpoint.requireDir(edges, reliableCheckpoint)
     val e = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
  *  - cohort: two aggregates, no join — first pass collapses each user to
  *    (first period, distinct active periods), bounded by the timeline
  *    length in periods, second counts per (cohort, offset) cell.
- *  - resample: one bucket aggregate, a generated bucket spine (sequence +
- *    explode — no driver loop), a broadcast key×spine frame, one left join
- *    back, and a per-key ordered window for the forward fill. Window state
- *    is one row (last non-null), partitioned by key.
+ *  - resample: one bucket aggregate, one per-key ordered window, one
+ *    explode — gap buckets GENERATE from each real row's predecessor
+ *    distance instead of outer-joining a grid (whose preserved side could
+ *    never broadcast); the only join is a broadcast 1-row bounds frame.
  */
 object EventAnalytics {
 
@@ -45,6 +45,9 @@ object EventAnalytics {
       typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowSeconds > 0,
+      s"funnel window must be positive, got $windowSeconds (a zero/negative " +
+        "window can never convert past step 1)")
     val k = steps.length
     // Timestamps stay timestamps (TIMESTAMP and TIMESTAMP_NTZ both work);
     // the unfilled-slot sentinel is NULL, the window is interval arithmetic.
@@ -112,9 +115,21 @@ object EventAnalytics {
    * the cell count is a plain count.
    *
    * Output: (cohort, offset, n_users), offset in whole periods.
+   *
+   * `period` is restricted to the fixed-day-length truncation units
+   * ("week"/"day") because the offset is an exact day-diff divided by the
+   * period length; calendar months vary in length and would silently
+   * drift (month cohorts want a months_between formulation, not this).
    */
   def cohortRetention(df: DataFrame, userCols: Seq[String], tsCol: String,
-      period: String = "week", periodDays: Int = 7): DataFrame = {
+      period: String = "week"): DataFrame = {
+    val periodDays = period match {
+      case "week" => 7
+      case "day"  => 1
+      case other => throw new IllegalArgumentException(
+        s"cohortRetention supports period 'week' or 'day', got '$other' " +
+          "(variable-length periods would corrupt the day-diff offset)")
+    }
     val perUser = df.filter(col(tsCol).isNotNull)
       .select(userCols.map(col) :+ date_trunc(period, col(tsCol)).as("__p"): _*)
       .groupBy(userCols.map(col): _*)
@@ -130,33 +145,65 @@ object EventAnalytics {
   /**
    * Resample an event stream to a fixed-interval grid per key, zero-filling
    * the count of empty buckets and forward-filling the last observed value
-   * aggregate into them (metrics-pipeline gap fill). The bucket spine is
-   * `sequence(min, max, interval)` exploded — generated distributed, never
-   * a driver loop — crossed with the distinct key frame (broadcast: the
-   * key dim of a per-key time series is small by definition). `valueAgg`
-   * is the per-bucket aggregate to carry (e.g. round(sum("value"), 6)).
+   * aggregate into them (metrics-pipeline gap fill). `valueAgg` is the
+   * per-bucket aggregate to carry (e.g. round(sum("value"), 6)).
+   *
+   * Scale shape — NO grid join: a grid×aggregate outer join can never
+   * broadcast its preserved grid side, so at scale it would silently
+   * degrade to a sort-merge of two row-scale inputs. Instead the gap
+   * buckets are GENERATED per key from the bucket aggregate itself: one
+   * ordered window per key supplies the previous bucket and carried fill
+   * value, and each real row explodes the `sequence` of empty buckets
+   * between its predecessor and itself (the key's first/last rows extend
+   * to the global lo/hi, a broadcast 1-row aggregate). Total cost: the
+   * bucket aggregate (cut once — two consumers), one key-partitioned
+   * window, one explode; shuffle volume is the aggregate, never the grid.
    *
    * Output: (keyCols..., bucket, n, v, v_ffill) — `n`/`v` are 0/NULL on
-   * gap buckets, `v_ffill` carries the last non-null `v` per key.
+   * gap buckets, `v_ffill` carries the last non-null `v` per key (NULL
+   * until the key's first non-null value). Keys whose every event has a
+   * NULL timestamp have no buckets and are absent.
    */
   def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
       interval: String, valueAgg: Column): DataFrame = {
     require(keyCols.nonEmpty, "resample needs at least one key column")
+    val step = expr(s"interval 1 $interval")
     val bucketed = df.filter(col(tsCol).isNotNull)
       .groupBy(keyCols.map(col) :+ date_trunc(interval, col(tsCol)).as("bucket"): _*)
       .agg(count(lit(1)).as("n"), valueAgg.as("v"))
-    val spine = bucketed
-      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
-      .select(explode(sequence(col("__lo"), col("__hi"),
-        expr(s"interval 1 $interval"))).as("bucket"))
-    val keys = df.select(keyCols.map(col): _*).distinct()
-    val grid = keys.crossJoin(broadcast(spine))
-    val w = org.apache.spark.sql.expressions.Window
+      .localCheckpoint() // consumed by the bounds aggregate AND the fill
+    val bounds = bucketed.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy("bucket")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    grid.join(bucketed, keyCols :+ "bucket", "left")
-      .select(keyCols.map(col) ++ Seq(col("bucket"),
-        coalesce(col("n"), lit(0L)).as("n"), col("v")): _*)
-      .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+    val wff = wk.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val vType = bucketed.schema("v").dataType
+    val withPrev = bucketed.crossJoin(broadcast(bounds))
+      .withColumn("__ff", last(col("v"), ignoreNulls = true).over(wff))
+      .withColumn("__prev", lag(col("bucket"), 1).over(wk))
+      .withColumn("__prev_ff", lag(col("__ff"), 1).over(wk))
+      .withColumn("__is_last", lead(col("bucket"), 1).over(wk).isNull)
+    // gap run helper: sequence(start..end) as empty-bucket structs; the
+    // greatest/filter pair makes an inverted range a TYPED empty array
+    // (sequence itself rejects start > end with a positive step)
+    def gapRun(start: Column, end: Column, carry: Column) =
+      filter(
+        transform(sequence(start, greatest(start, end), step), b =>
+          struct(b.as("bucket"), lit(0L).as("n"),
+            lit(null).cast(vType).as("v"), carry.as("v_ffill"))),
+        s => s.getField("bucket") <= end)
+    val before = gapRun(coalesce(col("__prev") + step, col("__lo")),
+      col("bucket") - step, col("__prev_ff"))
+    val self = array(struct(col("bucket"), col("n"), col("v"),
+      col("__ff").as("v_ffill")))
+    // non-last rows get an inverted trailing range -> empty
+    val after = gapRun(col("bucket") + step,
+      when(col("__is_last"), col("__hi")).otherwise(col("bucket")), col("__ff"))
+    withPrev
+      .select(keyCols.map(col) :+
+        explode(concat(before, self, after)).as("__r"): _*)
+      .select(keyCols.map(col) ++ Seq(col("__r.bucket").as("bucket"),
+        col("__r.n").as("n"), col("__r.v").as("v"),
+        col("__r.v_ffill").as("v_ffill")): _*)
   }
 }

@@ -40,33 +40,33 @@ object Graph {
   /**
    * Fixed-point PageRank after exactly `iterations` rounds. Returns
    * (node BIGINT, rank_fp BIGINT) — rank_fp / scale is the rank mass;
-   * total mass ≈ scale minus integer-rounding loss. Self-loops are
-   * dropped and parallel edges collapse (distinct) before ranking.
+   * total mass ≈ scale minus integer-rounding loss. Self-loops carry no
+   * rank and parallel edges collapse (distinct), but self-loop-only
+   * endpoints REMAIN nodes (dangling ones — they hold rank and count
+   * toward N).
    */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = 1000000000000L,
       reliableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     def cut(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) {
-        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = cached.checkpoint()
-        cached.unpersist(blocking = false)
-        out
-      } else df.localCheckpoint()
-    if (reliableCheckpoint)
-      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
-          "pointing at durable storage")
+      IterativeCheckpoint.cut(df, reliableCheckpoint)
+    IterativeCheckpoint.requireDir(edges, reliableCheckpoint)
 
-    val e = cut(edges
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct())
-    val nodes = cut(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // nodes derive from the edge list BEFORE self-loop removal: a page
+    // whose only link is to itself is a dangling node (its self-loop
+    // carries no rank), not a non-node — dropping it would both lose its
+    // rank row and undercount N, inflating everyone else's base mass
+    val nodes = cut(raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct())
+    val e = cut(raw.filter(col("src") =!= col("dst")).distinct())
+    // outdeg is re-read twice per iteration (contrib join + dangling
+    // anti-join) — cut it once like e/nodes or the groupBy re-executes 2k
+    // times over the edge list
+    val od = cut(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
 
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")

@@ -2429,12 +2429,13 @@ GROUP BY dhd.id ORDER BY doc_id"""
    * non-negative), sums cast back out of HUGEINT, so every step is
    * exact and order-independent — the hash matches bit-for-bit. */
   val qPagerank: String = {
-    val edges =
-      """SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT) AS src,
+    // e0 = the raw derived pairs; nodes come from e0 (self-loop-only
+    // endpoints stay nodes — dangling), ranked edges from the filtered e
+    val rawEdges =
+      """SELECT CAST(o_custkey % 60 AS BIGINT) AS src,
         |       CAST((o_orderkey * 37 + 11) % 97 AS BIGINT) AS dst
-        |FROM orders
-        |WHERE CAST(o_custkey % 60 AS BIGINT) <> CAST((o_orderkey * 37 + 11) % 97 AS BIGINT)"""
-        .stripMargin
+        |FROM orders""".stripMargin
+    val edges = "SELECT DISTINCT src, dst FROM e0 WHERE src <> dst"
     def step(prev: String, out: String): String =
       s"""$out AS (
          |  SELECT n.node, CAST((SELECT baseterm FROM p) +
@@ -2448,9 +2449,10 @@ GROUP BY dhd.id ORDER BY doc_id"""
          |  CROSS JOIN (SELECT CAST(COALESCE(sum($prev.r), 0) AS BIGINT) AS dang
          |    FROM $prev LEFT JOIN od ON $prev.node = od.node
          |    WHERE od.node IS NULL) d)""".stripMargin
-    s"""WITH e AS ($edges),
+    s"""WITH e0 AS ($rawEdges),
+       |e AS ($edges),
        |n AS (SELECT DISTINCT node FROM
-       |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |  (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
        |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
        |  FROM e GROUP BY 1),
        |p AS (SELECT CAST(count(*) AS BIGINT) AS nn,

@@ -59,6 +59,16 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, "A", 2L), (2L, "B", 1L), (3L, "C", 0L)))
   }
 
+  test("guards: non-positive funnel window and variable-length cohort periods fail fast") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), "A")).toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelLevels(df, Seq("user_id"), "ts", "event_type", steps, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cohortRetention(df, Seq("user_id"), "ts", period = "month")
+    }
+  }
+
   test("cohortRetention: offsets in whole periods, inactive periods absent") {
     val df = Seq(
       // u1: first week of Jan 1 (Monday), active weeks 0, 2

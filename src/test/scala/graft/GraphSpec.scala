@@ -43,6 +43,19 @@ class GraphSpec extends SparkSuite {
     assert(mass <= S && mass > S - 1000L, s"mass $mass")
   }
 
+  test("a self-loop-only node stays a (dangling) node — it holds rank and counts in N") {
+    // node 5's only edge is (5,5): it must appear in the output as a
+    // dangling node, identical to an explicit dangling sink like node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 5L))
+    val got = Graph.pageRankFixedPoint(
+      edges.toDF("src", "dst"), "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L))
+    // 5 receives no in-links, like 1 — identical rank by symmetry of the
+    // recurrence (both get baseterm + damped dangling share only)
+    assert(got(5L) === got(1L))
+  }
+
   test("iterations=0 returns the uniform base; partitioning never changes ranks") {
     val edges = (1L to 40L).map(i => (i % 7, (i * 3) % 11))
     val df = edges.toDF("src", "dst")

@@ -478,16 +478,18 @@ class PlanSpec extends SparkSuite {
     assert(!fPlan.contains("Window") && !fPlan.contains("Join"),
       s"funnel must not window or join:\n$fPlan")
 
-    // resample: the generated spine×keys grid joins the bucketed
-    // aggregate as a BROADCAST (the fact side is the aggregate, the grid
-    // is small by construction); the fill window partitions by key
+    // resample: gap buckets GENERATE from the bucket aggregate (window +
+    // explode) — the only join in the plan is the broadcast 1-row bounds
+    // frame; there is no grid to outer-join, so nothing can degrade to a
+    // row-scale sort-merge at any data size
     val rs = graft.ops.EventAnalytics.resample(
       ev, Seq("event_type"), "ts", "hour", round(sum("value"), 6))
     val rPlan = physical(rs).split("== Initial Plan ==").head
-    assert(rPlan.contains("BroadcastNestedLoopJoin") ||
-      rPlan.contains("BroadcastHashJoin"),
-      s"grid must broadcast into the join:\n$rPlan")
-    assert(!rPlan.contains("SortMergeJoin"),
-      s"gap-fill must not sort-merge the grid:\n$rPlan")
+    assert(rPlan.contains("Generate"), s"gap explode expected:\n$rPlan")
+    assert(rPlan.contains("BroadcastNestedLoopJoin"),
+      s"bounds must broadcast:\n$rPlan")
+    assert(!rPlan.contains("SortMergeJoin") &&
+      !rPlan.contains("ShuffledHashJoin"),
+      s"resample must never row-scale-join:\n$rPlan")
   }
 }
