@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /**
  * Data-size scaling evidence for the round-4/5 operator additions
  * (`q_taxtree_dist`, `dd_spanrm`, `q_mi`, `q_bm25_batch` — the four the
- * round-4 verdict flagged as having only sf0.1 records), plus
- * driver-roundtrip (Spark job) counts for the iterative ops.
+ * round-4 verdict flagged as having only sf0.1 records — plus the
+ * round-5 event-analytics family `ev_funnel`/`ev_cohort`/`ev_resample`
+ * over a user-population-scaled event stream and `q_pagerank` over
+ * synthetic graphs of 0.8M→51M edges), plus driver-roundtrip (Spark
+ * job) counts for the iterative ops.
  *
  * Protocol (the clean-window discipline of `Bench`):
  *  - documents scale by deterministic replication: copy c of a row keeps
@@ -84,6 +87,48 @@ object SfScalingBench {
           base.filter(col("doc_id") % 50 === 0).select(
             (col("doc_id") + 1000000000L).as("doc_id"),
             concat(col("text"), lit(" qqtail")).as("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Replicated events for the event-analytics arms: copy c shifts the
+   * user population (`user_id + c*10^4`) so the user-keyed shuffles grow
+   * with the multiplier (the real stress — a funnel over 10x events on
+   * the SAME users would just deepen per-user lists), and shifts
+   * event_id to stay unique; timestamps/types/values keep the original
+   * distribution so window/bucket semantics are unchanged. */
+  def scaledEvents(spark: SparkSession, sfDir: String, mult: Int): String = {
+    val path = s"/tmp/graft_bench/sfscale_events_m$mult"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(explode(sequence(lit(0), lit(mult - 1))).as("__c"),
+          col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .select(
+          (col("event_id") + col("__c") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("__c") * 10000L).as("user_id"),
+          col("event_type"), col("value"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Synthetic scale-free-ish directed graph for the PageRank arms:
+   * 8n edges over n nodes, dst hash-derived (deterministic); ~1/e of
+   * nodes end up dangling-free — enough structure to make every
+   * per-iteration stage (contrib join, dangling aggregate) non-trivial.
+   * The claim under test: JOBS stay flat as the graph grows (fixed
+   * iteration count, no convergence probes) and runtime grows ~linearly. */
+  def scaledGraph(spark: SparkSession, n: Long): String = {
+    val path = s"/tmp/graft_bench/sfscale_graph_n$n"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      spark.range(8L * n).select(
+          pmod(col("id"), lit(n)).as("src"),
+          pmod(xxhash64(col("id") * 2654435761L + 17L), lit(n)).as("dst"))
         .repartition(32)
         .write.mode("overwrite").parquet(path)
     }
@@ -195,7 +240,37 @@ object SfScalingBench {
             spark.read.parquet(nPath), spark.read.parquet(mPath))
         }
       }
-      docArms ++ treeArms
+      // round-5 event-analytics + link-analysis additions: user-keyed
+      // funnel/cohort shuffles grow with the (scaled) user population;
+      // resample's cost is the bucket-aggregate scan (its grid is
+      // generated, bounded by keys x span); pagerank jobs must stay flat
+      val evArms = mults.flatMap { m =>
+        val path = scaledEvents(spark, sfDir, m)
+        val rows = spark.read.parquet(path).count()
+        Seq(
+          measure(spark, "ev_funnel", s"x$m", rows, jobs) {
+            graft.ops.EventAnalytics.funnelCounts(
+              spark.read.parquet(path), Seq("user_id"), "ts", "event_type",
+              Seq("view", "click", "purchase"), windowSeconds = 6L * 3600L)
+          },
+          measure(spark, "ev_cohort", s"x$m", rows, jobs) {
+            graft.ops.EventAnalytics.cohortRetention(
+              spark.read.parquet(path), Seq("user_id"), "ts")
+          },
+          measure(spark, "ev_resample", s"x$m", rows, jobs) {
+            graft.ops.EventAnalytics.resample(
+              spark.read.parquet(path), Seq("event_type"), "ts", "hour",
+              round(sum("value"), 6))
+          })
+      }
+      val prArms = Seq(100000L, 800000L, 6400000L).map { n =>
+        val path = scaledGraph(spark, n)
+        measure(spark, "q_pagerank", s"n$n", 8L * n, jobs) {
+          graft.ops.Graph.pageRankFixedPoint(
+            spark.read.parquet(path), "src", "dst", iterations = 3)
+        }
+      }
+      docArms ++ treeArms ++ evArms ++ prArms
     }
 
     val armJson = arms.map(a =>
