@@ -1433,6 +1433,39 @@ object Catalog {
       Seq("event_type"), "ts", "hour", round(sum("value"), 6))
       .orderBy("event_type", "bucket")
 
+  /** PIVOT with EXPLICIT value list — the dynamic-to-static column
+   * rotation of OLAP reporting. Explicit values matter at scale: Spark
+   * then compiles the pivot to ONE hash aggregate of conditional
+   * expressions (no extra distinct-values job, no second shuffle), the
+   * same plan the oracle's FILTER-clause conditional aggregation states
+   * directly. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
+  /** Ranking-window family over a deliberately tie-rich ordering:
+   * rank / dense_rank (gap vs no-gap on ties), row_number over the
+   * TOTAL order (n_chars, doc_id — ties broken, so it is deterministic),
+   * percent_rank (one IEEE division of small ints — bit-identical
+   * across engines), and a running sum over the total order. One
+   * lang-partitioned sort, every function shares the window. */
+  def qRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byChars = Window.partitionBy("lang").orderBy(col("n_chars"))
+    val total = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs(spark, dir).select(col("lang"), col("doc_id"), col("n_chars"),
+      rank().over(byChars).cast("long").as("rnk"),
+      dense_rank().over(byChars).cast("long").as("drnk"),
+      row_number().over(total).cast("long").as("rn"),
+      percent_rank().over(byChars).as("prnk"),
+      sum(col("n_chars")).over(
+        total.rowsBetween(Window.unboundedPreceding, 0)).as("run_chars"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Fixed-point PageRank ([[graft.ops.Graph.pageRankFixedPoint]]) over a
    * deterministic directed graph derived from orders (97 nodes, 37 of
    * them dangling, ~1300 distinct edges at sf0.001): 3 iterations at

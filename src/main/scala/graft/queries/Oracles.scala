@@ -2422,6 +2422,40 @@ GROUP BY dhd.id ORDER BY doc_id"""
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
       |FROM g ORDER BY event_type, bucket""".stripMargin
 
+  /** Oracle for [[Catalog.qPivot]]: the conditional aggregation the
+   * explicit-values pivot compiles to — count/sum per (lang, source)
+   * cell, NULL for absent combinations (Spark pivot emits NULL counts,
+   * not 0, for empty cells; FILTER over zero rows gives the same). */
+  val qPivot: String =
+    """SELECT lang,
+      |  count(*) FILTER (WHERE source = 'src0') AS src0_n,
+      |  CAST(sum(n_chars) FILTER (WHERE source = 'src0') AS BIGINT) AS src0_chars,
+      |  count(*) FILTER (WHERE source = 'src1') AS src1_n,
+      |  CAST(sum(n_chars) FILTER (WHERE source = 'src1') AS BIGINT) AS src1_chars,
+      |  count(*) FILTER (WHERE source = 'src2') AS src2_n,
+      |  CAST(sum(n_chars) FILTER (WHERE source = 'src2') AS BIGINT) AS src2_chars,
+      |  count(*) FILTER (WHERE source = 'src3') AS src3_n,
+      |  CAST(sum(n_chars) FILTER (WHERE source = 'src3') AS BIGINT) AS src3_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Oracle for [[Catalog.qRank]]: the same window family — rank gaps on
+   * ties, dense_rank without, row_number over the tie-broken total order,
+   * percent_rank as the single (rank-1)/(n-1) IEEE division (bit-equal
+   * across engines), running sum over the total order. */
+  val qRank: String =
+    """SELECT lang, doc_id, n_chars,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  row_number() OVER wt AS rn,
+      |  percent_rank() OVER w AS prnk,
+      |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS run_chars
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars),
+      |  wt AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Oracle for [[Catalog.qPagerank]]: the same integer recurrence,
    * unrolled 3 iterations — base = 10^12 // N; contrib(v) = Σ r(u) //
    * outdeg(u); r' = (15·base)//100 + (85·(contrib + dangling//N))//100.

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming ordered-funnel tracking — the streaming form of
+ * [[graft.ops.EventAnalytics.funnelLevels]] with the SAME earliest-anchor
+ * greedy semantics: per user, slot 1 = the first step-1 event; slot k
+ * fills at the first step-k event strictly after slot k-1 and within the
+ * window of slot 1. One unified semantics with batch, so a dashboard can
+ * bootstrap conversion counts from a batch run and keep counting live.
+ *
+ * Shape: the step-index projection is the identical pre-shuffle filter
+ * the batch path uses; the stateful part is `flatMapGroupsWithState`
+ * keyed on the user. State per user = the k slot timestamps (k longs,
+ * bounded — nothing grows with event volume); a user completing the
+ * funnel drops their state (re-entry would need a session key upstream).
+ * Emission is append-mode: one row per NEWLY attained level, carrying
+ * the attaining event time — downstream conversion counts are
+ * `groupBy(level).count` over these increments, and the rows for one
+ * user are cumulative across micro-batches exactly like one batch run.
+ *
+ * ORDER DIVERGENCE (inherent to streaming, stated rather than hidden):
+ * within one state invocation events sort by (ts, step) — the batch
+ * fold's order — but an append stream cannot reorder ACROSS micro-batch
+ * boundaries: slots only ever fill, so an out-of-order event arriving a
+ * batch late (an earlier step-1 time, or a step-2 time that would have
+ * beaten the recorded one) cannot retract an already-filled slot. When
+ * arrival order respects event time (in-order sources, or within any
+ * single batch) the streamed increments equal the batch run on the union
+ * of all data — the RunnerSpec equivalence. Out-of-order tails reconcile
+ * the standard way: re-run the batch op at compaction time.
+ */
+object StreamingFunnel {
+
+  final case class StepEvent(user: Long, us: Long, step: Int)
+  final case class LevelHit(user: Long, level: Int, at_us: Long)
+  final case class FunnelState(slots: Array[Long])
+
+  /**
+   * Per-user funnel-level increments: (user, level, at_us). `steps` and
+   * `windowSeconds` must match the batch run being continued. Works
+   * identically on a batch frame (flatMapGroupsWithState in batch mode
+   * sees each group once), which the equivalence spec exercises.
+   */
+  def levels(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      windowSeconds: Long): Dataset[LevelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowSeconds > 0, "funnel window must be positive")
+    val k = steps.length
+    val winMicros = windowSeconds * 1000000L
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    val stepRows = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps.map(x => x: Any): _*))
+      .select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        stepIdx.as("step"))
+      .as[StepEvent](Encoders.product[StepEvent])
+
+    stepRows.groupByKey(_.user)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, LevelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[StepEvent], state: GroupState[FunnelState]) =>
+          val slots = state.getOption.map(_.slots.clone())
+            .getOrElse(Array.fill(k)(-1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[LevelHit]
+          // the batch fold's order within this invocation; slots only fill
+          for (e <- rows.toArray.sortBy(r => (r.us, r.step))) {
+            val i = e.step - 1
+            if (slots(i) == -1L &&
+                (i == 0 || (slots(i - 1) != -1L && e.us > slots(i - 1) &&
+                  e.us <= slots(0) + winMicros))) {
+              slots(i) = e.us
+              out += LevelHit(user, e.step, e.us)
+            }
+          }
+          // keep completed state too: dropping it would let a later event
+          // restart the user's funnel and re-emit level 1 — a divergence
+          // from the batch fold. State is k longs per user either way;
+          // production eviction is a timeout at slots(0)+window (no fill
+          // is possible past the anchor window once the user anchored).
+          // A never-anchored user stores nothing (absent == all-empty).
+          if (slots.exists(_ != -1L)) state.update(FunnelState(slots))
+          out.iterator
+      }(Encoders.product[FunnelState], Encoders.product[LevelHit])
+  }
+}
