@@ -102,6 +102,13 @@ object SfScalingBench {
   def scaledEvents(spark: SparkSession, sfDir: String, mult: Int): String = {
     val path = s"/tmp/graft_bench/sfscale_events_m$mult"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      // the +c*10^4 shift only keeps copy populations disjoint if the
+      // source ids fit under it — assert instead of silently colliding
+      // (collided copies would stop the user-keyed shuffle from growing)
+      val maxUser = spark.read.parquet(s"$sfDir/events.parquet")
+        .agg(max("user_id")).head.getLong(0)
+      require(maxUser < 10000L,
+        s"scaledEvents assumes user_id < 10000, got max $maxUser")
       spark.read.parquet(s"$sfDir/events.parquet")
         .select(explode(sequence(lit(0), lit(mult - 1))).as("__c"),
           col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -117,18 +124,22 @@ object SfScalingBench {
     path
   }
 
-  /** Synthetic scale-free-ish directed graph for the PageRank arms:
-   * 8n edges over n nodes, dst hash-derived (deterministic); ~1/e of
-   * nodes end up dangling-free — enough structure to make every
-   * per-iteration stage (contrib join, dangling aggregate) non-trivial.
-   * The claim under test: JOBS stay flat as the graph grows (fixed
-   * iteration count, no convergence probes) and runtime grows ~linearly. */
+  /** Synthetic directed graph for the PageRank arms: ~8 out-edges per
+   * non-dangling node, dst hash-derived (deterministic). Every 7th node
+   * emits NO out-edges, so ~1/7 of the nodes are genuinely dangling and
+   * the per-iteration dangling aggregate (the anti-join + mass
+   * redistribution path) processes real rows at every size — a
+   * uniform-src graph would leave it empty and the arm would not
+   * exercise it. The claim under test: JOBS stay flat as the graph grows
+   * (fixed iteration count, no convergence probes) and runtime grows
+   * ~linearly. */
   def scaledGraph(spark: SparkSession, n: Long): String = {
     val path = s"/tmp/graft_bench/sfscale_graph_n$n"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
-      spark.range(8L * n).select(
-          pmod(col("id"), lit(n)).as("src"),
+      spark.range(8L * n)
+        .select(pmod(col("id"), lit(n)).as("src"),
           pmod(xxhash64(col("id") * 2654435761L + 17L), lit(n)).as("dst"))
+        .filter(pmod(col("src"), lit(7)) =!= 0)
         .repartition(32)
         .write.mode("overwrite").parquet(path)
     }
@@ -265,7 +276,8 @@ object SfScalingBench {
       }
       val prArms = Seq(100000L, 800000L, 6400000L).map { n =>
         val path = scaledGraph(spark, n)
-        measure(spark, "q_pagerank", s"n$n", 8L * n, jobs) {
+        val edgeRows = spark.read.parquet(path).count()
+        measure(spark, "q_pagerank", s"n$n", edgeRows, jobs) {
           graft.ops.Graph.pageRankFixedPoint(
             spark.read.parquet(path), "src", "dst", iterations = 3)
         }

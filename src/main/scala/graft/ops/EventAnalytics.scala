@@ -20,12 +20,34 @@ import org.apache.spark.sql.functions._
  *  - cohort: two aggregates, no join — first pass collapses each user to
  *    (first period, distinct active periods), bounded by the timeline
  *    length in periods, second counts per (cohort, offset) cell.
- *  - resample: one bucket aggregate, one per-key ordered window, one
- *    explode — gap buckets GENERATE from each real row's predecessor
+ *  - resample: one bucket aggregate, one per-key ordered window, chunked
+ *    explodes — gap buckets GENERATE from each real row's predecessor
  *    distance instead of outer-joining a grid (whose preserved side could
  *    never broadcast); the only join is a broadcast 1-row bounds frame.
  */
 object EventAnalytics {
+
+  /** The funnel's semantics-bearing pieces, single-sourced so the batch
+   * fold ([[funnelLevels]]) and the streaming form
+   * ([[graft.streaming.StreamingFunnel]]) can never drift apart. */
+  private[graft] def validateFunnelArgs(steps: Seq[String],
+      windowSeconds: Long): Unit = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowSeconds > 0,
+      s"funnel window must be positive, got $windowSeconds (a zero/negative " +
+        "window can never convert past step 1)")
+  }
+
+  /** Pre-shuffle filter: only the funnel's step types survive. */
+  private[graft] def stepFilter(typeCol: String, steps: Seq[String]): Column =
+    col(typeCol).isin(steps.map(x => x: Any): _*)
+
+  /** step name -> 1-based slot; the when-chain is k terms, k is small. */
+  private[graft] def stepIndexCol(typeCol: String, steps: Seq[String]): Column =
+    steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
 
   /**
    * Ordered windowed funnel (ClickHouse `windowFunnel` shape, pinned to
@@ -43,24 +65,16 @@ object EventAnalytics {
    */
   def funnelLevels(df: DataFrame, userCols: Seq[String], tsCol: String,
       typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
-    require(windowSeconds > 0,
-      s"funnel window must be positive, got $windowSeconds (a zero/negative " +
-        "window can never convert past step 1)")
+    validateFunnelArgs(steps, windowSeconds)
     val k = steps.length
     // Timestamps stay timestamps (TIMESTAMP and TIMESTAMP_NTZ both work);
     // the unfilled-slot sentinel is NULL, the window is interval arithmetic.
     val tsType = df.schema(tsCol).dataType
     val win = expr(s"INTERVAL '$windowSeconds' SECOND")
-    // step name -> 1-based slot; the when-chain is k terms, k is small
-    val stepIdx = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
-      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
-    }
     val ev = df
-      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps.map(x => x: Any): _*))
+      .filter(col(tsCol).isNotNull && stepFilter(typeCol, steps))
       .select(userCols.map(col) ++ Seq(
-        col(tsCol).as("__t"), stepIdx.as("__s")): _*)
+        col(tsCol).as("__t"), stepIndexCol(typeCol, steps).as("__s")): _*)
     // ONE shuffle: per-user sorted fold over only the funnel-relevant events.
     // Slot array fills strictly in prefix order, so `reached` = filled count.
     ev.groupBy(userCols.map(col): _*)
@@ -155,9 +169,12 @@ object EventAnalytics {
    * ordered window per key supplies the previous bucket and carried fill
    * value, and each real row explodes the `sequence` of empty buckets
    * between its predecessor and itself (the key's first/last rows extend
-   * to the global lo/hi, a broadcast 1-row aggregate). Total cost: the
-   * bucket aggregate (cut once — two consumers), one key-partitioned
-   * window, one explode; shuffle volume is the aggregate, never the grid.
+   * to the global lo/hi, a broadcast 1-row aggregate). Gap runs expand in
+   * two explode levels — run → 4096-bucket chunks → buckets — so even a
+   * sparse key spanning a years-long fine-grained spine never builds more
+   * than one chunk of structs in a row. Total cost: the bucket aggregate
+   * (cut lazily, once — two consumers), one key-partitioned window, the
+   * bounded explodes; shuffle volume is the aggregate, never the grid.
    *
    * Output: (keyCols..., bucket, n, v, v_ffill) — `n`/`v` are 0/NULL on
    * gap buckets, `v_ffill` carries the last non-null `v` per key (NULL
@@ -168,10 +185,19 @@ object EventAnalytics {
       interval: String, valueAgg: Column): DataFrame = {
     require(keyCols.nonEmpty, "resample needs at least one key column")
     val step = expr(s"interval 1 $interval")
+    // chunk size for gap materialization: a gap run never builds more
+    // than chunk structs in one row, so a sparse key spanning a years-long
+    // fine-grained spine costs ceil(run/chunk) narrow chunk rows instead
+    // of one giant in-row array (sequence also hard-caps its length)
+    val chunk = 4096
+    val stride = expr(s"interval $chunk $interval")
+    val strideM1 = expr(s"interval ${chunk - 1} $interval")
     val bucketed = df.filter(col(tsCol).isNotNull)
       .groupBy(keyCols.map(col) :+ date_trunc(interval, col(tsCol)).as("bucket"): _*)
       .agg(count(lit(1)).as("n"), valueAgg.as("v"))
-      .localCheckpoint() // consumed by the bounds aggregate AND the fill
+      // two consumers (bounds + fill); lazy = no job at plan construction,
+      // the first action materializes the cut once and both reuse it
+      .localCheckpoint(eager = false)
     val bounds = bucketed.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy("bucket")
@@ -183,27 +209,33 @@ object EventAnalytics {
       .withColumn("__prev", lag(col("bucket"), 1).over(wk))
       .withColumn("__prev_ff", lag(col("__ff"), 1).over(wk))
       .withColumn("__is_last", lead(col("bucket"), 1).over(wk).isNull)
-    // gap run helper: sequence(start..end) as empty-bucket structs; the
-    // greatest/filter pair makes an inverted range a TYPED empty array
-    // (sequence itself rejects start > end with a positive step)
-    def gapRun(start: Column, end: Column, carry: Column) =
-      filter(
-        transform(sequence(start, greatest(start, end), step), b =>
-          struct(b.as("bucket"), lit(0L).as("n"),
-            lit(null).cast(vType).as("v"), carry.as("v_ffill"))),
-        s => s.getField("bucket") <= end)
-    val before = gapRun(coalesce(col("__prev") + step, col("__lo")),
-      col("bucket") - step, col("__prev_ff"))
-    val self = array(struct(col("bucket"), col("n"), col("v"),
-      col("__ff").as("v_ffill")))
-    // non-last rows get an inverted trailing range -> empty
-    val after = gapRun(col("bucket") + step,
-      when(col("__is_last"), col("__hi")).otherwise(col("bucket")), col("__ff"))
+    // every real row contributes up to three RUNS of consecutive output
+    // buckets: the gap before it (empty buckets carrying the predecessor's
+    // fill), itself (a one-bucket run with the real n/v), and — on the
+    // key's last row — the trailing gap to the global hi. A run with
+    // e < s is empty and filtered before any expansion.
+    val nilV = lit(null).cast(vType)
+    val runs = array(
+      struct(coalesce(col("__prev") + step, col("__lo")).as("s"),
+        (col("bucket") - step).as("e"), lit(0L).as("n"), nilV.as("v"),
+        col("__prev_ff").as("ff")),
+      struct(col("bucket").as("s"), col("bucket").as("e"), col("n"),
+        col("v"), col("__ff").as("ff")),
+      struct((col("bucket") + step).as("s"),
+        when(col("__is_last"), col("__hi")).otherwise(col("bucket") - step).as("e"),
+        lit(0L).as("n"), nilV.as("v"), col("__ff").as("ff")))
     withPrev
       .select(keyCols.map(col) :+
-        explode(concat(before, self, after)).as("__r"): _*)
-      .select(keyCols.map(col) ++ Seq(col("__r.bucket").as("bucket"),
-        col("__r.n").as("n"), col("__r.v").as("v"),
-        col("__r.v_ffill").as("v_ffill")): _*)
+        explode(filter(runs, r => r.getField("s") <= r.getField("e"))).as("__run"): _*)
+      // run -> chunk starts (ceil(run/chunk) rows) -> buckets (≤ chunk each)
+      .select(keyCols.map(col) ++ Seq(col("__run"),
+        explode(sequence(col("__run.s"), col("__run.e"), stride)).as("__cs")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        explode(sequence(col("__cs"),
+          least(col("__run.e"), col("__cs") + strideM1), step)).as("bucket"),
+        col("__run.n").as("n"), col("__run.v").as("v"),
+        col("__run.ff").as("v_ffill")): _*)
+      .select(keyCols.map(col) ++
+        Seq(col("bucket"), col("n"), col("v"), col("v_ffill")): _*)
   }
 }

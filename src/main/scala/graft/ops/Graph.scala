@@ -53,9 +53,11 @@ object Graph {
       IterativeCheckpoint.cut(df, reliableCheckpoint)
     IterativeCheckpoint.requireDir(edges, reliableCheckpoint)
 
-    val raw = edges
+    // cut the raw pairs once: nodes AND ranked edges both derive from it,
+    // so the source edge list is scanned a single time
+    val raw = cut(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src").isNotNull && col("dst").isNotNull))
     // nodes derive from the edge list BEFORE self-loop removal: a page
     // whose only link is to itself is a dangling node (its self-loop
     // carries no rank), not a non-node — dropping it would both lose its

@@ -2423,18 +2423,20 @@ GROUP BY dhd.id ORDER BY doc_id"""
       |FROM g ORDER BY event_type, bucket""".stripMargin
 
   /** Oracle for [[Catalog.qPivot]]: the conditional aggregation the
-   * explicit-values pivot compiles to — count/sum per (lang, source)
-   * cell, NULL for absent combinations (Spark pivot emits NULL counts,
-   * not 0, for empty cells; FILTER over zero rows gives the same). */
+   * explicit-values pivot compiles to. Spark's pivot emits NULL (not 0)
+   * for a cell with no rows — `count(*) FILTER` would emit 0 there, so
+   * counts wrap in NULLIF(·, 0): a non-empty cell's count is ≥ 1, making
+   * NULLIF exact, and empty cells agree on NULL in both engines even
+   * though no cell is empty at the shipped scale factors. */
   val qPivot: String =
     """SELECT lang,
-      |  count(*) FILTER (WHERE source = 'src0') AS src0_n,
+      |  NULLIF(count(*) FILTER (WHERE source = 'src0'), 0) AS src0_n,
       |  CAST(sum(n_chars) FILTER (WHERE source = 'src0') AS BIGINT) AS src0_chars,
-      |  count(*) FILTER (WHERE source = 'src1') AS src1_n,
+      |  NULLIF(count(*) FILTER (WHERE source = 'src1'), 0) AS src1_n,
       |  CAST(sum(n_chars) FILTER (WHERE source = 'src1') AS BIGINT) AS src1_chars,
-      |  count(*) FILTER (WHERE source = 'src2') AS src2_n,
+      |  NULLIF(count(*) FILTER (WHERE source = 'src2'), 0) AS src2_n,
       |  CAST(sum(n_chars) FILTER (WHERE source = 'src2') AS BIGINT) AS src2_chars,
-      |  count(*) FILTER (WHERE source = 'src3') AS src3_n,
+      |  NULLIF(count(*) FILTER (WHERE source = 'src3'), 0) AS src3_n,
       |  CAST(sum(n_chars) FILTER (WHERE source = 'src3') AS BIGINT) AS src3_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

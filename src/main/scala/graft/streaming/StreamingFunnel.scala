@@ -15,9 +15,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * Shape: the step-index projection is the identical pre-shuffle filter
  * the batch path uses; the stateful part is `flatMapGroupsWithState`
  * keyed on the user. State per user = the k slot timestamps (k longs,
- * bounded — nothing grows with event volume); a user completing the
- * funnel drops their state (re-entry would need a session key upstream).
- * Emission is append-mode: one row per NEWLY attained level, carrying
+ * bounded — nothing grows with event volume); completed users KEEP their
+ * state (dropping it would let a later event restart the funnel and
+ * re-emit level 1 — per-funnel re-entry wants a session key upstream),
+ * and production eviction is a timeout at anchor + window, past which no
+ * slot can fill. NULL user ids are dropped on the stream (the typed
+ * state key is primitive; batch groups them — filter upstream if parity
+ * on NULL users matters). Emission is append-mode: one row per NEWLY
+ * attained level, carrying
  * the attaining event time — downstream conversion counts are
  * `groupBy(level).count` over these increments, and the rows for one
  * user are cumulative across micro-batches exactly like one batch run.
@@ -48,19 +53,16 @@ object StreamingFunnel {
   def levels(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       windowSeconds: Long): Dataset[LevelHit] = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
-    require(windowSeconds > 0, "funnel window must be positive")
+    // validation + step projection single-sourced with the batch fold
+    graft.ops.EventAnalytics.validateFunnelArgs(steps, windowSeconds)
     val k = steps.length
     val winMicros = windowSeconds * 1000000L
-    val stepIdx = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
-      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
-    }
     val stepRows = events
-      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps.map(x => x: Any): _*))
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull &&
+        graft.ops.EventAnalytics.stepFilter(typeCol, steps))
       .select(col(userCol).cast("long").as("user"),
         unix_micros(col(tsCol).cast("timestamp")).as("us"),
-        stepIdx.as("step"))
+        graft.ops.EventAnalytics.stepIndexCol(typeCol, steps).as("step"))
       .as[StepEvent](Encoders.product[StepEvent])
 
     stepRows.groupByKey(_.user)(Encoders.scalaLong)
