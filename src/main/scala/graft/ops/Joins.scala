@@ -350,13 +350,19 @@ object Joins {
     val cb = b.filter(col(keyB).isNotNull)
       .groupBy(col(keyB).as("key")).agg(count(lit(1)).as("n_b"))
     ca.join(cb, "key")
-      // decimal(38,0) product: this pre-flight exists precisely for the
-      // pathological keys (billions of rows per side) where a 64-bit
-      // n_a * n_b would silently wrap
+      // decimal(38,0) product INTERNALLY: this pre-flight exists precisely
+      // for the pathological keys (billions of rows per side) where a
+      // 64-bit n_a * n_b would silently wrap — ranking and the top-k cut
+      // stay exact. The EMITTED n_out is a double: a profile a human (or a
+      // pandas bridge) reads — exact below 2^53, and past that the display
+      // loses ulps while the row selection already happened on the exact
+      // value.
       .select(col("key"), col("n_a"), col("n_b"),
-        (col("n_a").cast("decimal(38,0)") * col("n_b")).as("n_out"))
-      .orderBy(col("n_out").desc, col("key").asc)
+        (col("n_a").cast("decimal(38,0)") * col("n_b")).as("__n_out_exact"))
+      .orderBy(col("__n_out_exact").desc, col("key").asc)
       .limit(topK)
+      .select(col("key"), col("n_a"), col("n_b"),
+        col("__n_out_exact").cast("double").as("n_out"))
   }
 
   /** Exact total inner-join cardinality — Σ n_a·n_b over matching keys —

@@ -123,11 +123,11 @@ object ConstraintDiscovery {
    *  - `enum`           — string column with ≤ `enumMaxCard` distinct
    *                       values: suggest membership in the sorted value
    *                       list (this is the reference's Enum plugin,
-   *                       machine-derived). Values come from a SECOND,
-   *                       per-candidate pass bounded by
-   *                       `limit(enumMaxCard + 1)` — never an unbounded
-   *                       collect, and only for columns the profile already
-   *                       proved small;
+   *                       machine-derived). Values ride the SAME profiling
+   *                       pass via a capped distinct collect
+   *                       ([[graft.functions.CappedDistinctStrings]] —
+   *                       bounded buffer, O(1) once overflowed), so no
+   *                       per-candidate rescan;
    *  - `range`          — integral column: suggest `[min,max]` (the
    *                       reference's Int min/max rule). Fractional
    *                       columns are skipped: float-to-string formatting
@@ -153,6 +153,12 @@ object ConstraintDiscovery {
         case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
           Seq(min(c).cast(StringType).as(s"${f.name}__min"),
             max(c).cast(StringType).as(s"${f.name}__max"))
+        case _: StringType =>
+          // same pass also carries the capped sorted value list, so an Enum
+          // suggestion never needs a second scan (and its non-NULL-ness is
+          // the EXACT cardinality certificate the approx sketch can't give)
+          Seq(graft.functions.CappedDistinctStrings.collect(c, enumMaxCard)
+            .as(s"${f.name}__vals"))
         case _ => Nil
       })
     } :+ count(lit(1)).as("__rows")
@@ -172,11 +178,10 @@ object ConstraintDiscovery {
       if (!approxDistinct && notNull && distinct == nonNull && nRows > 0)
         rules += ((f.name, "unique", ""))
       if (f.dataType == StringType && distinct <= enumMaxCard && distinct > 0) {
-        val vals = df.select(col(f.name)).filter(col(f.name).isNotNull)
-          .distinct().orderBy(col(f.name)).limit(enumMaxCard + 1)
-          .as[String].collect()
-        // approxDistinct can under-count past the gate; re-check exactly.
-        if (vals.length <= enumMaxCard)
+        // approxDistinct can under-count past the gate; the capped collect
+        // is the exact certificate (NULL would mean truly > enumMaxCard).
+        val vals = prof.getAs[scala.collection.Seq[String]](s"${f.name}__vals")
+        if (vals != null)
           rules += ((f.name, "enum", vals.mkString("|")))
       }
       f.dataType match {
@@ -223,8 +228,14 @@ object ConstraintDiscovery {
    *   Int   — every non-empty value is an integer literal (bounds attached
    *           when they fit in Long; 19+-digit corpora get an unbounded Int);
    *   DateTime — every non-empty value is strict ISO-8601;
-   *   Enum  — at most `enumMaxCard` distinct values (fetched in a SECOND
-   *           pass bounded by `limit(enumMaxCard+1)` — never unbounded);
+   *   Enum  — at most `enumMaxCard` distinct values. The cardinality test
+   *           AND the value list come from the SAME pass via
+   *           [[graft.functions.CappedDistinctStrings]] (non-NULL result =
+   *           exact distinct count ≤ cap plus the sorted values; a
+   *           high-cardinality column collapses to an O(1) overflow bit) —
+   *           round 5 paid an exact per-column countDistinct (an Expand
+   *           multiplying the scan by the distinct-aggregate count) plus a
+   *           second full scan per Enum candidate;
    *   Str   — everything else (also the all-empty column: nothing proven).
    *
    * `required` ⇔ no empty cell was observed. Round-trip guarantee (spec'd):
@@ -235,8 +246,10 @@ object ConstraintDiscovery {
    * so they deliberately fall to Enum/Str: inference is defined on the
    * reference's untyped-string manifest model — format timestamps first.
    */
-  def inferFields(df: DataFrame, enumMaxCard: Int = 16): Seq[InferredField] = {
-    require(enumMaxCard >= 1, s"enumMaxCard must be >= 1, got $enumMaxCard")
+  /** The ONE profiling aggregate behind [[inferFields]], exposed for plan
+   * pinning (PlanSpec): a single global aggregate — no distinct aggregates
+   * (so no Expand row multiplication) and no per-candidate second scan. */
+  private[graft] def inferProfileFrame(df: DataFrame, enumMaxCard: Int): DataFrame = {
     val names = df.schema.fields.map(_.name).toSeq
 
     def v(n: String): Column = stripQuotes(col(n).cast(StringType))
@@ -253,18 +266,27 @@ object ConstraintDiscovery {
           .as(s"${n}__int"),
         countIf(ne && typePredicate(FieldType.DateTimeT, v(n)))
           .as(s"${n}__iso"),
-        countDistinct(when(ne, v(n))).as(s"${n}__nd"),
+        graft.functions.CappedDistinctStrings.collect(when(ne, v(n)), enumMaxCard)
+          .as(s"${n}__vals"),
         min(when(ne && typePredicate(FieldType.IntT(None, None), v(n)),
           v(n).cast(DecimalType(38, 0)))).as(s"${n}__min"),
         max(when(ne && typePredicate(FieldType.IntT(None, None), v(n)),
           v(n).cast(DecimalType(38, 0)))).as(s"${n}__max"))
     } :+ count(lit(1)).as("__rows")
-    val prof = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def inferFields(df: DataFrame, enumMaxCard: Int = 16): Seq[InferredField] = {
+    require(enumMaxCard >= 1, s"enumMaxCard must be >= 1, got $enumMaxCard")
+    val names = df.schema.fields.map(_.name).toSeq
+    val prof = inferProfileFrame(df, enumMaxCard).collect()(0)
     val nRows = prof.getAs[Long]("__rows")
 
     names.map { n =>
       val ne = prof.getAs[Long](s"${n}__ne")
-      val nd = prof.getAs[Long](s"${n}__nd")
+      // non-NULL = the column's EXACT distinct count is <= enumMaxCard and
+      // these are its values, sorted; NULL = provably > enumMaxCard
+      val vals = prof.getAs[scala.collection.Seq[String]](s"${n}__vals")
       def all(k: String): Boolean = ne > 0 && prof.getAs[Long](s"${n}__$k") == ne
       def bound(k: String): Option[Long] =
         Option(prof.getAs[java.math.BigDecimal](s"${n}__$k"))
@@ -281,15 +303,8 @@ object ConstraintDiscovery {
             case _                            => FieldType.IntT(None, None)
           }
         } else if (all("iso")) FieldType.DateTimeT
-        else if (ne > 0 && nd <= enumMaxCard) {
-          val spark = df.sparkSession
-          import spark.implicits._
-          val vals = df.select(v(n).as("v")).filter(nonEmpty(n))
-            .distinct().orderBy(col("v")).limit(enumMaxCard + 1)
-            .as[String].collect()
-          if (vals.length <= enumMaxCard) FieldType.EnumT(vals.toSeq)
-          else FieldType.StrT(None)
-        } else FieldType.StrT(None)
+        else if (ne > 0 && vals != null) FieldType.EnumT(vals.toSeq)
+        else FieldType.StrT(None)
       InferredField(n, ftype, required = ne == nRows && nRows > 0)
     }
   }

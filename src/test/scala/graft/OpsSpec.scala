@@ -554,9 +554,11 @@ class OpsSpec extends SparkSuite {
     val b = (1 to 200).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(100)))
       .map { case (k, v) => (if (k == 14) null else Long.box(k), v) }
       .toDF("k", "vb")
+    // n_out is emitted as double (exact below 2^53 — these are small);
+    // ranking/ties happen on the internal exact decimal before the cast
     val prof = Joins.joinSizeProfile(a, b, "k", "k", topK = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).longValueExact()))
+        r.getDouble(3).toLong))
     val real = a.join(b, "k").groupBy("k").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(prof.map(p => p._1 -> p._4).toMap === real)

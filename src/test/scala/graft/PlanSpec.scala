@@ -67,6 +67,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), "expected partial+final hash aggregate")
   }
 
+  test("inferFields profiling is ONE pass: no Expand, capped distinct " +
+      "collect rides the same aggregate") {
+    val prof = graft.quality.ConstraintDiscovery.inferProfileFrame(docs, 16)
+    val plan = physical(prof)
+    // a per-column countDistinct would plan an Expand multiplying the scan
+    // by the number of distinct-aggregate groups — the round-5 defect
+    assert(!plan.contains("Expand"), s"single-pass profile must not Expand:\n$plan")
+    assert(plan.contains("distinct_strings_capped"),
+      "cardinality + enum values must ride the one profiling pass")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one (single-partition) exchange:\n$plan")
+  }
+
   test("salted dedup is two-phase: partial counts shuffle, not raw rows") {
     val df = CodeFiles.generate(spark, 1000)
     val q = graft.quality.Uniqueness.duplicates(df, Seq("repo", "path", "commit"), 8)
