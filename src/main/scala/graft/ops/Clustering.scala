@@ -60,8 +60,13 @@ object Clustering {
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
+    // The edge table is loop-invariant and every round joins it on `dst`:
+    // hash-partition it by dst ONCE (on top of distinct's (src,dst)
+    // shuffle) so no round re-shuffles the row-scale side — at corpus
+    // scale the per-round exchange of the edge list dwarfs the label
+    // traffic this loop actually needs to move.
     val sym = cut(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct().repartition(col("dst")))
 
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
@@ -84,11 +89,18 @@ object Clustering {
     while (!converged) {
       val viaEdge = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("comp"))
+      // The doubling term alone already dominates the plain `labels`
+      // branch: comp(x) <= x for every x by construction (comp0(u) =
+      // min(u, N(u)) and min-folds only ever decrease), label values are
+      // themselves endpoint ids, so the inner join is total and
+      // comp2 = comp(comp(id)) <= comp(id) row-for-row — unioning the old
+      // labels in as a third branch only re-shuffled bytes the doubling
+      // branch already carries.
       val viaDouble = labels.select(col("id"), col("comp").as("hop"))
         .join(labels.withColumnRenamed("id", "hop")
           .withColumnRenamed("comp", "comp2"), "hop")
         .select(col("id"), col("comp2").as("comp"))
-      labels = cut(labels.unionByName(viaEdge).unionByName(viaDouble)
+      labels = cut(viaEdge.unionByName(viaDouble)
         .groupBy("id").agg(min("comp").as("comp")))
       // NB the convergence sum stays a separate tiny job over the
       // checkpointed frame ON PURPOSE: riding it on the checkpoint

@@ -69,6 +69,16 @@ object Graph {
     // anti-join) — cut it once like e/nodes or the groupBy re-executes 2k
     // times over the edge list
     val od = cut(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    // Loop-invariant prep, paid once instead of per iteration: (a) attach
+    // outdeg to each edge (drops one row-scale join per round) and
+    // hash-partition the result by `src`, the only key the loop joins the
+    // edge table on — no round re-shuffles the row-scale side; (b) the
+    // DANGLING NODE SET is static (nodes with no out-edge), so the
+    // per-round anti-join of r against od reduces to a semi-join with this
+    // node-keyed set, co-partitioned with r.
+    val eod = cut(e.join(od, "src").repartition(col("src")))
+    val dangNodes = cut(nodes.join(od, nodes("node") === od("src"), "left_anti")
+      .select("node").repartition(col("node")))
 
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
@@ -78,11 +88,11 @@ object Graph {
     var r = nodes.withColumn("r", lit(base))
     for (_ <- 1 to iterations) {
       // src-keyed join + dst-keyed integer sum: the only row-scale shuffles
-      val contrib = e.join(r, e("src") === r("node")).join(od, "src")
+      val contrib = eod.join(r, eod("src") === r("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
       // dangling mass: 1-row aggregate, broadcast into the update
-      val dang = r.join(od, r("node") === od("src"), "left_anti")
+      val dang = r.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       r = cut(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))

@@ -106,9 +106,15 @@ object TaxTree {
     import org.apache.spark.sql.functions._
     val base = nodes.select(col("tax_id").cast("long").as("id"),
       col("parent_tax_id").cast("long").as("pid")).localCheckpoint()
-    val edges = base.filter(col("id") =!= col("pid")) // (pid, id): parent->child
+    // (pid, id): parent->child. Loop-invariant and joined on `id` every
+    // phase-1 round — hash-partition it by id ONCE and cut it, so no round
+    // re-shuffles (or re-derives) the edge table; same for childCount,
+    // which round 5 re-aggregated from the edge list inside every round's
+    // plan.
+    val edges = base.filter(col("id") =!= col("pid"))
+      .repartition(col("id")).localCheckpoint()
     val childCount = edges.groupBy(col("pid").as("id"))
-      .agg(count(lit(1)).as("n_children"))
+      .agg(count(lit(1)).as("n_children")).localCheckpoint()
 
     // ---- phase 1: subtree sizes, leaves up (height-bounded rounds) ----
     var done = base.join(childCount, Seq("id"), "left_anti")
@@ -131,16 +137,17 @@ object TaxTree {
         .filter(col("n_done") === col("n_children"))
         .join(done, Seq("id"), "left_anti")
         .select(col("id"), (col("child_sum") + 1L).as("size"))
-        .localCheckpoint()
-      // progress check counts the (small) frontier, not the whole
-      // accumulated set — the cheap invariant: additions are disjoint
-      val added = newDone.count()
-      if (added == 0)
+      // ONE materialization per round (the union checkpoint computes
+      // newDone inline); progress = the count delta over the accumulated
+      // set — additions are disjoint by the anti-join, so the delta IS the
+      // frontier size
+      done = done.unionByName(newDone).localCheckpoint()
+      val newCount = done.count()
+      if (newCount == doneCount)
         throw new IllegalStateException(
           "buildDistributed: no progress — parent pointers contain a cycle " +
             "or reference missing nodes")
-      done = done.unionByName(newDone).localCheckpoint()
-      doneCount += added
+      doneCount = newCount
     }
 
     // ---- phase 2: lft, root down (depth-bounded rounds) ----
@@ -151,11 +158,16 @@ object TaxTree {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("id"), col("pid"), (lit(1L) + lit(2L) * col("__prev")).as("off"))
       .localCheckpoint()
-    var lft = base.filter(col("id") === col("pid"))
+    val root = base.filter(col("id") === col("pid"))
       .select(col("id"), lit(1L).as("lft")).localCheckpoint()
-    require(lft.count() == 1,
+    require(root.count() == 1,
       "buildDistributed needs exactly one self-parenting root node")
-    var frontier = lft
+    // Each depth level only ever JOINS against the previous frontier; the
+    // accumulated lft table is needed once, at the end — so accumulate the
+    // (already-checkpointed) per-level frontiers in a buffer and union them
+    // once, instead of paying a second checkpoint materialization per round.
+    var frontier = root
+    val levels = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](root)
     var lftCount = 1L
     round = 0
     while (lftCount < total) {
@@ -171,9 +183,10 @@ object TaxTree {
       if (added == 0)
         throw new IllegalStateException(
           "buildDistributed: lft propagation stalled — disconnected nodes?")
-      lft = lft.unionByName(frontier).localCheckpoint()
+      levels += frontier
       lftCount += added
     }
+    val lft = levels.reduce(_ unionByName _)
 
     lft.join(done, Seq("id"))
       .join(base, Seq("id"))
