@@ -66,7 +66,8 @@ object Clustering {
     // scale the per-round exchange of the edge list dwarfs the label
     // traffic this loop actually needs to move.
     val sym = cut(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("dst")))
+      .distinct().repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("dst")))
 
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)

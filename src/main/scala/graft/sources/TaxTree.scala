@@ -112,7 +112,9 @@ object TaxTree {
     // which round 5 re-aggregated from the edge list inside every round's
     // plan.
     val edges = base.filter(col("id") =!= col("pid"))
-      .repartition(col("id")).localCheckpoint()
+      .repartition(
+        nodes.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+      .localCheckpoint()
     val childCount = edges.groupBy(col("pid").as("id"))
       .agg(count(lit(1)).as("n_children")).localCheckpoint()
 
