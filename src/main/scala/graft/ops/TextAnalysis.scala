@@ -706,11 +706,19 @@ object TextAnalysis {
    *  - the corpus collapses ONCE into a `(word, freq)` table via a
    *    map-side-combined count; every later round works on this
    *    VOCAB-scale state (distinct words), never the corpus again;
-   *  - per round: pair counts are one explode + map-side-combined sum
-   *    over the vocab table; the winning pair is a TakeOrderedAndProject
-   *    of exactly 1 row (never a full sort); the merge itself is a
-   *    SHUFFLE-FREE `aggregate` fold over each word's symbol array
-   *    (leftmost-first non-overlapping, the reference semantics);
+   *  - per round: the winning pair comes from ONE shuffle-free job — each
+   *    partition folds its words into a bounded (s1,s2)→count map and the
+   *    maps tree-merge to the driver. The pair table is capped by
+   *    (#distinct symbols)^2, and symbols here are printable-ASCII chars
+   *    plus `</w>` plus at most `numMerges` merged tokens, so the map is
+   *    a few thousand entries at ANY corpus scale — the same bounded-
+   *    driver-state contract as [[idfMap]], without idfMap's vocab-size
+   *    risk. (The earlier groupBy + TakeOrderedAndProject formulation
+   *    paid a pair-table shuffle plus an extra AQE stage job per round —
+   *    measurable pure overhead at 12 rounds, see OPTIMIZATION_r06.md.)
+   *    The merge itself is a SHUFFLE-FREE `aggregate` fold over each
+   *    word's symbol array (leftmost-first non-overlapping, the
+   *    reference semantics);
    *  - `localCheckpoint` per round cuts the otherwise numMerges-deep
    *    nested-HOF lineage (the [[collocations]] / Clustering precedent);
    *  - rounds are BOUNDED by `numMerges` and stop early when no pair
@@ -737,18 +745,50 @@ object TextAnalysis {
     var done = false
     var r = 1
     while (r <= numMerges && !done) {
-      val top = state.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(transform(
-          sequence(lit(0), size(col("syms")) - 2),
-          i => struct(element_at(col("syms"), i + 1).as("s1"),
-            element_at(col("syms"), i + 2).as("s2")))).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("s1"), col("s2"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      // Adjacent-pair counts, summed exactly: per-partition HashMap fold
+      // (the map-side combine), then an executor-side tree merge — one
+      // job, no exchange. Integer sums are order-independent, and every
+      // symbol is printable ASCII (+ concatenations), where Java's UTF-16
+      // compareTo == Spark's UTF-8 binary string order — so the driver
+      // winner (count desc, s1 asc, s2 asc) is bit-identical to the
+      // TakeOrderedAndProject this replaces.
+      val pairCounts = state.select(col("freq"), col("syms"))
+        .rdd.mapPartitions { it =>
+          val m = new java.util.HashMap[(String, String), Long]()
+          it.foreach { row =>
+            val f = row.getLong(0)
+            val syms = row.getSeq[String](1)
+            var i = 0
+            while (i < syms.length - 1) {
+              val k = (syms(i), syms(i + 1))
+              m.put(k, m.getOrDefault(k, 0L) + f)
+              i += 1
+            }
+          }
+          Iterator.single(m)
+        }
+        .treeReduce { (a, b) =>
+          val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+          small.forEach((k, v) => big.put(k, big.getOrDefault(k, 0L) + v))
+          big
+        }
+      val top = {
+        import scala.jdk.CollectionConverters._
+        pairCounts.entrySet().asScala.reduceOption { (x, y) =>
+          val c = java.lang.Long.compare(y.getValue, x.getValue) // desc
+          val o =
+            if (c != 0) c
+            else {
+              val c1 = x.getKey._1.compareTo(y.getKey._1) // asc
+              if (c1 != 0) c1 else x.getKey._2.compareTo(y.getKey._2) // asc
+            }
+          if (o <= 0) x else y
+        }
+      }
+      if (top.isEmpty || top.get.getValue < minPairCount) done = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val (a, b, n) =
+          (top.get.getKey._1, top.get.getKey._2, top.get.getValue)
         merges += ((r, a, b, n))
         val prev = state
         state = state.withColumn("syms",

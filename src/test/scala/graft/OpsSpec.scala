@@ -2110,4 +2110,20 @@ class OpsSpec extends SparkSuite {
     // and the corpus's hottest word ends fully merged
     assert(seg.contains("low</w>"))
   }
+
+  test("bpeTrain driver-merged pair counts keep the exact tie order " +
+      "(count desc, lhs asc, rhs asc) and stop early when pairs run out") {
+    // every adjacent pair has count 2 — the winner each round is decided
+    // ONLY by the (lhs, rhs) ascending tie-break, exercising the driver
+    // comparator that replaced the SQL TakeOrderedAndProject
+    val corpus = Seq((1L, "ab ab cd cd"))
+    val got = TextAnalysis.bpeTrain(corpus.toDF("doc_id", "text"), "text", 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (1, "a", "b", 2L),       // tie on 2: lhs "a" beats "b"/"c"/"d"
+      (2, "ab", "</w>", 2L),   // "ab" < "c" binary-ascii
+      (3, "c", "d", 2L),
+      (4, "cd", "</w>", 2L)))  // then no pair remains: early stop at 4 < 8
+  }
 }
