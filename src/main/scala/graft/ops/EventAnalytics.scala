@@ -66,6 +66,14 @@ object EventAnalytics {
   def funnelLevels(df: DataFrame, userCols: Seq[String], tsCol: String,
       typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
     validateFunnelArgs(steps, windowSeconds)
+    // same reserved-name guard as [[resample]]: "reached" is the output,
+    // __t/__s/__evs/__acc the internals
+    locally {
+      val reserved = Seq("reached", "__t", "__s", "__evs", "__acc")
+      val clash = userCols.filter(reserved.contains)
+      require(clash.isEmpty, "funnel user columns collide with reserved " +
+        s"output/internal names: ${clash.mkString(", ")} — rename them first")
+    }
     val k = steps.length
     // Timestamps stay timestamps (TIMESTAMP and TIMESTAMP_NTZ both work);
     // the unfilled-slot sentinel is NULL, the window is interval arithmetic.
@@ -184,6 +192,16 @@ object EventAnalytics {
   def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
       interval: String, valueAgg: Column): DataFrame = {
     require(keyCols.nonEmpty, "resample needs at least one key column")
+    // fail-loud on reserved-name collisions (the repo-wide convention): a
+    // key column literally named "bucket"/"n"/"v" would otherwise hit an
+    // ambiguous-column analysis error or silently shadow an output column
+    locally {
+      val reserved = Seq("bucket", "n", "v", "v_ffill", "__run", "__cs",
+        "__lo", "__hi", "__ff", "__prev", "__prev_ff", "__is_last")
+      val clash = keyCols.filter(reserved.contains)
+      require(clash.isEmpty, "resample key columns collide with reserved " +
+        s"output/internal names: ${clash.mkString(", ")} — rename them first")
+    }
     val step = expr(s"interval 1 $interval")
     // chunk size for gap materialization: a gap run never builds more
     // than chunk structs in one row, so a sparse key spanning a years-long

@@ -258,20 +258,27 @@ object ConstraintDiscovery {
 
     val aggs = names.flatMap { n =>
       val ne = nonEmpty(n)
+      val intShaped = ne && typePredicate(FieldType.IntT(None, None), v(n))
+      // try_cast, not cast: under Spark 4's default ANSI mode a 39+-digit
+      // int literal makes a plain decimal(38,0) cast THROW mid-aggregate —
+      // the whole inference pass would crash on one wide value. try_cast
+      // restores the yield-NULL semantics the carrier logic needs.
+      val asDec = v(n).try_cast(DecimalType(38, 0))
       Seq(
         countIf(ne).as(s"${n}__ne"),
         countIf(ne && typePredicate(FieldType.BoolT, v(n)))
           .as(s"${n}__bool"),
-        countIf(ne && typePredicate(FieldType.IntT(None, None), v(n)))
-          .as(s"${n}__int"),
+        countIf(intShaped).as(s"${n}__int"),
         countIf(ne && typePredicate(FieldType.DateTimeT, v(n)))
           .as(s"${n}__iso"),
         graft.functions.CappedDistinctStrings.collect(when(ne, v(n)), enumMaxCard)
           .as(s"${n}__vals"),
-        min(when(ne && typePredicate(FieldType.IntT(None, None), v(n)),
-          v(n).cast(DecimalType(38, 0)))).as(s"${n}__min"),
-        max(when(ne && typePredicate(FieldType.IntT(None, None), v(n)),
-          v(n).cast(DecimalType(38, 0)))).as(s"${n}__max"))
+        min(when(intShaped, asDec)).as(s"${n}__min"),
+        max(when(intShaped, asDec)).as(s"${n}__max"),
+        // int-shaped values the decimal(38,0) carrier cannot hold (39+
+        // digits try-cast to NULL): when any exist, the observed min/max
+        // cover only the representable subset and must not become bounds
+        countIf(intShaped && asDec.isNull).as(s"${n}__intbig"))
     } :+ count(lit(1)).as("__rows")
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -298,9 +305,15 @@ object ConstraintDiscovery {
         else if (all("int")) {
           // bounds only when BOTH fit in Long (a one-sided bound would
           // reject values the data contains on the unrepresentable side)
+          // AND every int-shaped value survived the decimal(38,0) carrier
+          // — a 39+-digit literal casts to NULL there, so the observed
+          // min/max would silently exclude real data and break the
+          // round-trip zero-violation guarantee
+          val bigs = prof.getAs[Long](s"${n}__intbig")
           (bound("min"), bound("max")) match {
-            case (lo @ Some(_), hi @ Some(_)) => FieldType.IntT(lo, hi)
-            case _                            => FieldType.IntT(None, None)
+            case (lo @ Some(_), hi @ Some(_)) if bigs == 0 =>
+              FieldType.IntT(lo, hi)
+            case _ => FieldType.IntT(None, None)
           }
         } else if (all("iso")) FieldType.DateTimeT
         else if (ne > 0 && vals != null) FieldType.EnumT(vals.toSeq)

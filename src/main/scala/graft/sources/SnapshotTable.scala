@@ -1012,6 +1012,10 @@ object SnapshotTable {
     requireNoPendingStage(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
+    // a version that never existed is operator error, not expiry — say so
+    // (the expiry message below would otherwise claim v0/v-3 "expired")
+    require(targetVersion >= 1,
+      s"rollback target v$targetVersion never existed — versions start at v1")
     require(targetVersion <= cur,
       s"rollback target v$targetVersion is ahead of current v$cur — " +
         "use fastForwardBranch/readRef for forward movement")

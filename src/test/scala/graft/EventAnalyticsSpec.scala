@@ -69,6 +69,26 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("guards: reserved output names in key/user columns fail fast") {
+    // a key literally named "bucket"/"n" (or a user column "reached")
+    // would collide with the operators' output columns — fail loud, the
+    // repo convention, instead of an ambiguous-column analysis error
+    val ev = Seq(("k", 1L, ts("2024-01-01 10:00:00"), "A", 1.0))
+      .toDF("bucket", "n", "ts", "event_type", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      EventAnalytics.resample(ev, Seq("bucket", "n"), "ts", "hour",
+        round(sum("value"), 6))
+    }
+    assert(e1.getMessage.contains("bucket"))
+    val ev2 = Seq((1L, ts("2024-01-01 10:00:00"), "A"))
+      .toDF("reached", "ts", "event_type")
+    val e2 = intercept[IllegalArgumentException] {
+      EventAnalytics.funnelLevels(ev2, Seq("reached"), "ts", "event_type",
+        steps, 3600L)
+    }
+    assert(e2.getMessage.contains("reached"))
+  }
+
   test("cohortRetention: offsets in whole periods, inactive periods absent") {
     val df = Seq(
       // u1: first week of Jan 1 (Monday), active weeks 0, 2

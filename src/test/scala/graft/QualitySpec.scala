@@ -415,6 +415,24 @@ class QualitySpec extends SparkSuite {
       === FieldType.EnumT((0 until 17).map(i => f"v$i%02d")))
   }
 
+  test("inferFields: a 39+-digit int literal forbids bounds — the " +
+      "decimal(38,0) carrier cannot hold it") {
+    import graft.engine.Validator
+    import graft.model.FieldType
+    // "5" and "7" fit in Long; the 41-digit value casts to NULL in the
+    // decimal(38,0) min/max carrier — without the unrepresentable-count
+    // guard the column would get IntT(5,7), bounds that EXCLUDE real data
+    val big = "1" + "0" * 40
+    val df = Seq("5", "7", big).toDF("c").repartition(2)
+    val f = ConstraintDiscovery.inferFields(df, enumMaxCard = 16).head
+    assert(f.ftype === FieldType.IntT(None, None))
+    // the round-trip zero-violation guarantee holds: the unbounded Int
+    // rule accepts every value, including the one the carrier dropped
+    val cl = ConstraintDiscovery.inferChecklist(df, name = "big")
+    assert(Validator.validate(df, cl)
+      .filter(!col(Validator.PassedCol)).count() === 0L)
+  }
+
   test("ConstraintDiscovery.inferChecklist: round-trip zero violations; " +
       "planted violations caught on new data") {
     import graft.engine.Validator

@@ -1400,5 +1400,13 @@ class SnapshotTableSpec extends SparkSuite {
       SnapshotTable.rollbackTo(spark, root, 2)
     }
     assert(rows(None).size === 5)
+    // a version that never existed is reported as such, not as "expired"
+    val never = intercept[IllegalArgumentException] {
+      SnapshotTable.rollbackTo(spark, root, 0)
+    }
+    assert(never.getMessage.contains("never existed"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.rollbackTo(spark, root, -3)
+    }.getMessage.contains("never existed"))
   }
 }

@@ -74,4 +74,46 @@ class StreamingFunnelSpec extends SparkSuite {
       assert(got.length === 3, "each level emits exactly once")
     } finally q.stop()
   }
+
+  test("evictionWatermark: state evicts once the watermark passes " +
+      "anchor + window; a returning user re-anchors; batch mode refuses") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // u1 anchors at 10:00, window 2h -> timeout armed for 12:00. u9's "B"
+    // events (B before any A never fills a slot, stores no state) only
+    // advance the watermark: batch N's watermark = max event time through
+    // batch N-1, so the timeout fires while processing b3.
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 10:10:00"), "B"))
+    val b2 = Seq((9L, ts("2024-01-01 13:00:00"), "B"))
+    val b3 = Seq((9L, ts("2024-01-01 13:01:00"), "B"))
+    // after eviction a fresh A re-anchors u1 and re-emits level 1 — the
+    // documented production trade-off (the no-eviction mode keeps the
+    // "never re-emit" contract of the test above)
+    val b4 = Seq((1L, ts("2024-01-01 14:00:00"), "A"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val hits = StreamingFunnel.levels(
+      in.toDS().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, windowSeconds = 7200L,
+      evictionWatermark = Some("0 seconds"))
+    val q = hits.writeStream.format("memory").queryName("sf3")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, b4).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = spark.sql("select user, level, at_us from sf3").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // b1: levels 1+2; b4 (post-eviction): level 1 again, fresh anchor
+      assert(got.count(_ == (1L, 1)) === 2, s"got ${got.toSeq}")
+      assert(got.count(_ == (1L, 2)) === 1)
+      assert(got.length === 3)
+    } finally q.stop()
+
+    // batch input + eviction is a contract error, not a silent no-op
+    val batch = Seq((1L, ts("2024-01-01 10:00:00"), "A"))
+      .toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      StreamingFunnel.levels(batch, "user_id", "ts", "event_type", steps,
+        7200L, evictionWatermark = Some("0 seconds"))
+    }
+  }
 }
