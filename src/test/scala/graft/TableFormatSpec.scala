@@ -281,6 +281,50 @@ abstract class TableFormatConformance(val fmt: TableFormat, formatName: String)
     assert(empty.columns.contains("_change_type") &&
       empty.columns.contains("_commit_version"))
   }
+
+  test("conformance: PARTITION-column-keyed equality delete + sequence-rule " +
+      "re-insert survive materialization; changelog stays silent") {
+    // the round-4 SnapshotTable defect class, pinned through the SEAM so
+    // BOTH bindings prove it: an equality delete keyed on the partition
+    // column must apply to files by SEQUENCE (earlier files die, later
+    // re-inserts into the same partition survive), and folding the
+    // pending deletes into the data must neither resurrect deleted rows
+    // nor lose survivors — with the partition key resolving on the
+    // candidate frame during the rewrite.
+    val root = freshRoot()
+    val v1 = fmt.commit(corpus("v1").coalesce(1), root, Seq("source"))  // ids 1-4
+    // equality delete keyed on the PARTITION column: kills src0 (ids 1,2)
+    val (v2, nKeys) = fmt.deleteByKeysMoR(
+      Seq("src0").toDF("source"), root, Seq("source"))
+    assert(v2 === v1 + 1 && nKeys === 1L)
+    assert(fmt.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // re-inserts into src0 AFTER the delete: sequence rule keeps them
+    val v3 = fmt.commit(Seq((5L, "src0", "e-v3")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val v4 = fmt.commit(Seq((7L, "src0", "g-v4")).toDF("id", "source", "payload"),
+      root, Seq("source"), overwritePartitions = false)
+    val expect = fmt.read(spark, root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(expect.map(_.head) === Seq(3L, 4L, 5L, 7L))
+
+    // fold the pending deletes into the data files
+    val vM = fmt.materializeDeletes(spark, root)
+    assert(vM >= v4)
+    assert(fmt.read(spark, root).orderBy("id").collect().map(_.toSeq).toSeq
+      === expect, s"[$formatName] materialization changed logical content")
+    // pending delete files are gone from the current snapshot's file set
+    val kinds = fmt.filesTable(spark, root).select("content").collect()
+      .map(_.getString(0)).toSet
+    assert(!kinds.exists(_ != "data"),
+      s"[$formatName] delete files still pending after materialization: $kinds")
+    // logically silent in the changelog, like every replace
+    if (vM > v4)
+      assert(fmt.changelogBetween(spark, root, v4, vM).count() === 0)
+    // and time travel still sees the pre-materialization states
+    assert(fmt.read(spark, root, Some(v2)).count() === 2)
+    assert(fmt.read(spark, root, Some(v3)).count() === 3)
+  }
 }
 
 /** The manifest-chained in-sandbox binding — behavior must match calling

@@ -447,4 +447,349 @@ class ValidatorSpec extends SparkSuite {
     val b = errorsByRow(validate(df8, checklist06if))
     assert(norm(a) === norm(b))
   }
+
+  // --- the reference fixture conformance sweep -----------------------------
+  //
+  // One grep-able table walking every ported (config, manifest) fixture pair
+  // VERBATIM — config text through ChecklistConfig.parse (S2), CSV text
+  // through ManifestReader.readCsv (S1), verdicts through the compiled
+  // validator — asserting the exact invalid-row count AND the exact invalid
+  // row-id set the reference's own tests pin:
+  //   t/04_validator.t:35-39        04_broken -> 2 rows, 1 invalid (row 2)
+  //   t/06_relationships.t:25-26    06_if     -> 10 invalid
+  //   t/06_relationships.t:44-45    06_one_of -> 4 invalid
+  //   t/06_relationships.t:58-59    06_some_of-> 2 invalid
+  //   t/09_unknown.t:18-19          simple    -> 2 invalid
+  //   t/09_unknown.t:33-34          if        -> 3 invalid
+  //   t/09_unknown.t:50-51          one_of    -> 0 invalid
+  //   t/09_unknown.t:63-64          some_of   -> 1 invalid
+  // (invalid row ids read off each test's row_errors[] like/undef pattern)
+
+  private def sweepTmp(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft_fixture", ".csv")
+    java.nio.file.Files.writeString(p, content)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private val conf04Sweep =
+    """<checklist one>
+      |  header_row "one,two"
+      |  <field>
+      |    name         one
+      |    description  Testing description
+      |    type         Bool
+      |  </field>
+      |  <field>
+      |    name         two
+      |    type         Str
+      |  </field>
+      |</checklist>""".stripMargin
+
+  private val conf06If =
+    """<checklist if>
+      |  header_row "one,two,three,four,five,six,seven,eight,nine"
+      |  <dependencies>
+      |    <if one>
+      |      then two
+      |      then three
+      |      else four
+      |      else five
+      |    </if>
+      |    <if six>
+      |      then seven
+      |      else eight
+      |      else nine
+      |    </if>
+      |  </dependencies>
+      |  <field>
+      |    name  one
+      |    type  Bool
+      |  </field>
+      |  <field>
+      |    name  two
+      |    type  Str
+      |  </field>
+      |  <field>
+      |    name  three
+      |    type  Str
+      |  </field>
+      |  <field>
+      |    name  four
+      |    type  Str
+      |  </field>
+      |  <field>
+      |    name  five
+      |    type  Str
+      |  </field>
+      |  <field>
+      |    name  six
+      |    type  Bool
+      |  </field>
+      |  <field>
+      |    name  seven
+      |    type  Str
+      |  </field>
+      |  <field>
+      |    name  eight
+      |    type  Str
+      |  </field>
+      |  <field>
+      |    name  nine
+      |    type  Str
+      |  </field>
+      |</checklist>""".stripMargin
+
+  private def confGroups(tag: String, block: String) =
+    s"""<checklist $tag>
+       |  header_row one,two,three,four,five
+       |  <dependencies>
+       |    <$block>
+       |      group_one one
+       |      group_one two
+       |      group_two three
+       |      group_two four
+       |      group_two five
+       |    </$block>
+       |  </dependencies>
+       |  <field>
+       |    name     one
+       |    type     Int
+       |    required 1
+       |  </field>
+       |  <field>
+       |    name     two
+       |    type     Int
+       |  </field>
+       |  <field>
+       |    name     three
+       |    type     Int
+       |  </field>
+       |  <field>
+       |    name     four
+       |    type     Int
+       |  </field>
+       |  <field>
+       |    name     five
+       |    type     Int
+       |  </field>
+       |</checklist>""".stripMargin
+
+  private val conf09Unknown =
+    """<checklist unknown>
+      |  header_row one,two
+      |  unknown_term "not available"
+      |  unknown_term "unknown"
+      |  <field>
+      |    name            one
+      |    type            Int
+      |  </field>
+      |  <field>
+      |    name            two
+      |    type            Int
+      |    required        1
+      |    accepts_unknown 1
+      |  </field>
+      |</checklist>""".stripMargin
+
+  private val conf09If =
+    """<checklist if>
+      |  header_row one,two,three,four,five,six
+      |  unknown_term "not available"
+      |  unknown_term "unknown"
+      |  <dependencies>
+      |    <if one>
+      |      then two
+      |      else three
+      |    </if>
+      |    <if four>
+      |      then five
+      |      else six
+      |    </if>
+      |  </dependencies>
+      |  <field>
+      |    name            one
+      |    type            Bool
+      |    accepts_unknown 1
+      |  </field>
+      |  <field>
+      |    name            two
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |  <field>
+      |    name            three
+      |    type            Int
+      |  </field>
+      |  <field>
+      |    name            four
+      |    type            Bool
+      |  </field>
+      |  <field>
+      |    name            five
+      |    type            Int
+      |  </field>
+      |  <field>
+      |    name            six
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |</checklist>""".stripMargin
+
+  private val conf09OneOf =
+    """<checklist one_of>
+      |  header_row one,two,three,four
+      |  unknown_term "not available"
+      |  unknown_term "unknown"
+      |  <dependencies>
+      |    <one_of>
+      |      group_one one
+      |      group_one two
+      |      group_two three
+      |      group_two four
+      |    </one_of>
+      |  </dependencies>
+      |  <field>
+      |    name            one
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |  <field>
+      |    name            two
+      |    type            Int
+      |  </field>
+      |  <field>
+      |    name            three
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |  <field>
+      |    name            four
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |</checklist>""".stripMargin
+
+  private val conf09SomeOf =
+    """<checklist some_of>
+      |  header_row one,two,three,four,five
+      |  unknown_term "not available"
+      |  unknown_term "unknown"
+      |  <dependencies>
+      |    <some_of>
+      |      group_one one
+      |      group_one two
+      |      group_two three
+      |      group_two four
+      |      group_two five
+      |    </some_of>
+      |  </dependencies>
+      |  <field>
+      |    name            one
+      |    type            Int
+      |    required        1
+      |    accepts_unknown 1
+      |  </field>
+      |  <field>
+      |    name            two
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |  <field>
+      |    name            three
+      |    type            Int
+      |  </field>
+      |  <field>
+      |    name            four
+      |    type            Int
+      |  </field>
+      |  <field>
+      |    name            five
+      |    type            Int
+      |    accepts_unknown 1
+      |  </field>
+      |</checklist>""".stripMargin
+
+  test("reference fixture conformance sweep: exact invalid-row counts and " +
+      "row ids for every ported manifest/config pair") {
+    // (label, config text, csv text, total rows, invalid row-id set, ref)
+    val table = Seq(
+      ("04_working", conf04Sweep,
+        "one,two\n1,two\n0,two\n",
+        2, Set.empty[Long], "t/04_validator.t:19"),
+      ("04_broken", conf04Sweep,
+        "one,two\n1,two\nnot_a_bool,two\n",
+        2, Set(2L), "t/04_validator.t:35-39"),
+      ("06_if", conf06If,
+        """one,two,three,four,five,six,seven,eight,nine
+          |1,b,c,,,1,g,,
+          |,b,c,d,e,1,g,,
+          |1,,,,,1,g,,
+          |1,b,,,,1,g,,
+          |1,,c,,,1,g,,
+          |0,,,d,e,1,g,,
+          |0,,,,,1,g,,
+          |0,,,d,,1,g,,
+          |0,,,,e,1,g,,
+          |1,b,c,d,,1,g,,
+          |0,b,,d,e,1,g,,
+          |1,b,c,,,1,g,,
+          |1,b,c,,,0,,h,i
+          |1,b,c,,,1,,h,
+          |1,b,c,,,1,g,,
+          |1,b,c,,,yes,g,,
+          |1,b,c,,,no,,h,i
+          |""".stripMargin,
+        17, Set(2L, 3L, 4L, 5L, 7L, 8L, 9L, 10L, 11L, 14L),
+        "t/06_relationships.t:25-40 (10 invalid)"),
+      ("06_one_of", confGroups("one_of", "one_of"),
+        "one,two,three,four,five\n1,,1,,\n1,1,1,,\n,,1,,\n1,,1,1,\n1,,1,1,1\n1,,,,\n",
+        6, Set(2L, 3L, 4L, 5L), "t/06_relationships.t:44-56 (4 invalid)"),
+      ("06_some_of", confGroups("some_of", "some_of"),
+        "one,two,three,four,five\n1,,1,,\n1,1,1,,\n,,1,,\n,1,1,,\n1,,,,\n1,,1,1,1\n",
+        6, Set(3L, 4L), "t/06_relationships.t:58-68 (2 invalid)"),
+      ("09_unknown_simple", conf09Unknown,
+        "one,two\n1,1\n1,\"not available\"\n1,not available\n1,\"unknown\"\n" +
+          "1,\"pass\"\n\"not available\",1\n",
+        6, Set(5L, 6L), "t/09_unknown.t:18-28 (2 invalid)"),
+      ("09_unknown_if", conf09If,
+        """one,two,three,four,five,six
+          |1,1,,1,1,
+          |1,,,1,1,
+          |,1,,1,1,
+          |"not available",1,,1,1,
+          |"unknown",1,,1,1,
+          |"not available",,,1,1,
+          |1,"not available",,1,1,
+          |pass,1,,1,1,
+          |""".stripMargin,
+        8, Set(2L, 3L, 8L), "t/09_unknown.t:33-44 (3 invalid)"),
+      ("09_unknown_one_of", conf09OneOf,
+        "one,two,three,four\n1,,1,\nunknown,,1,\nunknown,1,1,\n" +
+          "1,,unknown,unknown\n1,,1,unknown\n",
+        5, Set.empty[Long], "t/09_unknown.t:50-58 (0 invalid)"),
+      ("09_unknown_some_of", conf09SomeOf,
+        """one,two,three,four,five
+          |1,,1,,
+          |unknown,,1,,
+          |unknown,1,1,,
+          |unknown,unknown,1,,
+          |1,,,,
+          |1,,,,unknown
+          |1,,,1,unknown
+          |1,,1,1,unknown
+          |""".stripMargin,
+        8, Set(2L), "t/09_unknown.t:63-72 (1 invalid)"))
+
+    for ((label, conf, csv, nRows, invalidIds, ref) <- table) {
+      val cl = graft.model.ChecklistConfig.parse(conf)
+      val m = graft.sources.ManifestReader.readCsv(spark, sweepTmp(csv), cl)
+      // the reader already assigns 1-based row ids (Main.scala wiring)
+      val v = validate(m.df, cl, Options(rowIdCol = Some("row_id")))
+      assert(v.count() === nRows.toLong, s"$label ($ref): row count")
+      val got = v.filter(!col(PassedCol)).select(RowId)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === invalidIds, s"$label ($ref): invalid row ids")
+    }
+  }
 }
